@@ -1,0 +1,171 @@
+"""CMAPSS ingestion + feature engine vs a pandas re-implementation of the
+reference semantics (differential test, SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import make_cmapss_pdf, write_cmapss_txt
+from turbine_maintenance_etl_spark.features.engine import (
+    add_rul,
+    build_features,
+    constant_columns,
+    units_summary,
+    variable_sensor_intersection,
+)
+from turbine_maintenance_etl_spark.io.cmapss import read_cmapss_text, read_rul_truth
+from turbine_maintenance_etl_spark.schema.cmapss import CMAPSS_COLS, sensor_columns
+
+
+@pytest.fixture(scope="module")
+def cmapss_pdf():
+    return make_cmapss_pdf()
+
+
+@pytest.fixture(scope="module")
+def cmapss_sdf(spark, cmapss_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("raw") / "train_FD001.txt")
+    write_cmapss_txt(cmapss_pdf, path)
+    return read_cmapss_text(spark, path, dataset="FD001").cache()
+
+
+def pandas_reference_features(pdf: pd.DataFrame, sensors: list[str]) -> pd.DataFrame:
+    """The reference's pandas feature logic (scripts/etl_turbofan.py:22-42)."""
+    out = pdf.sort_values(["unit_nr", "time_cycles"]).reset_index(drop=True).copy()
+    g = out.groupby("unit_nr")
+    out["rul"] = g["time_cycles"].transform("max") - out["time_cycles"]
+    for c in sensors:
+        out[f"mean5_{c}"] = g[c].transform(lambda s: s.rolling(5, min_periods=1).mean())
+        out[f"mean20_{c}"] = g[c].transform(lambda s: s.rolling(20, min_periods=1).mean())
+        out[f"d_{c}"] = g[c].diff()
+        mean = g[c].transform("mean")
+        std = g[c].transform(lambda s: s.std(ddof=0))
+        z = (out[c] - mean) / std
+        out[f"z_{c}"] = z.replace([np.inf, -np.inf], np.nan)
+    return out
+
+
+def test_text_scan_roundtrip(cmapss_sdf, cmapss_pdf):
+    assert cmapss_sdf.count() == len(cmapss_pdf)
+    assert cmapss_sdf.columns == CMAPSS_COLS + ["dataset"]
+    got = (
+        cmapss_sdf.orderBy("unit_nr", "time_cycles")
+        .toPandas()[["unit_nr", "time_cycles", "sensor2"]]
+    )
+    want = cmapss_pdf.sort_values(["unit_nr", "time_cycles"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(got["sensor2"], want["sensor2"], check_exact=False)
+
+
+def test_bad_numerics_become_null(spark, tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("1 1 0.1 0.2 100 " + " ".join(["1.0"] * 21) + "\n"
+                 "1 oops 0.1 0.2 100 " + " ".join(["1.0"] * 21) + "\n")
+    df = read_cmapss_text(spark, str(p))
+    rows = df.orderBy("time_cycles").collect()
+    assert rows[1]["unit_nr"] == 1
+    assert any(r["time_cycles"] is None for r in rows)
+
+
+def test_constant_column_pruning(cmapss_sdf):
+    sensors = sensor_columns(cmapss_sdf.columns)
+    const = set(constant_columns(cmapss_sdf, sensors + ["setting3"]))
+    assert const == {f"sensor{i}" for i in (1, 5, 10, 16, 18, 19)} | {"setting3"}
+
+
+def test_variable_sensor_intersection(spark, cmapss_sdf):
+    from pyspark.sql import functions as F
+
+    # second dataset where sensor2 is also constant
+    other = cmapss_sdf.withColumn("sensor2", F.lit(7.0))
+    kept = variable_sensor_intersection({"FD001": cmapss_sdf, "FD002": other})
+    assert "sensor2" not in kept
+    assert "sensor3" in kept
+    nums = [int(c.removeprefix("sensor")) for c in kept]
+    assert nums == sorted(nums)
+
+
+def test_features_match_pandas_reference(cmapss_sdf, cmapss_pdf):
+    sensors = ["sensor2", "sensor3", "sensor4", "sensor9"]
+    got = (
+        build_features(cmapss_sdf, sensors=sensors)
+        .orderBy("unit_nr", "time_cycles")
+        .toPandas()
+    )
+    want = pandas_reference_features(cmapss_pdf, sensors)
+    for c in ["rul"] + [
+        f"{p}_{c}" for c in sensors for p in ("mean5", "mean20", "d", "z")
+    ]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float),
+            want[c].to_numpy(dtype=float),
+            rtol=1e-9,
+            atol=1e-12,
+            err_msg=c,
+        )
+
+
+def test_feature_properties(cmapss_sdf):
+    """FIXTURES.md §3 property checks."""
+    from pyspark.sql import functions as F
+
+    feats = build_features(cmapss_sdf, sensors=["sensor2"]).cache()
+    # rul >= 0 and rul == 0 at each unit's last cycle
+    assert feats.filter(F.col("rul") < 0).count() == 0
+    last = feats.groupBy("unit_nr").agg(
+        F.max("time_cycles").alias("mx"), F.min("rul").alias("mn")
+    )
+    assert last.filter(F.col("mn") != 0).count() == 0
+    # mean5 == sensor value on first row per unit
+    first = feats.filter(F.col("time_cycles") == 1)
+    assert first.filter(F.abs(F.col("mean5_sensor2") - F.col("sensor2")) > 1e-12).count() == 0
+    # exactly one NULL d_ per unit
+    dnulls = feats.groupBy("unit_nr").agg(
+        F.sum(F.when(F.col("d_sensor2").isNull(), 1).otherwise(0)).alias("n")
+    )
+    assert dnulls.filter(F.col("n") != 1).count() == 0
+    # per-unit z stats: mean ~ 0, pop std ~ 1
+    zstats = feats.groupBy("unit_nr").agg(
+        F.avg("z_sensor2").alias("m"), F.stddev_pop("z_sensor2").alias("s")
+    )
+    bad = zstats.filter((F.abs(F.col("m")) > 1e-9) | (F.abs(F.col("s") - 1) > 1e-9))
+    assert bad.count() == 0
+    feats.unpersist()
+
+
+def test_zero_variance_z_is_null(cmapss_sdf):
+    from pyspark.sql import functions as F
+
+    feats = build_features(cmapss_sdf, sensors=["sensor1"])  # constant sensor
+    assert feats.filter(F.col("z_sensor1").isNotNull()).count() == 0
+
+
+def test_units_summary(cmapss_sdf, cmapss_pdf):
+    got = units_summary(cmapss_sdf).orderBy("unit_nr").toPandas()
+    want = (
+        cmapss_pdf.groupby(["dataset", "unit_nr"])["time_cycles"]
+        .agg(cycles_min="min", cycles_max="max", cycles_count="count")
+        .reset_index()
+        .sort_values("unit_nr")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["cycles_min", "cycles_max", "cycles_count"]].astype("int64"),
+        want[["cycles_min", "cycles_max", "cycles_count"]].astype("int64"),
+    )
+
+
+def test_rul_truth_positional(spark, tmp_path):
+    p = tmp_path / "RUL_FD001.txt"
+    p.write_text("112\n98\n69\n")
+    df = read_rul_truth(spark, str(p)).orderBy("unit_nr").collect()
+    assert [(r["unit_nr"], r["rul_true"]) for r in df] == [(1, 112), (2, 98), (3, 69)]
+
+
+def test_add_rul(cmapss_sdf):
+    from pyspark.sql import functions as F
+
+    df = add_rul(cmapss_sdf)
+    mx = df.groupBy("unit_nr").agg(F.max("rul").alias("r"), F.max("time_cycles").alias("t"))
+    assert mx.filter(F.col("r") != F.col("t") - 1).count() == 0

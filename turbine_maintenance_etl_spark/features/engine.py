@@ -1,0 +1,119 @@
+"""Window-function feature engine (SURVEY.md §2.5 W1-W5 + §2.2 P3).
+
+This is the analytical core of the reference (pandas at
+scripts/etl_turbofan.py:22-42, dbt SQL at
+turbine_etl_dbt/models/fct_cycles_features.sql:10-50), rebuilt as ONE
+Spark job:
+
+- RUL:        max(time_cycles) over unit  -  time_cycles            (W1)
+- mean{w}_c:  trailing rolling avg, ROWS w-1 PRECEDING..CURRENT     (W2/W3)
+              == pandas rolling(w, min_periods=1) (short head frames)
+- d_c:        c - lag(c) over unit order; NULL on each first row    (W4)
+- z_c:        (c - avg over unit) / stddev_pop over unit            (W5)
+              ddof=0 (== pandas std(ddof=0)); zero variance -> NULL
+
+Scale design: every expression shares a single Window partitioning
+``(dataset, unit_nr)`` — Catalyst collapses all same-spec window ops into
+one WindowExec after ONE shuffle+sort, so the whole feature table costs a
+single exchange regardless of sensor count. The parallel grain is the
+engine unit (100-550 rows each), which stays balanced at any corpus size;
+no global sort is ever taken.
+
+The unified output resolves the reference's dbt-vs-Python column split
+(SURVEY.md §3.2): one table carrying rolling means, diffs, z-scores, rul.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.schema.cmapss import sensor_columns
+
+KEY_COLS = ("dataset", "unit_nr", "time_cycles")
+
+
+def constant_columns(df: DataFrame, candidates: list[str]) -> list[str]:
+    """Columns with <= 1 distinct non-null value — the reference's
+    constant-sensor drop (``nunique(dropna=True) <= 1``,
+    scripts/etl_turbofan.py:74-78). One aggregation pass over all
+    candidates (single job, map-side partial aggs), never one job per
+    column."""
+    if not candidates:
+        return []
+    row = df.agg(
+        *[F.countDistinct(F.col(c)).alias(c) for c in candidates]
+    ).collect()[0]
+    return [c for c in candidates if row[c] <= 1]
+
+
+def variable_sensor_intersection(dfs: dict[str, DataFrame]) -> list[str]:
+    """Sorted intersection of each dataset's variable (non-constant)
+    sensors — the multi-dataset schema-consistency pre-pass
+    (scripts/etl_turbofan.py:175-206, intersection at 201, sort at 204).
+    Driver-side set math over one countDistinct agg per dataset."""
+    kept: set[str] | None = None
+    for df in dfs.values():
+        sensors = sensor_columns(df.columns)
+        variable = set(sensors) - set(constant_columns(df, sensors))
+        kept = variable if kept is None else (kept & variable)
+    return sorted(kept or [], key=lambda c: int(c.removeprefix("sensor")))
+
+
+def add_rul(df: DataFrame, partition_cols: tuple[str, ...] = ("dataset", "unit_nr")) -> DataFrame:
+    """W1: remaining useful life = per-unit max cycle minus current cycle
+    (scripts/etl_turbofan.py:22-24; fct_cycles_features.sql:23-26)."""
+    w = Window.partitionBy(*partition_cols)
+    return df.withColumn(
+        "rul", (F.max("time_cycles").over(w) - F.col("time_cycles")).cast("int")
+    )
+
+
+def build_features(
+    df: DataFrame,
+    sensors: list[str] | None = None,
+    windows: tuple[int, ...] = (5, 20),
+    partition_cols: tuple[str, ...] = ("dataset", "unit_nr"),
+    order_col: str = "time_cycles",
+    include_settings: bool = True,
+) -> DataFrame:
+    """Engineered feature table at grain (dataset, unit_nr, time_cycles).
+
+    All window expressions share one partitioning, so the physical plan is
+    scan -> ONE exchange on (dataset, unit_nr) -> sort within partitions
+    -> one WindowExec chain -> project. Verified via explain() in
+    tests/test_explain_plans.py.
+    """
+    if sensors is None:
+        sensors = sensor_columns(df.columns)
+
+    ordered = Window.partitionBy(*partition_cols).orderBy(order_col)
+    unbounded = Window.partitionBy(*partition_cols)
+
+    exprs: list = [F.col(c) for c in df.columns if include_settings or not c.startswith("setting")]
+    exprs.append((F.max(order_col).over(unbounded) - F.col(order_col)).cast("int").alias("rul"))
+    for c in sensors:
+        for wlen in windows:
+            exprs.append(
+                F.avg(c).over(ordered.rowsBetween(-(wlen - 1), 0)).alias(f"mean{wlen}_{c}")
+            )
+        exprs.append((F.col(c) - F.lag(c, 1).over(ordered)).alias(f"d_{c}"))
+        # stddev_pop (ddof=0), NOT Spark's default sample stddev; NULLif
+        # guards zero-variance stretches -> NULL (SURVEY.md §7.4.2).
+        std = F.stddev_pop(c).over(unbounded)
+        exprs.append(
+            ((F.col(c) - F.avg(c).over(unbounded)) / F.nullif(std, F.lit(0.0))).alias(f"z_{c}")
+        )
+    return df.select(*exprs)
+
+
+def units_summary(df: DataFrame, partition_cols: tuple[str, ...] = ("dataset", "unit_nr")) -> DataFrame:
+    """A1: per-unit min/max/count of cycles (scripts/etl_turbofan.py:130-133).
+    Computed over the FULL multi-dataset union — the reference's
+    replace-per-iteration bug (last dataset only) is intentionally not
+    reproduced (SURVEY.md §7.4.5)."""
+    return df.groupBy(*partition_cols).agg(
+        F.min("time_cycles").alias("cycles_min"),
+        F.max("time_cycles").alias("cycles_max"),
+        F.count("time_cycles").alias("cycles_count"),
+    )
