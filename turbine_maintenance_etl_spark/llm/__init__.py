@@ -1,0 +1,30 @@
+"""LLM-training-data pipeline operators (BASELINE.json north star).
+
+No counterpart in the reference — these extend SURVEY.md §2 with the
+operations a 100 TB text/embedding corpus pipeline needs: deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force + LSH-bucketed ANN), text analysis (language ID, quality
+scoring, token counting, fingerprinting), and multimodal binary columns.
+"""
+
+from turbine_maintenance_etl_spark.llm.text import (  # noqa: F401
+    add_language_scores,
+    add_quality_signals,
+    add_tokens,
+    fingerprint,
+)
+from turbine_maintenance_etl_spark.llm.dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from turbine_maintenance_etl_spark.llm.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_expr,
+    lsh_bucketed_topk,
+    random_hyperplanes,
+)

@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpus):
+- **Exact dedup** is a hash-groupBy — one shuffle on a 128-bit digest,
+  map-side partial agg; never a global sort.
+- **Pairwise Jaccard is quadratic** — only valid inside small candidate
+  sets. The scale path is MinHash-LSH: shingle → K minhashes → B bands →
+  explode to (band, band-hash) keys → self-join per bucket. The shuffle
+  key is the band bucket, candidate generation is linear in corpus size +
+  bucket-pair cost, and skewed mega-buckets (boilerplate shingles) can be
+  salted or capped.
+- Hashes are **portable md5-prefix** values (not Spark's murmur3
+  ``F.hash``) so signatures are reproducible across engines/runs — this
+  keeps the operators oracle-checkable and stable under Spark upgrades.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.llm.text import tokens_expr
+
+# Mersenne prime 2^61 - 1: the classic universal-hash modulus; a*h+b stays
+# within int64*small bounds when h < 2^60 (15 hex chars of md5).
+_MERSENNE61 = (1 << 61) - 1
+
+
+def md5_hash64(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5, base-16 →
+    decimal. Reproducible in any engine with md5 (DuckDB oracle parity)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_hash28(col: Column) -> Column:
+    """28-bit portable hash (7 hex chars): small enough that
+    ``a * h + b`` with 31-bit coefficients stays inside int64 — no
+    overflow wrap, so the affine MinHash permutations are exact and
+    portable to any engine with 64-bit integers."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (default trigrams).
+    Pure higher-order functions: ``transform`` over an index ``sequence``
+    with 1-based ``element_at`` — no UDF, no explode until the caller
+    chooses to."""
+    toks = tokens_expr(text)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(
+        F.when(count > 0, F.transform(idx, gram)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: md5(text) → (content hash, surviving id =
+    min id, multiplicity). One hash-shuffle; at 100 TB group on the digest
+    (16 bytes), never the raw text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivor rows after exact dedup (deterministic: min id per content
+    hash wins — not ``dropDuplicates``, whose surviving row is
+    partition-order dependent)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity >= threshold.
+
+    Quadratic — the *verification* kernel, meant for candidate sets (LSH
+    buckets) or small corpora; the linear-scale path is
+    ``minhash_lsh_candidates`` feeding this on bucket-mates only.
+    """
+    base = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """K-permutation MinHash signature per document.
+
+    One base md5 hash per shingle, then K affine permutations
+    ``(a_i * h + b_i) mod M61`` folded with ``array_min(transform(...))``
+    — all columnar JVM expressions, no explode, no UDF. Empty shingle
+    sets yield NULL signature slots."""
+    import random
+
+    rng = random.Random(seed)
+    # 31-bit coefficients x 28-bit base hash keeps a*h+b < 2^60: exact int64
+    coeffs = [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_hashes)]
+    hashed = F.transform(shingles(text_col, n), lambda s: md5_hash28(s))
+    sig_cols = []
+    for i, (ai, bi) in enumerate(coeffs):
+        perm = F.transform(
+            F.col("_h"), lambda h: (h * F.lit(ai) % F.lit(_MERSENNE61) + F.lit(bi)) % F.lit(_MERSENNE61)
+        )
+        sig_cols.append(F.array_min(perm).alias(f"mh_{i}"))
+    return df.select(F.col(id_col), hashed.alias("_h")).select(
+        F.col(id_col), F.array(*sig_cols).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: split the K-slot signature into ``bands``
+    bands of K/bands rows each, hash every band, and self-join on
+    (band index, band hash). Documents sharing any band bucket become a
+    candidate pair — linear shuffle on the bucket key instead of an
+    all-pairs cross join. Deduplicates pairs found in multiple bands."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col("signature")[bi * rows + r] for r in range(rows)])).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
+    r = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    return (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: per token hash, each of ``bits`` positions
+    votes +1/-1; the sign vector packs into a bigint. Near-duplicate
+    texts land at small Hamming distance. Expressed as ``bits``
+    aggregate-free columnar expressions over the token-hash array (60
+    usable bits from the portable hash)."""
+    bits = min(bits, 60)
+    hashed = F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: md5_hash64(t))
+    def bit_vote(b: int) -> Column:
+        votes = F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    packed = None
+    for b in range(bits):
+        packed = bit_vote(b) if packed is None else packed + bit_vote(b)
+    return df.select(F.col(id_col), F.col(text_col)).withColumn("_h", hashed).select(
+        F.col(id_col), packed.cast("bigint").alias("simhash")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed simhash bigints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k, query-side broadcast — the
+  correctness baseline. O(Q x N) but fully distributed: candidates never
+  shuffle, each partition scores its rows against the broadcast queries
+  and emits only local top-k via the window rank.
+- ``lsh_bucketed_topk``: the scale path — sign-random-projection (SRP)
+  LSH. Each vector hashes to a bucket by the sign pattern of dot products
+  with H fixed hyperplanes; queries probe only their own bucket
+  (optionally multi-probe neighbors). Turns O(Q x N) into
+  O(Q x N / 2^H) expected, with the bucket id as the join/shuffle key.
+
+All vector math is `F.zip_with`/`F.aggregate` column expressions (JVM,
+codegen) — no Python in the scoring loop. Deterministic: hyperplanes are
+seeded; ranking ties break on candidate id.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double-array columns; NULL when
+    either norm is zero."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must have columns (query_id_col, vec_col); broadcast it
+    (small side). Excludes self-matches when ids collide. Scores are
+    rounded to 6 dp *before* ranking so the ordering is reproducible
+    across engines; ties break on candidate id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        )
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, num_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes for SRP-LSH, as plain literals so the
+    same planes embed into any engine's SQL (oracle parity)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def srp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = (vec . plane_i) >= 0."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_bucketed_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket both sides, equi-join on the bucket
+    id (the shuffle key — replaces the cross join), exact cosine within
+    buckets, window top-k. Recall < 1 by construction; raise recall via
+    fewer planes or multi-probe."""
+    planes = random_hyperplanes(dim, num_planes, seed)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    ).withColumn("bucket", srp_bucket_expr(F.col("_qv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,1012 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+LLM-pipeline extensions) as a (PySpark builder, DuckDB oracle SQL) pair
+over the driver's testdata tables.
+
+Determinism rules (SURVEY.md §7.4.4 / FIXTURES.md §6):
+- every aggregate/computed column is aliased identically on both sides;
+- computed doubles are ROUND()ed on both sides (Spark HALF_UP == DuckDB
+  half-away-from-zero for these magnitudes);
+- integer-ish computed outputs are CAST to BIGINT on both sides (DuckDB
+  sum(int) is HUGEINT, Spark row_number is INT — casts align them);
+- LIMIT/top-k queries carry a unique-key tie-break;
+- window orderings always include a unique key;
+- double→int conversions ROUND first (DuckDB casts round, Spark casts
+  truncate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.features.engine import build_features
+from turbine_maintenance_etl_spark.llm import dedup as D
+from turbine_maintenance_etl_spark.llm import similarity as S
+from turbine_maintenance_etl_spark.llm import text as TX
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver records rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Normalize timestamps: events.ts arrives as nanos-long (see session
+    # conf) → rebuild as TIMESTAMP via integer div (never double division
+    # — 1e18 nanos exceeds double's 2^53 exact-integer range); NTZ
+    # columns cast to session-TZ (UTC) timestamps so unix_micros works.
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "orders":
+        df = df.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    elif name == "lineitem":
+        df = df.withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline queries (scan → filter → join → agg → sort spine)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter pushed to parquet scan, partial+final hash
+    agg on two low-cardinality keys — no skew risk at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT)               AS orderdate_us
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is the small side → explicit broadcast;
+    the orders⋈lineitem join shuffles on orderkey (the natural key both
+    sides are clustered by). Top-k is TakeOrderedAndProject — no global
+    sort materialization."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("_rev"), 2).alias("revenue"),
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+        )
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    """
+    SELECT r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*)                                              AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join: every dimension (customer, nation, region) broadcast —
+    lineitem⋈orders is the only shuffle. At 100 TB the dims stay MB-scale
+    so this plan shape survives verbatim."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / casts (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p2_projection",
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem",
+)
+def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "p5_cast_projection",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice, 0) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR)            AS key_str,
+           TRY_CAST(o_orderpriority AS DOUBLE)    AS prio_num
+    FROM orders
+    """,
+)
+def p5_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: typed casts + lossy coercion (bad numeric string → NULL,
+    matching pd.to_numeric(errors='coerce'); ANSI off so plain cast
+    behaves as try_cast)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 0).cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderpriority").cast("double").alias("prio_num"),
+    )
+
+
+@register(
+    "p7_membership_filter",
+    """
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def p7_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "p8_comparison_filter",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type <> 'view' AND value IS NOT NULL AND value >= 50.0
+    """,
+)
+def p8_comparison_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("event_type") != "view") & F.col("value").isNotNull() & (F.col("value") >= 50.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "p11_literal_tag",
+    "SELECT r_regionkey, r_name, 'testdata' AS dataset FROM region",
+)
+def p11_literal_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name", F.lit("testdata").alias("dataset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_broadcast_equijoin",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*)                      AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j1_broadcast_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "j2_rownumber_keygen",
+    """
+    SELECT n_name, CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT) AS rn
+    FROM nation
+    """,
+)
+def j2_rownumber_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: positional key generation (the RUL-file line↔unit mapping) as
+    an explicit, order-pinned row_number — never read order."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.row_number().over(Window.orderBy("n_nationkey")).cast("bigint").alias("rn"),
+    )
+
+
+@register(
+    "j_left_outer_join",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(s.s_suppkey) AS BIGINT)              AS n_suppliers,
+           ROUND(COALESCE(SUM(s.s_acctbal), 0), 2)         AS total_bal
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "j_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j_anti_join",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_grouped_minmax",
+    """
+    SELECT o_custkey,
+           ROUND(MIN(o_totalprice), 2) AS price_min,
+           ROUND(MAX(o_totalprice), 2) AS price_max,
+           COUNT(*)                    AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a1_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("price_min"),
+            F.round(F.max("o_totalprice"), 2).alias("price_max"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a5_distinct_count",
+    """
+    SELECT COUNT(*)                   AS n_rows,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(DISTINCT l_suppkey)  AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def a5_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "a7_global_stats",
+    """
+    SELECT ROUND(MAX(o_totalprice), 2)        AS price_max,
+           ROUND(MIN(o_totalprice), 2)        AS price_min,
+           ROUND(AVG(o_totalprice), 4)        AS price_avg,
+           ROUND(STDDEV_POP(o_totalprice), 4) AS price_std_pop,
+           ROUND(STDDEV(o_totalprice), 4)     AS price_std_samp
+    FROM orders
+    """,
+)
+def a7_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.avg("o_totalprice"), 4).alias("price_avg"),
+        F.round(F.stddev_pop("o_totalprice"), 4).alias("price_std_pop"),
+        F.round(F.stddev("o_totalprice"), 4).alias("price_std_samp"),
+    )
+
+
+@register(
+    "a9_two_level_agg",
+    """
+    SELECT ROUND(AVG(mx), 4) AS avg_cust_max, ROUND(AVG(cnt), 4) AS avg_cust_orders
+    FROM (SELECT o_custkey, MAX(o_totalprice) AS mx, COUNT(*) AS cnt
+          FROM orders GROUP BY o_custkey)
+    """,
+)
+def a9_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (DAX AVERAGEX over SUMMARIZE): agg-of-agg stays fully
+    distributed — never collect-and-pandas."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_totalprice").alias("mx"), F.count("*").alias("cnt")
+    )
+    return per_cust.agg(
+        F.round(F.avg("mx"), 4).alias("avg_cust_max"),
+        F.round(F.avg("cnt"), 4).alias("avg_cust_orders"),
+    )
+
+
+@register(
+    "a10_conditional_share",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS big_share
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a10_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (DAX CALCULATE critical-share): conditional aggregate ratio."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0))
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(big / F.count("*").cast("double"), 6).alias("big_share"),
+    )
+
+
+@register(
+    "a11_grouped_error_metrics",
+    """
+    SELECT event_type,
+           COUNT(*)                             AS n,
+           ROUND(AVG(ABS(value - 50.0)), 4)     AS mae,
+           ROUND(SQRT(AVG((value - 50.0) * (value - 50.0))), 4) AS rmse,
+           ROUND(AVG(value), 4)                 AS mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_grouped_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: the grouped RMSE/MAE prediction-quality query
+    (reference scripts/ml_pipeline_gpu.py:795-813) over events."""
+    e = _t(spark, sf_dir, "events")
+    err = F.col("value") - 50.0
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+@register(
+    "a12_median_quantile",
+    """
+    SELECT ROUND(CAST(MEDIAN(l_quantity) AS DOUBLE), 4)           AS qty_median,
+           ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.25) AS DOUBLE), 4) AS price_p25,
+           ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.75) AS DOUBLE), 4) AS price_p75
+    FROM lineitem
+    """,
+)
+def a12_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("price_p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("price_p75"),
+    )
+
+
+@register(
+    "a13_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: fixed-width histogram via floor-bucketing (row-local, exact —
+    no width_bucket dependency)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a14_correlation",
+    """
+    SELECT ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+           ROUND(CORR(l_extendedprice, l_discount), 4) AS corr_price_disc
+    FROM lineitem
+    """,
+)
+def a14_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+    )
+
+
+@register(
+    "a15_case_binning",
+    """
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                WHEN o_totalprice < 400000 THEN 'high'
+                ELSE 'extreme' END AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def a15_case_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/F7 (DAX SWITCH(TRUE(), ...) RUL buckets): multi-branch CASE."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 250000, "mid")
+        .when(F.col("o_totalprice") < 400000, "high")
+        .otherwise("extreme")
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets behavior implied by the reference's Power BI
+    ALL/ALLEXCEPT slicers (SURVEY §2.4) — one rollup pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5) — events as (user, time) trajectories
+# ---------------------------------------------------------------------------
+
+@register(
+    "w1_partition_max",
+    """
+    SELECT event_id, user_id,
+           ROUND(MAX(value) OVER (PARTITION BY user_id) - value, 4) AS headroom
+    FROM events
+    """,
+)
+def w1_partition_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (the RUL pattern): unbounded partition max minus current row."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.max("value").over(w) - F.col("value"), 4).alias("headroom"),
+    )
+
+
+@register(
+    "w2_rolling_mean5",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean5
+    FROM events
+    """,
+)
+def w2_rolling_mean5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mean5")
+    )
+
+
+@register(
+    "w3_rolling_mean20",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS mean20
+    FROM events
+    """,
+)
+def w3_rolling_mean20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mean20")
+    )
+
+
+@register(
+    "w4_lag_diff",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS d_value
+    FROM events
+    """,
+)
+def w4_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("d_value"),
+    )
+
+
+@register(
+    "w5_group_zscore",
+    """
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / NULLIF(STDDEV_POP(value) OVER (PARTITION BY user_id), 0), 6) AS z_value
+    FROM events
+    """,
+)
+def w5_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: population z-score (ddof=0 — NOT sample stddev); zero variance
+    → NULL (SURVEY §7.4.1-2)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_pop("value").over(w), F.lit(0.0)
+    )
+    return e.select("event_id", "user_id", F.round(z, 6).alias("z_value"))
+
+
+@register(
+    "w6_last_per_group",
+    """
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def w6_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W6: 'last row per group' via explicit descending row_number —
+    order-dependent semantics made explicit (SURVEY §7.4.3)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@register(
+    "w_sessionization",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM gaps)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def w_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap): lag + cumulative-sum-of-gap-flags —
+    the batch analog of streaming session windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.withColumn(
+        "new_session", F.when(gap_us > 1_800_000_000, 1).otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        flagged.withColumn("session_idx", F.sum("new_session").over(cum).cast("bigint"))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "cmapss_feature_engine",
+    """
+    WITH base AS (
+        SELECT user_id AS unit_nr,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS time_cycles,
+               value AS sensor1
+        FROM events)
+    SELECT unit_nr, time_cycles,
+           CAST(MAX(time_cycles) OVER (PARTITION BY unit_nr) - time_cycles AS BIGINT) AS rul,
+           ROUND(AVG(sensor1) OVER (PARTITION BY unit_nr ORDER BY time_cycles
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)  AS mean5_sensor1,
+           ROUND(AVG(sensor1) OVER (PARTITION BY unit_nr ORDER BY time_cycles
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS mean20_sensor1,
+           ROUND(sensor1 - LAG(sensor1) OVER (PARTITION BY unit_nr ORDER BY time_cycles), 6)
+                 AS d_sensor1,
+           ROUND((sensor1 - AVG(sensor1) OVER (PARTITION BY unit_nr))
+                 / NULLIF(STDDEV_POP(sensor1) OVER (PARTITION BY unit_nr), 0), 6) AS z_sensor1
+    FROM base
+    """,
+)
+def cmapss_feature_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the reference's entire engineered-feature pipeline (W1-W5,
+    one WindowSpec, one shuffle) applied to events-as-trajectories
+    (user → unit, event order → cycle). Uses the real production
+    ``build_features`` engine."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        F.col("user_id").alias("unit_nr"),
+        F.row_number().over(w).cast("bigint").alias("time_cycles"),
+        F.col("value").alias("sensor1"),
+    ).withColumn("dataset", F.lit("events"))
+    feats = build_features(base, sensors=["sensor1"])
+    return feats.select(
+        "unit_nr",
+        "time_cycles",
+        F.col("rul").cast("bigint").alias("rul"),
+        F.round("mean5_sensor1", 6).alias("mean5_sensor1"),
+        F.round("mean20_sensor1", 6).alias("mean20_sensor1"),
+        F.round("d_sensor1", 6).alias("d_sensor1"),
+        F.round("z_sensor1", 6).alias("z_sensor1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o2_topk_recent",
+    """
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def o2_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k by timestamp — Spark plans TakeOrderedAndProject (true
+    top-k, no full sort)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+
+
+@register(
+    "o3_topk_value",
+    """
+    SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+    """,
+)
+def o3_topk_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(15)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "u1_union_all",
+    """
+    SELECT src, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total FROM (
+        SELECT 'open' AS src, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'done' AS src, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY src
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the per-dataset append pattern as unionByName."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("open").alias("src"), "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("done").alias("src"), "o_totalprice"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suites (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f_scalar_suite",
+    """
+    SELECT o_orderkey,
+           ROUND(ABS(o_totalprice - 250000), 2)                AS abs_diff,
+           ROUND(SQRT(o_totalprice), 6)                        AS sqrt_price,
+           ROUND(GREATEST(o_totalprice - 400000, 0), 2)        AS clamped,
+           ROUND(POW(o_totalprice / 100000.0, 2), 6)           AS pow2,
+           CONCAT_WS('-', o_orderstatus, o_orderpriority)      AS tag,
+           LENGTH(o_orderpriority)                             AS prio_len,
+           UPPER(o_orderstatus)                                AS status_up,
+           SUBSTRING(o_orderpriority, 1, 1)                    AS prio_code,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open')        AS status_or_open
+    FROM orders
+    """,
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7/F9: arithmetic, abs, sqrt, clamp-at-zero (greatest), power,
+    string join/length/case/substring, coalesce/nullif."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(F.col("o_totalprice") - 250000), 2).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.greatest(F.col("o_totalprice") - 400000, F.lit(0.0)), 2).alias("clamped"),
+        F.round(F.pow(F.col("o_totalprice") / 100000.0, 2), 6).alias("pow2"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.upper("o_orderstatus").alias("status_up"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_or_open"),
+    )
+
+
+@register(
+    "f_datetime_suite",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                         AS yr,
+           CAST(month(o_orderdate) AS INT)                        AS mth,
+           CAST(quarter(o_orderdate) AS INT)                      AS qtr,
+           CAST(dayofweek(o_orderdate) AS INT)                    AS dow0,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)        AS yyyymm
+    FROM orders
+    """,
+)
+def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-adjacent datetime functions. NOTE: Spark dayofweek is 1=Sunday,
+    DuckDB dayofweek is 0=Sunday → Spark side subtracts 1."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mth"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow0"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("int").alias("days_since"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("yyyymm"),
+    )
+
+
+@register(
+    "f_json_extract",
+    r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+    FROM events
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column via
+    get_json_object (JVM JSON path, codegen) — oracle mirrors with regex."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT CAST(FLOOR(epoch_us(ts) / 300000000.0) AS BIGINT) AS win5m,
+           event_type,
+           COUNT(*)            AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming 5-minute tumbling-window aggregation
+    (same grouping the Structured Streaming path produces)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.floor(F.unix_micros("ts") / 300000000.0).cast("bigint").alias("win5m"),
+            "event_type",
+            "value",
+        )
+        .groupBy("win5m", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )

@@ -1,0 +1,280 @@
+"""LLM-data-pipeline query registry entries (dedup / text analysis /
+similarity search) with DuckDB oracles.
+
+The oracles mirror the exact semantics of the library operators in
+``turbine_maintenance_etl_spark.llm`` — including the portable md5-based
+hashes, so even MinHash-LSH candidate generation is hash-checkable
+across engines (most systems can't oracle-test their LSH; we can because
+the hash family is engine-independent by construction).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.llm import dedup as D
+from turbine_maintenance_etl_spark.llm import similarity as S
+from turbine_maintenance_etl_spark.llm import text as TX
+from turbine_maintenance_etl_spark.queries import _t, register
+
+# DuckDB token / shingle fragments shared by several oracles
+_DUCK_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+    " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
+)
+# portable 28-bit hash of a string s: first 7 hex chars of md5, folded
+_DUCK_HASH28 = (
+    "list_reduce(list_transform(string_split(substr(md5({s}), 1, 7), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*)    AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_survivors",
+    """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "source")
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                 AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT)  AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT)              AS n_chars_calc
+    FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens_expr("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+_EN = TX.STOPWORDS["en"]
+_EN_SQL = ", ".join(f"'{w}'" for w in _EN)
+
+
+@register(
+    "text_quality_signals",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / NULLIF(CAST(len(toks) AS DOUBLE), 0), 4) AS mean_token_len,
+           ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / NULLIF(CAST(length(text) AS DOUBLE), 0), 4) AS punct_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+                 / NULLIF(CAST(len(toks) AS DOUBLE), 0), 4) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                 / NULLIF(CAST(length(text) AS DOUBLE), 0), 4) AS upper_ratio
+    FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    """,
+)
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TX.add_quality_signals(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "upper_ratio",
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in TX.STOPWORDS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"ROUND(CAST(len(list_filter(dt, x -> x IN ({in_list}))) AS DOUBLE)"
+            f" / NULLIF(CAST(len(dt) AS DOUBLE), 0), 4) AS score_{lang}"
+        )
+    langs = list(TX.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} IS NULL OR {best} = 0 THEN 'und' "
+    case += " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+    case += " END"
+    return f"""
+    SELECT doc_id, lang, {", ".join(f"score_{lang}" for lang in langs)},
+           {case} AS lang_pred
+    FROM (SELECT doc_id, lang, {", ".join(score_cols)}
+          FROM (SELECT doc_id, lang,
+                       list_distinct({_DUCK_TOKS.replace("text", "lower(text)")}) AS dt
+                FROM documents))
+    """
+
+
+@register("text_language_id", _langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TX.add_language_scores(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "lang", *[f"score_{lang}" for lang in TX.STOPWORDS], "lang_pred"
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS inter,
+               CAST(len(a.s) + len(b.s) AS DOUBLE) AS total
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, ROUND(inter / NULLIF(total - inter, 0), 4) AS jaccard
+    FROM pairs WHERE ROUND(inter / NULLIF(total - inter, 0), 4) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_hashes)]
+    m61 = (1 << 61) - 1
+    h = _DUCK_HASH28.format(s="s")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h * {a} % {m61} + {b}) % {m61}), 'min') AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")) AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
+    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, {mh_cols} FROM hashed),
+    buckets AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs — the linear-scale near-dup path.
+    Oracle-checkable because the hash family is portable md5 (an LSH
+    rarity); at 100 TB the shuffle key is the (band, band-hash) bucket."""
+    return D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", None)  # non-SQL-friendly: 60 bit-vote aggregates
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / NULLIF(sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})), 0)"
+)
+
+
+@register(
+    "sim_brute_force_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qv", b="e.v")}, 6) AS cosine
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+def _lsh_topk_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
+    planes = S.random_hyperplanes(dim, num_planes, seed)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {plane!r}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 25),
+    scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qv", b="b.v")}, 6) AS cosine
+        FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register("sim_lsh_topk", _lsh_topk_oracle())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN — same fixed seeded hyperplanes embedded in
+    both engines, so the approximate result is still exactly checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_bucketed_topk(emb, queries, dim=64, k=5, num_planes=6)
