@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from turbine_maintenance_etl_spark.llm.text import tokens_expr
+from turbine_maintenance_etl_spark.util import ensure_parallelism
 
 # Mersenne prime 2^61 - 1: the classic universal-hash modulus; a*h+b stays
 # within int64*small bounds when h < 2^60 (15 hex chars of md5).
@@ -44,16 +45,22 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (default trigrams).
     Pure higher-order functions: ``transform`` over an index ``sequence``
     with 1-based ``element_at`` — no UDF, no explode until the caller
-    chooses to."""
-    toks = tokens_expr(text)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.array_distinct(
-        F.when(count > 0, F.transform(idx, gram)).otherwise(F.array().cast("array<string>"))
-    )
+    chooses to. The token array is bound once per row (``bind_once``) —
+    without it Spark re-tokenizes per element_at reference, a ~100x
+    slowdown on real documents."""
+    from turbine_maintenance_etl_spark.llm.text import bind_once
+
+    def grams(toks: Column) -> Column:
+        count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(1), count)
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        )
+        return F.when(count > 0, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.array_distinct(bind_once(tokens_expr(text), grams))
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -90,7 +97,7 @@ def ngram_jaccard_pairs(
     buckets) or small corpora; the linear-scale path is
     ``minhash_lsh_candidates`` feeding this on bucket-mates only.
     """
-    base = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    base = ensure_parallelism(df).select(F.col(id_col), shingles(text_col, n).alias("sh"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -114,24 +121,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """K-permutation MinHash signature per document.
 
-    One base md5 hash per shingle, then K affine permutations
-    ``(a_i * h + b_i) mod M61`` folded with ``array_min(transform(...))``
-    — all columnar JVM expressions, no explode, no UDF. Empty shingle
-    sets yield NULL signature slots."""
+    Scale shape: explode shingles → one md5 per shingle → K affine
+    permutations ``(a_i * h + b_i) mod M61`` as plain codegen'd int64
+    expressions → ``groupBy(id).min`` per permutation. The min
+    aggregation combines map-side (partial agg), so the shuffle carries
+    only K int64s per document regardless of document size, and the
+    per-shingle work parallelizes across all cores/executors (a
+    per-row array-transform formulation would pin each document to one
+    thread and run interpreted, not codegen'd). Empty shingle sets
+    yield NULL signature slots."""
     import random
 
     rng = random.Random(seed)
     # 31-bit coefficients x 28-bit base hash keeps a*h+b < 2^60: exact int64
     coeffs = [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_hashes)]
-    hashed = F.transform(shingles(text_col, n), lambda s: md5_hash28(s))
-    sig_cols = []
-    for i, (ai, bi) in enumerate(coeffs):
-        perm = F.transform(
-            F.col("_h"), lambda h: (h * F.lit(ai) % F.lit(_MERSENNE61) + F.lit(bi)) % F.lit(_MERSENNE61)
-        )
-        sig_cols.append(F.array_min(perm).alias(f"mh_{i}"))
-    return df.select(F.col(id_col), hashed.alias("_h")).select(
-        F.col(id_col), F.array(*sig_cols).alias("signature")
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode_outer(shingles(text_col, n)).alias("_sh")
+    ).select(F.col(id_col), md5_hash28(F.col("_sh")).alias("_h"))
+    aggs = [
+        F.min((F.col("_h") * F.lit(ai) % F.lit(_MERSENNE61) + F.lit(bi)) % F.lit(_MERSENNE61)).alias(f"mh_{i}")
+        for i, (ai, bi) in enumerate(coeffs)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature")
     )
 
 
@@ -197,7 +209,7 @@ def simhash(
     packed = None
     for b in range(bits):
         packed = bit_vote(b) if packed is None else packed + bit_vote(b)
-    return df.select(F.col(id_col), F.col(text_col)).withColumn("_h", hashed).select(
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).withColumn("_h", hashed).select(
         F.col(id_col), packed.cast("bigint").alias("simhash")
     )
 

@@ -22,6 +22,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from turbine_maintenance_etl_spark.util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -63,7 +65,7 @@ def brute_force_topk(
             F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
         )
     )
-    c = candidates.select(
+    c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
     )
     scored = (
@@ -115,7 +117,7 @@ def lsh_bucketed_topk(
     buckets, window top-k. Recall < 1 by construction; raise recall via
     fewer planes or multi-probe."""
     planes = random_hyperplanes(dim, num_planes, seed)
-    c = candidates.select(
+    c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
     ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
     q = queries.select(

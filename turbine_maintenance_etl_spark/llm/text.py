@@ -22,6 +22,17 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def bind_once(col: Column, f) -> Column:
+    """Evaluate ``col`` once per row and reuse it in ``f`` via a lambda
+    binding. Spark does not common-subexpression-eliminate inside
+    interpreted higher-order functions, so an expression like trigram
+    shingling that references the token array 3x per shingle would
+    otherwise re-run the tokenizer O(len) times per row. Wrapping the
+    value in a 1-element array and ``transform``-ing binds it to a lambda
+    variable — evaluated exactly once."""
+    return F.transform(F.array(col), f)[0]
+
+
 def tokens_expr(text: Column | str) -> Column:
     """Whitespace tokens with empties dropped — split + higher-order
     ``filter``, no UDF."""
