@@ -1,0 +1,109 @@
+"""End-to-end ETL pipeline + MLlib stage on CMAPSS-shaped fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_cmapss_pdf, write_cmapss_txt
+from turbine_maintenance_etl_spark.ml.pipeline import (
+    feature_columns,
+    prediction_error_summary,
+    predictions_table,
+    train_and_score,
+)
+from turbine_maintenance_etl_spark.pipeline import (
+    DatasetConfig,
+    EtlConfig,
+    EtlResult,
+    prepare_test_features,
+    run_etl,
+)
+
+
+@pytest.fixture(scope="module")
+def etl_setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("etl")
+    train1 = make_cmapss_pdf(n_units=8, seed=1, dataset="FD001", min_len=40, max_len=80)
+    train2 = make_cmapss_pdf(n_units=6, seed=2, dataset="FD002", min_len=40, max_len=80)
+    test1 = make_cmapss_pdf(n_units=4, seed=3, dataset="FD001", min_len=25, max_len=50)
+    write_cmapss_txt(train1, str(root / "train_FD001.txt"))
+    write_cmapss_txt(train2, str(root / "train_FD002.txt"))
+    write_cmapss_txt(test1, str(root / "test_FD001.txt"))
+    (root / "RUL_FD001.txt").write_text("".join(f"{10 + i}\n" for i in range(4)))
+    cfg = EtlConfig(
+        datasets=[
+            DatasetConfig("FD001", str(root / "train_FD001.txt"),
+                          str(root / "test_FD001.txt"), str(root / "RUL_FD001.txt")),
+            DatasetConfig("FD002", str(root / "train_FD002.txt")),
+        ],
+        output_path=str(root / "out"),
+    )
+    result = run_etl(spark, cfg, write=True)
+    return cfg, result
+
+
+def test_etl_outputs(spark, etl_setup):
+    cfg, res = etl_setup
+    assert res.kept_sensors  # intersection non-empty
+    feats = spark.read.parquet(res.paths["fct_cycles_features"])
+    # both dataset partitions present, unified feature schema
+    ds = {r["dataset"] for r in feats.select("dataset").distinct().collect()}
+    assert ds == {"FD001", "FD002"}
+    for c in res.kept_sensors[:2]:
+        for fam in ("mean5", "mean20", "d", "z"):
+            assert f"{fam}_{c}" in feats.columns
+    # units_summary spans the full union (reference bug not reproduced)
+    units = spark.read.parquet(res.paths["units_summary"])
+    assert units.select("dataset").distinct().count() == 2
+
+
+def test_yaml_config_roundtrip(tmp_path, etl_setup):
+    cfg, _ = etl_setup
+    y = tmp_path / "etl.yaml"
+    y.write_text(
+        "datasets:\n"
+        + "".join(
+            f"  - code: {d.code}\n    train: {d.train}\n" for d in cfg.datasets
+        )
+        + "windows: [5, 20]\noutput_path: /tmp/x\n"
+    )
+    loaded = EtlConfig.from_yaml(str(y))
+    assert [d.code for d in loaded.datasets] == ["FD001", "FD002"]
+    assert loaded.windows == (5, 20)
+
+
+def test_ml_train_and_score(spark, etl_setup):
+    cfg, res = etl_setup
+    train = res.features.filter(F.col("dataset") == "FD001")
+    test = prepare_test_features(spark, cfg, res.kept_sensors).withColumnRenamed(
+        "rul_true", "rul"
+    )
+    model, scored, metrics = train_and_score(train, test, "linear_regression")
+    assert set(metrics) == {"rmse", "mae", "r2"}
+    assert metrics["rmse"] > 0
+    # predictions clamped at zero
+    assert scored.filter(F.col("prediction") < 0).count() == 0
+    # one scored row per test unit (last cycle only)
+    assert scored.count() == 4
+
+    feats = feature_columns(train)
+    table = predictions_table(scored, "linear_regression", feats)
+    assert table.columns == [
+        "id", "unit_nr", "cycle", "dataset", "model_name", "predicted_rul",
+        "actual_rul", "prediction_date", "model_version", "confidence_score",
+        "features_used",
+    ]
+    summary = prediction_error_summary(table)
+    row = summary.collect()[0]
+    assert row["n_predictions"] == 4
+    assert row["rmse"] >= row["avg_absolute_error"] - 1e-9
+
+
+def test_ml_models_tree(spark, etl_setup):
+    """Tree models fit and beat a constant predictor on training data."""
+    _, res = etl_setup
+    train = res.features.filter(F.col("dataset") == "FD001")
+    _, scored, metrics = train_and_score(train, None, "random_forest")
+    assert metrics["r2"] > 0.3

@@ -1,0 +1,94 @@
+"""Structured Streaming ingest + multimodal binary-column operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import make_cmapss_pdf, write_cmapss_txt
+from turbine_maintenance_etl_spark.llm.multimodal import (
+    attach_binary_metadata,
+    extract_image_features,
+    sample_frames,
+)
+from turbine_maintenance_etl_spark.streaming.ingest import (
+    stream_cmapss_ingest,
+    stream_tumbling_event_counts,
+)
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    pdf = make_cmapss_pdf(n_units=3, seed=5)
+    write_cmapss_txt(pdf, str(inp / "batch1.txt"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    stream_cmapss_ingest(spark, str(inp), out, ckpt, sensors=["sensor2", "sensor3"])
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 == len(pdf)
+    assert "mean5_sensor2" in first.columns and "z_sensor3" in first.columns
+
+    # second file lands; re-trigger picks up ONLY the new file (exactly once)
+    pdf2 = make_cmapss_pdf(n_units=2, seed=6)
+    write_cmapss_txt(pdf2, str(inp / "batch2.txt"))
+    stream_cmapss_ingest(spark, str(inp), out, ckpt, sensors=["sensor2", "sensor3"])
+    assert spark.read.parquet(out).count() == n1 + len(pdf2)
+
+
+def test_stream_tumbling_matches_batch(spark):
+    """The streaming windowed agg, driven to completion on a static
+    parquet stream, equals the batch groupBy on the same data."""
+    src = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{src}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{src}")
+        .where(F.col("event_id").isNotNull())
+    )
+    # events.ts is nanos-long under nanosAsLong: rebuild timestamp
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = stream_tumbling_event_counts(spark, stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("stream_out")
+    batch = (
+        spark.read.parquet(f"{src}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.unix_micros("win.start").alias("win_start_us"), "event_type", "n", "total_value")
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_multimodal_binary_pipeline(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "media": [b"\x89PNG_fake_bytes_1", b"\xff\xd8jpeg_fake_2", b""],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    meta = attach_binary_metadata(df)
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert rows[1]["media_bytes"] == 17
+    assert len(rows[1]["media_sha256"]) == 64
+    feats = extract_image_features(df).orderBy("doc_id").collect()
+    assert [r["n_bytes"] for r in feats] == [17, 13, 0]
+    assert all(64 <= r["width"] < 576 for r in feats)
+
+
+def test_sample_frames(spark):
+    frames = spark.range(100).select(
+        F.lit(1).alias("video_id"), F.col("id").alias("frame_idx")
+    )
+    assert sample_frames(frames, every_nth=10).count() == 10

@@ -1,0 +1,81 @@
+"""Config-driven CLI mirroring the reference's orchestration surface
+(scripts/prefect_workflow.py:29-35 etl → dbt-transform → train → score;
+the dbt step is subsumed by the unified feature engine).
+
+Usage:
+    python -m turbine_maintenance_etl_spark.cli etl --config etl.yaml
+    python -m turbine_maintenance_etl_spark.cli train --config etl.yaml \
+        --model gbt --predictions-out ./out/ml_predictions
+    python -m turbine_maintenance_etl_spark.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="turbine-etl-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_etl = sub.add_parser("etl", help="run the CMAPSS feature ETL")
+    p_etl.add_argument("--config", required=True)
+
+    p_train = sub.add_parser("train", help="ETL (in-memory) + train + score")
+    p_train.add_argument("--config", required=True)
+    p_train.add_argument("--model", default="linear_regression")
+    p_train.add_argument("--predictions-out", default=None)
+
+    sub.add_parser("bench", help="run the benchmark suite")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    from turbine_maintenance_etl_spark import get_spark
+    from turbine_maintenance_etl_spark.pipeline import EtlConfig, run_etl
+
+    spark = get_spark(app_name=f"turbine-etl-{args.cmd}")
+    cfg = EtlConfig.from_yaml(args.config)
+
+    if args.cmd == "etl":
+        res = run_etl(spark, cfg, write=True)
+        print(json.dumps({"kept_sensors": res.kept_sensors, "paths": res.paths}))
+        return 0
+
+    if args.cmd == "train":
+        from pyspark.sql import functions as F
+
+        from turbine_maintenance_etl_spark.ml.pipeline import (
+            feature_columns,
+            predictions_table,
+            train_and_score,
+        )
+        from turbine_maintenance_etl_spark.pipeline import prepare_test_features
+
+        res = run_etl(spark, cfg, write=False)
+        test = None
+        if any(d.test for d in cfg.datasets):
+            test = prepare_test_features(spark, cfg, res.kept_sensors, cfg.windows)
+            if "rul_true" in test.columns:
+                test = test.withColumnRenamed("rul_true", "rul")
+        model, scored, metrics = train_and_score(res.features, test, args.model)
+        out = {"model": args.model, "metrics": {k: round(v, 4) for k, v in metrics.items()}}
+        if args.predictions_out:
+            table = predictions_table(scored, args.model, feature_columns(res.features))
+            table.write.mode("append").partitionBy("dataset").parquet(args.predictions_out)
+            out["predictions_path"] = args.predictions_out
+        print(json.dumps(out))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

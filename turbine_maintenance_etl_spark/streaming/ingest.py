@@ -1,0 +1,87 @@
+"""Structured Streaming ingestion (SURVEY.md §2.9 — parity-optional in
+the reference, first-class here).
+
+The reference's 'incremental ingestion' is an orchestrated re-run of the
+batch ETL per new dataset file (n8n/Prefect DAGs). The Spark-native
+equivalent is a file-source stream with an ``availableNow`` trigger:
+each micro-batch picks up newly landed files exactly once (checkpointed)
+and runs the SAME feature transform via ``foreachBatch`` — identical
+code batch and streaming, exactly-once sink semantics.
+
+Scale: file-source listing is incremental (maxFilesPerTrigger bounds a
+batch); the feature transform inherits the batch engine's single-shuffle
+plan per micro-batch. For unbounded event streams the watermarked
+tumbling-window aggregation below bounds state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.schema.cmapss import CMAPSS_COLS, _INT_COLS
+
+
+def _parse_cmapss_lines(raw: DataFrame) -> DataFrame:
+    """Same whitespace-text parse as the batch source (io.cmapss),
+    expressed over a streaming text relation."""
+    arr = F.split(F.trim(F.col("value")), r"\s+")
+    cols = []
+    for i, name in enumerate(CMAPSS_COLS):
+        typ = "int" if name in _INT_COLS else "double"
+        cols.append(F.try_element_at(arr, F.lit(i + 1)).cast(typ).alias(name))
+    return raw.where(F.trim(F.col("value")) != "").select(*cols)
+
+
+def stream_cmapss_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    sensors: list[str],
+    windows: tuple[int, ...] = (5, 20),
+    dataset: str = "STREAM",
+) -> None:
+    """Incrementally ingest CMAPSS text files landing in ``input_dir``:
+    parse → feature engine → append to partitioned parquet, exactly once
+    per file, then return (availableNow drains what exists and stops)."""
+    from turbine_maintenance_etl_spark.features.engine import build_features
+
+    raw = spark.readStream.format("text").load(input_dir)
+    parsed = _parse_cmapss_lines(raw).withColumn("dataset", F.lit(dataset))
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        feats = build_features(batch_df, sensors=sensors, windows=windows)
+        feats.write.mode("append").partitionBy("dataset").parquet(output_path)
+
+    q = (
+        parsed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_tumbling_event_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the streaming twin of the batch ``events_tumbling_window`` query.
+    ``events`` must be a streaming DataFrame with (ts, event_type,
+    value). Late rows beyond the watermark are dropped; state is bounded
+    by watermark horizon x window count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
