@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the 100 TB design properties
+(pushdown, pruning, broadcast, single-exchange windows, true top-k)
+asserted on explain() output so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from turbine_maintenance_etl_spark.queries import REGISTRY
+import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes (the formatted view names each node
+    once in the tree and once in the detail section)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in scan_schema  # unused columns pruned
+    assert n_exchanges(plan) == 1  # one shuffle: partial->final agg
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = plan_of(REGISTRY["q5_regional_revenue"].fn(spark, SF_DIR))
+    # all three dimension joins broadcast; only lineitem⋈orders shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_feature_engine_single_exchange(spark):
+    """All W1-W5 features share one Window partitioning -> exactly one
+    shuffle (plus one for the row_number trajectory prep), never one per
+    feature family."""
+    from tests.conftest import make_cmapss_pdf
+    from turbine_maintenance_etl_spark.features.engine import build_features
+
+    pdf = make_cmapss_pdf(n_units=2)
+    df = spark.createDataFrame(pdf)
+    feats = build_features(df, sensors=["sensor2", "sensor3", "sensor4"])
+    plan = plan_of(feats)
+    assert n_exchanges(plan) == 1
+    # one Window chain, no sort per feature family
+    assert plan.count("Sort ") <= 2
+
+
+def test_o2_topk_no_global_sort(spark):
+    plan = plan_of(REGISTRY["o2_topk_recent"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_j1_broadcast(spark):
+    plan = plan_of(REGISTRY["j1_broadcast_equijoin"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = plan_of(REGISTRY["j_semi_join"].fn(spark, SF_DIR))
+    anti = plan_of(REGISTRY["j_anti_join"].fn(spark, SF_DIR))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_minhash_partial_aggregation(spark):
+    """MinHash signatures must partial-aggregate map-side: the exchange
+    carries K int64 mins per doc, not raw shingle hashes."""
+    from turbine_maintenance_etl_spark.llm.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert "partial_min" in plan

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge: skips both sort passes.
+        # Safe with AQE on (skew splitting + runtime strategy switch);
+        # partition build sides are bounded by maxPartitionBytes, and
+        # genuinely huge-huge joins still sort-merge when neither side's
+        # per-partition size fits the in-memory hash threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
