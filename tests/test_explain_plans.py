@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 from turbine_maintenance_etl_spark.queries import REGISTRY
 import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
+import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
 
 
 def plan_of(df, mode: str = "formatted") -> str:

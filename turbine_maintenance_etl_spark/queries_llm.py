@@ -210,11 +210,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
-@register("dedup_simhash", None)  # non-SQL-friendly: 60 bit-vote aggregates
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(_t(spark, sf_dir, "documents"))
-
-
 _COS = (
     "list_dot_product({a}, {b}) / NULLIF(sqrt(list_dot_product({a}, {a}))"
     " * sqrt(list_dot_product({b}, {b})), 0)"
