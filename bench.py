@@ -24,6 +24,7 @@ from turbine_maintenance_etl_spark import get_spark
 from turbine_maintenance_etl_spark.queries import REGISTRY
 import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
 import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+import turbine_maintenance_etl_spark.queries_window_ext  # noqa: F401
 
 BENCH_QUERIES = [
     "q1_pricing_summary",

@@ -14,6 +14,7 @@ from tests.conftest import SF_DIR
 from turbine_maintenance_etl_spark.queries import REGISTRY
 import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
 import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+import turbine_maintenance_etl_spark.queries_window_ext  # noqa: F401
 
 
 def plan_of(df, mode: str = "formatted") -> str:

@@ -1,0 +1,76 @@
+"""Grouped-map escape hatch + skew-salting operators, checked for exact
+equivalence against the declarative implementations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_cmapss_pdf
+from turbine_maintenance_etl_spark.features.engine import build_features
+from turbine_maintenance_etl_spark.ops.grouped_map import grouped_map_zscore
+from turbine_maintenance_etl_spark.ops.skew import salted_groupby_agg
+
+
+@pytest.fixture(scope="module")
+def cmapss_sdf(spark):
+    return spark.createDataFrame(make_cmapss_pdf(n_units=4, seed=9)).cache()
+
+
+def test_grouped_map_zscore_matches_window_zscore(spark, cmapss_sdf):
+    """UD1 (applyInPandas) and W5 (window exprs) must agree exactly."""
+    via_pandas = grouped_map_zscore(cmapss_sdf, ["sensor2", "sensor3"])
+    via_window = build_features(cmapss_sdf, sensors=["sensor2", "sensor3"]).select(
+        "dataset", "unit_nr", "time_cycles", "z_sensor2", "z_sensor3"
+    )
+    joined = via_pandas.alias("p").join(
+        via_window.alias("w"), ["dataset", "unit_nr", "time_cycles"]
+    )
+    diffs = joined.filter(
+        (F.abs(F.col("p.z_sensor2") - F.col("w.z_sensor2")) > 1e-9)
+        | (F.abs(F.col("p.z_sensor3") - F.col("w.z_sensor3")) > 1e-9)
+        | (F.col("p.z_sensor2").isNull() != F.col("w.z_sensor2").isNull())
+    )
+    assert joined.count() == cmapss_sdf.count()
+    assert diffs.count() == 0
+
+
+def test_grouped_map_zscore_constant_sensor_null(spark, cmapss_sdf):
+    out = grouped_map_zscore(cmapss_sdf, ["sensor1"])  # constant sensor
+    assert out.filter(F.col("z_sensor1").isNotNull()).count() == 0
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    salted = salted_groupby_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        salt_factor=8,
+    )
+    plain = events.groupBy("event_type").agg(
+        F.count("event_id").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    j = salted.alias("s").join(plain.alias("p"), "event_type")
+    assert j.count() == plain.count()
+    bad = j.filter(
+        (F.col("s.n") != F.col("p.n"))
+        | (F.abs(F.col("s.total") - F.col("p.total")) > 1e-6)
+        | (F.col("s.vmin") != F.col("p.vmin"))
+        | (F.col("s.vmax") != F.col("p.vmax"))
+    )
+    assert bad.count() == 0
+
+
+def test_salted_agg_rejects_nondecomposable(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_groupby_agg(events, ["event_type"], {"m": ("median", "value")})

@@ -1,0 +1,51 @@
+"""Skew-mitigation operators (SURVEY.md §7.4.6, 100 TB design).
+
+AQE handles skewed *joins* automatically; skewed *aggregations* on a hot
+key still funnel one key's rows to one task at the final stage. Salting
+splits a hot key across ``salt_factor`` sub-keys, aggregates partials,
+then merges — two small shuffles instead of one straggler.
+
+Only associative aggregates decompose this way; the helper supports the
+common count/sum/min/max family (avg = sum/count at merge time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGES = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_factor: int = 16,
+) -> DataFrame:
+    """``groupBy(group_cols).agg(...)`` resilient to hot keys.
+
+    ``aggs`` maps output name -> (function, input column) with function
+    in {count, sum, min, max}. Stage 1 groups by (key, salt) — hot keys
+    split across ``salt_factor`` reducers; stage 2 merges partials by
+    key. The salt is random-per-row but the result is exact because
+    every aggregate is associative."""
+    unsupported = {f for f, _ in aggs.values()} - set(_MERGES)
+    if unsupported:
+        raise ValueError(f"non-decomposable aggregates: {unsupported}")
+
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_factor).cast("int"))
+    partial_exprs: list[Column] = []
+    for out, (fn, col) in aggs.items():
+        expr = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        partial_exprs.append(expr.alias(f"_p_{out}"))
+    partials = salted.groupBy(*group_cols, "_salt").agg(*partial_exprs)
+    merge_exprs = [
+        _MERGES[fn](f"_p_{out}").alias(out) for out, (fn, _) in aggs.items()
+    ]
+    return partials.groupBy(*group_cols).agg(*merge_exprs)
