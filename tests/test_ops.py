@@ -74,3 +74,26 @@ def test_salted_agg_rejects_nondecomposable(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_groupby_agg(events, ["event_type"], {"m": ("median", "value")})
+
+
+def test_asof_join_semantics(spark):
+    """Hand-checked as-of semantics: latest right value at or before each
+    left timestamp; NULL when nothing precedes; tie at equal ts matches."""
+    import datetime as dt
+
+    from turbine_maintenance_etl_spark.ops.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(20), "b"), (1, t(5), "c"), (2, t(15), "d")],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 100.0), (1, t(20), 200.0), (3, t(1), 999.0)],
+        "user_id int, ts timestamp, price double",
+    )
+    out = {
+        r["tag"]: r["asof_price"]
+        for r in asof_join(left, right, on=["user_id"], tie_break="tag").collect()
+    }
+    assert out == {"a": 100.0, "b": 200.0, "c": None, "d": None}

@@ -155,12 +155,20 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the K-slot signature into ``bands``
-    bands of K/bands rows each, hash every band, and self-join on
+    bands of K/bands rows each, hash every band, and group documents by
     (band index, band hash). Documents sharing any band bucket become a
     candidate pair — linear shuffle on the bucket key instead of an
-    all-pairs cross join. Deduplicates pairs found in multiple bands."""
+    all-pairs cross join. Deduplicates pairs found in multiple bands.
+
+    Pair generation is groupBy + in-bucket combination expansion rather
+    than a bucket self-join: the signature pipeline runs ONCE (a
+    self-join would execute it per side), and the quadratic blowup of a
+    pathological mega-bucket can be capped via ``max_bucket_size``
+    (boilerplate-heavy corpora at 100 TB; capped buckets are near-100%
+    duplicates and are better handled by exact-dedup first)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
@@ -176,12 +184,29 @@ def minhash_lsh_candidates(
     buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
         F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    l = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
-    r = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    grouped = buckets.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # expand each bucket's id list into its (i < j) combinations
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids)),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"),
+                    F.element_at(ids, j).alias("id_b"),
+                ),
+            ),
+        )
+    )
     return (
-        l.join(r, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.filter(F.size(ids) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

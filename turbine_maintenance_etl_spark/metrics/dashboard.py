@@ -1,0 +1,82 @@
+"""Serving/dashboard queries — the reference's Streamlit pages
+(scripts/streamlit_dashboard.py:16-183) and Power BI DAX measures
+(dashboard/dax-measures) as reusable engine functions over the feature
+and prediction tables.
+
+These are thin compositions of the §2 operator library — grouped here so
+the serving surface is one import. All stay fully distributed (two-level
+aggs, no collect-then-pandas)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fleet_overview(features: DataFrame) -> DataFrame:
+    """Headline measures per dataset: engines, rows, avg/max RUL, avg
+    lifetime (avg over per-unit max cycles — DAX AVERAGEX(SUMMARIZE...))."""
+    per_unit = features.groupBy("dataset", "unit_nr").agg(
+        F.max("time_cycles").alias("life"), F.max("rul").alias("max_rul")
+    )
+    lifetimes = per_unit.groupBy("dataset").agg(
+        F.round(F.avg("life"), 2).alias("avg_lifetime"),
+        F.round(F.expr("median(life)"), 2).alias("median_lifetime"),
+    )
+    overview = features.groupBy("dataset").agg(
+        F.countDistinct("unit_nr").alias("n_engines"),
+        F.count("*").alias("n_cycles"),
+        F.round(F.avg("rul"), 2).alias("avg_rul"),
+        F.max("rul").alias("max_rul"),
+    )
+    return overview.join(lifetimes, "dataset")
+
+
+def critical_share(features: DataFrame, threshold: int = 30) -> DataFrame:
+    """Share of cycles in the critical RUL band (DAX CALCULATE ratio,
+    dashboard/dax-measures:27-33), with the SWITCH(TRUE()) band split."""
+    band = (
+        F.when(F.col("rul") < threshold, "critical")
+        .when(F.col("rul") < 60, "warning")
+        .when(F.col("rul") < 120, "watch")
+        .otherwise("healthy")
+    )
+    from pyspark.sql import Window
+
+    counts = (
+        features.select(band.alias("band")).groupBy("band").agg(F.count("*").alias("n"))
+    )
+    # share of total via an empty-partition window over the (tiny) band
+    # counts — stays distributed, no driver-side total
+    return counts.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
+    )
+
+
+def rul_distribution(features: DataFrame, bin_width: int = 25) -> DataFrame:
+    """Histogram of RUL (A13 fixed-width binning)."""
+    return (
+        features.select((F.floor(F.col("rul") / bin_width) * bin_width).cast("int").alias("rul_bin"))
+        .groupBy("rul_bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sensor_histogram(features: DataFrame, col: str, bins: int = 30) -> DataFrame:
+    """30-bin histogram of a sensor column with data-driven range
+    (scripts/streamlit_dashboard.py:155-170) — two passes: min/max agg,
+    then bucketed count."""
+    lo, hi = features.agg(F.min(col), F.max(col)).collect()[0]
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bucket = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    return (
+        features.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def recent_predictions(preds: DataFrame, limit: int = 1000) -> DataFrame:
+    """O2 top-k: latest predictions for the dashboard
+    (scripts/streamlit_dashboard.py:43-49)."""
+    return preds.orderBy(F.desc("prediction_date"), F.desc("id")).limit(limit)

@@ -304,3 +304,56 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "j_asof_join",
+    """
+    SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+    FROM events e ASOF LEFT JOIN (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last purchase value as of each event) via the
+    union+forward-fill-window operator — single shuffle, no range-join
+    blowup; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from turbine_maintenance_etl_spark.ops.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    joined = asof_join(e, purchases, on=["user_id"], tie_break="event_id")
+    return joined.select(
+        "event_id", "user_id", F.col("asof_last_purchase_value").alias("last_purchase_value")
+    )
+
+
+@register(
+    "sql_api_filtered_revenue",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_effect,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag
+    """,
+)
+def sql_api_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape exercised through the spark.sql SQL surface (temp
+    view + ANSI SQL) — same Catalyst plan as the DataFrame API, proving
+    the engine's SQL entry point."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_effect,
+               COUNT(*) AS n
+        FROM lineitem_v
+        WHERE l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.08
+        GROUP BY l_returnflag
+        """
+    )
