@@ -97,3 +97,30 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, on=["user_id"], tie_break="tag").collect()
     }
     assert out == {"a": 100.0, "b": 200.0, "c": None, "d": None}
+
+
+def test_range_join_semantics(spark):
+    """Closed-interval containment; intervals spanning multiple buckets
+    still match; left join NULL-fills points with no interval."""
+    import datetime as dt
+
+    from turbine_maintenance_etl_spark.ops.range_join import range_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    points = spark.createDataFrame(
+        [(1, t(0), "p0"), (1, t(30), "p30"), (1, t(61), "p61"), (2, t(30), "px")],
+        "k int, ts timestamp, ptag string",
+    )
+    # interval [t0, t60] spans two 30-min buckets; boundaries inclusive
+    intervals = spark.createDataFrame(
+        [(1, t(0), t(60), "w")], "k int, w_start timestamp, w_end timestamp, wtag string"
+    )
+    inner = range_join(points, intervals, on=["k"], bucket_seconds=1800)
+    assert {r["ptag"] for r in inner.collect()} == {"p0", "p30"}
+
+    left = range_join(points, intervals, on=["k"], bucket_seconds=1800, how="left")
+    rows = {r["ptag"]: r["wtag"] for r in left.collect()}
+    assert rows == {"p0": "w", "p30": "w", "p61": None, "px": None}
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        range_join(points.withColumnRenamed("ptag", "wtag"), intervals, on=["k"])

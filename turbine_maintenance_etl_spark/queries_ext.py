@@ -357,3 +357,42 @@ def sql_api_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "j_range_join",
+    """
+    SELECT w.window_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM (SELECT user_id, event_id AS window_id, ts AS w_start,
+                 ts + INTERVAL 2 HOUR AS w_end
+          FROM events WHERE event_type = 'purchase') w
+    JOIN events e
+      ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketized equi-join (ops/range_join.py): count
+    and sum the events inside each 2-hour post-purchase window. Oracle
+    is DuckDB's native inequality join over the same derived intervals."""
+    from turbine_maintenance_etl_spark.ops.range_join import range_join
+
+    e = _t(spark, sf_dir, "events")
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+    )
+    joined = range_join(
+        e.select("user_id", "ts", "value"),
+        windows,
+        on=["user_id"],
+        bucket_seconds=7200,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -273,3 +273,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.lsh_bucketed_topk(emb, queries, dim=64, k=5, num_planes=6)
+
+
+@register("sim_ivf_topk", None)  # iterative KMeans -> rows-only driver check
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (KMeans coarse quantizer + probed-cluster exact
+    cosine). No SQL oracle — the quantizer is iterative; recall vs the
+    brute-force baseline is asserted in tests/test_llm_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3)
