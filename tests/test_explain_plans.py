@@ -93,3 +93,35 @@ def test_minhash_partial_aggregation(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(minhash_signatures(docs))
     assert "partial_min" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Co-bucketed tables join with ZERO shuffle Exchanges; the same
+    join on plain parquet shuffles both sides."""
+    from turbine_maintenance_etl_spark.io.sinks import write_bucketed
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    per_user = events.groupBy("user_id").agg(F.sum("value").alias("total"))
+    write_bucketed(events.select("event_id", "user_id", "value"), "b_events", ("user_id",))
+    write_bucketed(per_user, "b_users", ("user_id",))
+    try:
+        b = (
+            spark.table("b_events").hint("merge")
+            .join(spark.table("b_users").hint("merge"), "user_id")
+        )
+        assert n_exchanges(plan_of(b)) == 0
+
+        plain = (
+            events.select("event_id", "user_id", "value").hint("merge")
+            .join(per_user.hint("merge"), "user_id")
+        )
+        assert n_exchanges(plan_of(plain)) >= 2
+
+        # same results either way
+        assert b.count() == plain.count()
+        assert b.agg(F.round(F.sum("total"), 2)).collect() == plain.agg(
+            F.round(F.sum("total"), 2)
+        ).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_users")

@@ -5,7 +5,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from tests.conftest import make_cmapss_pdf, write_cmapss_txt
+from tests.conftest import SF_DIR, make_cmapss_pdf, write_cmapss_txt
 from turbine_maintenance_etl_spark.llm.multimodal import (
     attach_binary_metadata,
     extract_image_features,
@@ -92,3 +92,53 @@ def test_sample_frames(spark):
         F.lit(1).alias("video_id"), F.col("id").alias("frame_idx")
     )
     assert sample_frames(frames, every_nth=10).count() == 10
+
+
+def test_stream_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    after two file batches the emitted totals equal the batch groupBy
+    over all data seen."""
+    import shutil
+
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        stream_stateful_user_totals,
+    )
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = raw.select("user_id", "value")
+    in_dir, ckpt, out_dir = str(tmp_path / "in"), str(tmp_path / "ckpt"), tmp_path / "out"
+    # split by ROW parity so every user has rows in BOTH batches — run 2's
+    # emissions are only correct if run 1's state survived the checkpoint
+    half1 = raw.filter(F.col("event_id") % 2 == 0).select("user_id", "value")
+    half2 = raw.filter(F.col("event_id") % 2 == 1).select("user_id", "value")
+    half1.write.mode("overwrite").parquet(in_dir)
+
+    def drain(run):
+        stream = spark.readStream.schema(events.schema).parquet(in_dir)
+        q = (
+            stream_stateful_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _e: bdf.write.mode("append").parquet(str(out_dir / run))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("run1")
+    half2.write.mode("append").parquet(in_dir)
+    drain("run2")
+    out = spark.read.parquet(str(out_dir / "run2")).toPandas()
+
+    expected = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .toPandas()
+    )
+    merged = out.merge(expected, on="user_id", suffixes=("_got", "_exp"))
+    assert len(merged) == len(out) and len(out) > 0
+    assert (merged["n_events_got"] == merged["n_events_exp"]).all()
+    assert (abs(merged["total_value_got"] - merged["total_value_exp"]) < 1e-6).all()
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -40,3 +40,28 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink kept for parity with the reference's checkpoint CSVs
     (scripts/etl_turbofan.py:141-146); parquet is the preferred format."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 8,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (S10 at scale): pre-shuffles rows into
+    ``num_buckets`` files by hash of ``bucket_cols`` at WRITE time, so
+    every later join/aggregation on those keys reads co-located data and
+    skips its Exchange entirely (verified by
+    tests/test_explain_plans.py::test_bucketed_join_eliminates_shuffle).
+
+    The 100 TB play: bucket the big fact tables ONCE on the dominant
+    join key (e.g. user_id, orderkey); every downstream join between
+    co-bucketed tables with matching bucket counts becomes a zero-
+    shuffle merge. ``sort_cols`` additionally pre-sorts within buckets
+    so sort-merge joins skip their sort pass."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)

@@ -85,3 +85,36 @@ def stream_tumbling_event_counts(
             "total_value",
         )
     )
+
+
+def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the escape hatch for semantics windowed aggs can't express):
+    per-user RUNNING totals maintained across micro-batches — each batch
+    emits every touched user's lifetime event count / value sum so far.
+
+    State is one tiny tuple per user key, partitioned by user_id across
+    executors (state store is per-shuffle-partition, RocksDB-backed on a
+    real cluster), so state size is O(distinct users), independent of
+    stream length. ``events`` must be a streaming DataFrame with
+    (user_id, value)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
