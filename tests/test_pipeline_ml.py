@@ -107,3 +107,25 @@ def test_ml_models_tree(spark, etl_setup):
     train = res.features.filter(F.col("dataset") == "FD001")
     _, scored, metrics = train_and_score(train, None, "random_forest")
     assert metrics["r2"] > 0.3
+
+
+def test_cross_validated_training(spark):
+    """CV grid search returns a fitted best model whose holdout RMSE is
+    finite and no worse than 2x a default single fit."""
+    from turbine_maintenance_etl_spark.features.engine import build_features
+    from turbine_maintenance_etl_spark.ml.pipeline import (
+        train_and_score,
+        train_with_cv,
+    )
+
+    df = spark.createDataFrame(make_cmapss_pdf(n_units=8, seed=7))
+    feats = build_features(df, sensors=["sensor2", "sensor4"])
+    best, metrics, cv_rmse = train_with_cv(
+        feats, model_name="random_forest", num_folds=2,
+        param_grid={"numTrees": [5, 10]},
+    )
+    assert metrics["rmse"] > 0 and cv_rmse > 0
+    _, _, single = train_and_score(feats, model_name="random_forest")
+    assert metrics["rmse"] <= 2 * single["rmse"] + 1e-9
+    # best model actually scores
+    assert best.transform(feats).count() == feats.count()

@@ -158,3 +158,53 @@ def train_and_score(
         clamp_predictions(model.transform(test_df)) if test_df is not None else val_pred
     )
     return model, scored, metrics
+
+
+def train_with_cv(
+    train_df: DataFrame,
+    model_name: str = "random_forest",
+    label_col: str = "rul",
+    num_folds: int = 3,
+    parallelism: int = 4,
+    param_grid: dict[str, list] | None = None,
+) -> tuple[PipelineModel, dict[str, float], float]:
+    """Grid search with k-fold cross-validation — the MLlib twin of the
+    reference's GridSearchCV(cv=3) (scripts/ml_pipeline.py:300-319,
+    347-367). Returns (best fitted pipeline, holdout metrics, best CV
+    RMSE).
+
+    ``param_grid`` maps regressor param names to value lists; defaults to
+    a compact 4-combo grid so tests stay fast — the reference's 16/32-
+    combo grids are a config choice, not a capability difference.
+    ``parallelism`` fits that many models concurrently; folds are
+    full-data Spark jobs, so CV cost scales linearly with combos x folds
+    (run it on a sampled slice at 100 TB)."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feats = feature_columns(train_df)
+    tr, val = train_df.randomSplit([0.8, 0.2], seed=42)
+    pipeline = make_pipeline(feats, model_name)
+    reg = pipeline.getStages()[-1]
+    if param_grid is None:
+        if model_name == "random_forest":
+            param_grid = {"numTrees": [10, 20], "maxDepth": [4, 6]}
+        elif model_name == "gbt":
+            param_grid = {"maxIter": [10, 20], "maxDepth": [3, 5]}
+        else:
+            param_grid = {"regParam": [0.0, 0.1]}
+    builder = ParamGridBuilder()
+    for name, values in param_grid.items():
+        builder = builder.addGrid(reg.getParam(name), values)
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=builder.build(),
+        evaluator=RegressionEvaluator(
+            labelCol=label_col, predictionCol="prediction", metricName="rmse"
+        ),
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=42,
+    )
+    fitted = cv.fit(tr)
+    metrics = evaluate(clamp_predictions(fitted.bestModel.transform(val)), label_col)
+    return fitted.bestModel, metrics, float(min(fitted.avgMetrics))

@@ -396,3 +396,148 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "j_full_outer_join",
+    """
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 2 = 0) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def j_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with mismatched filters on both sides (rows
+    surviving on only one side NULL-extend the other)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 2 == 0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .groupBy(
+            F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"), F.col("c_name")
+        )
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "agg_cube_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims with grouping_id — all 4 aggregation levels in
+    one pass (partial-agg friendly: Spark expands grouping sets map-side
+    before the single shuffle)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, ROUND(o.o_totalprice, 2) AS o_totalprice,
+           SUM(l.l_quantity) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250)
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered grouped subquery as a semi-join
+    gate, then re-join + re-aggregate. The gate output (few keys) is
+    broadcast back against lineitem — no second full shuffle of the fact
+    table at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 250)
+        .select(F.col("l_orderkey").alias("gate_key"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.gate_key)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (ship date >60 days after the
+    order date) expressed as a left-semi join with a non-equi residual
+    condition alongside the equi key."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "w_range_time_frame",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW), 4)
+           AS rolling_6h_value
+    FROM events
+    """,
+)
+def w_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (value-based, not row-count): per-user
+    rolling 6-hour sum. Unlike ROWS frames this is density-independent —
+    the frame is defined in event-time seconds via rangeBetween over the
+    epoch, the standard Spark formulation."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-6 * 3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("rolling_6h_value")
+    )
