@@ -40,7 +40,12 @@ BENCH_QUERIES = [
     "text_quality_signals",
     "sim_brute_force_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "events_tumbling_window",
+    "j_asof_join",
+    "j_range_join",
+    "q18_large_orders",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -166,6 +166,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     train_fraction: float = 1.0,
+    max_iter: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -196,9 +197,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
     )
     train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cid").fit(
-        train.withColumn("_fv", array_to_vector("_cv")).select("_fv")
-    )
+    # Coarse quantizers don't need convergence — a few Lloyd rounds from
+    # random init partition the space fine (FAISS defaults to 10); each
+    # extra iteration is a full Spark job over the training sample.
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cid",
+        maxIter=max_iter, initMode="random",
+    ).fit(train.withColumn("_fv", array_to_vector("_cv")).select("_fv"))
     centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
 
     cc = c.withColumn(

@@ -8,8 +8,10 @@ with full predicate/column pruning, unlike UDF-based tokenizers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.util import ensure_parallelism
 
 # Minimal per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately tiny + deterministic (a real deployment would load
@@ -106,3 +108,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     (md5), unlike engine-specific hash()."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_expr(text_col))))
     return df.withColumn(out_col, F.md5(canon))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, DataFrame-native (no MLlib
+    vectors, so it stays SQL-expressible and oracle-checkable):
+
+    explode tokens → per-(doc, term) TF → per-term document frequency →
+    smoothed idf = ln((1+N)/(1+df)) + 1 → tf*idf → window top-k.
+
+    Scale shape: two shuffles — (doc, term) count then term-level DF join.
+    The DF table is vocabulary-sized (≪ corpus), broadcast back; at
+    100 TB prune the vocabulary first (min_df filter cuts the hapax
+    mass, typically >40% of distinct terms). Ties break alphabetically
+    for determinism."""
+    n_docs = df.count()
+    terms = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

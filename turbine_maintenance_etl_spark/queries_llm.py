@@ -285,3 +285,33 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3)
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, UNNEST({_DUCK_TOKS}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+        GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+               AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM scored)
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the canonical two-shuffle
+    TF/DF pipeline with broadcast vocabulary join (llm/text.py)."""
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
