@@ -124,3 +124,56 @@ def test_range_join_semantics(spark):
 
     with pytest.raises(ValueError, match="ambiguous"):
         range_join(points.withColumnRenamed("ptag", "wtag"), intervals, on=["k"])
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered; consecutive chunks share exactly
+    `overlap` tokens; empty docs yield no chunks; short docs one chunk."""
+    from turbine_maintenance_etl_spark.llm.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # < chunk -> 1 chunk
+            (2, " ".join(f"t{i}" for i in range(25))),   # multi-chunk
+            (3, ""),                                      # empty -> 0 chunks
+            (4, " ".join(f"t{i}" for i in range(12))),   # == chunk size
+        ],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=12, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"].split()))
+    assert 3 not in by_doc
+    assert len(by_doc[1]) == 1 and len(by_doc[1][0][1]) == 10
+    assert len(by_doc[4]) == 1 and len(by_doc[4][0][1]) == 12
+    chunks2 = [toks for _, toks in sorted(by_doc[2])]
+    assert len(chunks2) == 3  # starts 1, 9, 17 (stride 8)
+    covered = set().union(*[set(c) for c in chunks2])
+    assert covered == {f"t{i}" for i in range(25)}
+    for a, b in zip(chunks2, chunks2[1:]):
+        assert a[-4:] == b[:4]  # exact overlap
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from turbine_maintenance_etl_spark.ops.sampling import (
+        deterministic_downsample,
+        hash_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tr1, ev1 = hash_split(docs, "doc_id", 80)
+    tr2, ev2 = hash_split(docs, "doc_id", 80)
+    assert tr1.count() + ev1.count() == docs.count()
+    assert tr1.join(ev1, "doc_id").count() == 0  # disjoint
+    assert tr1.count() == tr2.count()  # deterministic
+    ids1 = {r["doc_id"] for r in tr1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in tr2.select("doc_id").collect()}
+    assert ids1 == ids2
+    # join-stability: downsampling two derived tables keeps the same keys
+    a = deterministic_downsample(docs.select("doc_id", "lang"), "doc_id", 300)
+    b = deterministic_downsample(docs.select("doc_id", "source"), "doc_id", 300)
+    assert a.join(b, "doc_id").count() == a.count() == b.count()

@@ -148,3 +148,46 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the standard pre-training / RAG chunker, as pure array expressions:
+
+    tokenize once → ``sequence(1, n, stride)`` generates chunk starts →
+    ``posexplode`` → ``slice`` + ``concat_ws`` rebuilds each window.
+    One narrow transformation (no shuffle at all): each executor chunks
+    its own documents; output grain is (doc_id, chunk_id).
+
+    Every token appears in ≥1 chunk; consecutive chunks share
+    ``overlap`` tokens; the final chunk may be short (never dropped —
+    droppping tails silently loses corpus mass at scale)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(text_col)
+
+    def windows(t: Column) -> Column:
+        raw = F.when(F.size(t) > 0, F.sequence(F.lit(1), F.size(t), F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        )
+        # drop tail starts whose window adds no new tokens (fully inside
+        # the previous chunk's coverage)
+        starts = F.filter(raw, lambda s: (s == 1) | (s + overlap <= F.size(t)))
+        return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, chunk_tokens)))
+
+    chunks = bind_once(toks, windows)
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        token_count_expr(F.col("chunk_text")).alias("chunk_tokens"),
+    )

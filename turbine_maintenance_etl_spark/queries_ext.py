@@ -541,3 +541,88 @@ def w_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("rolling_6h_value")
     )
+
+
+_DUCK_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST({id} AS VARCHAR)), 1, 15)) AS BIGINT) % {m}"
+)
+
+
+@register(
+    "split_hash_80_20",
+    f"""
+    SELECT source,
+           SUM(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS n_train,
+           SUM(CASE WHEN b >= 80 THEN 1 ELSE 0 END) AS n_eval
+    FROM (SELECT source, {_DUCK_BUCKET.format(id="doc_id", m=100)} AS b
+          FROM documents)
+    GROUP BY source
+    """,
+)
+def split_hash_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-defined train/eval split (ops/sampling.py):
+    membership is a pure function of doc_id, so the SAME rows land in
+    train on any engine — which is exactly what the oracle verifies."""
+    from turbine_maintenance_etl_spark.ops.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    train, ev = hash_split(docs, "doc_id", train_pct=80)
+    t = train.groupBy("source").agg(F.count("*").alias("n_train"))
+    v = ev.groupBy("source").agg(F.count("*").alias("n_eval"))
+    return (
+        t.join(v, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_eval", F.lit(0)).alias("n_eval"),
+        )
+    )
+
+
+@register(
+    "sample_join_stable_downsample",
+    f"""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE {_DUCK_BUCKET.format(id="user_id", m=1000)} < 100
+    GROUP BY event_type
+    """,
+)
+def sample_join_stable_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined 10% downsample keyed on user_id — the kept USER
+    set is identical in any engine (unlike sample()), so downsampled
+    fact tables still join consistently."""
+    from turbine_maintenance_etl_spark.ops.sampling import deterministic_downsample
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        deterministic_downsample(e, "user_id", keep_per_mille=100)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "text_chunking",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               UNNEST(list_filter(generate_series(1, len(toks), 56),
+                                  st -> st = 1 OR st + 8 <= len(toks))) AS st
+        FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS BIGINT)
+               AS chunk_id,
+           array_to_string(toks[st : st + 63], ' ') AS chunk_text,
+           LEAST(64, len(toks) - st + 1) AS chunk_tokens
+    FROM s
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker (llm/text.py:chunk_documents,
+    64-token chunks, 8-token overlap) — shuffle-free narrow op."""
+    return TX.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8)
