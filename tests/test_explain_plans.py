@@ -125,3 +125,34 @@ def test_bucketed_join_eliminates_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_asof_join_single_exchange(spark):
+    """The union+window as-of join shuffles exactly once (on the key),
+    never a range join or per-key quadratic work."""
+    from turbine_maintenance_etl_spark.ops.asof import asof_join
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    left = e.select("user_id", "ts", "event_id")
+    right = e.select("user_id", "ts", "value")
+    plan = plan_of(asof_join(left, right, on=["user_id"], tie_break="event_id"))
+    assert n_exchanges(plan) == 1
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Filtering the partition column prunes at the file-listing level:
+    the scan's partition filters carry the predicate and only one
+    dataset directory is read."""
+    from turbine_maintenance_etl_spark.io.sinks import write_partitioned_parquet
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tagged = e.withColumn(
+        "dataset", F.when(F.col("user_id") % 2 == 0, "FD001").otherwise("FD002")
+    )
+    path = str(tmp_path / "parted")
+    write_partitioned_parquet(tagged, path, ("dataset",))
+    q = spark.read.parquet(path).filter(F.col("dataset") == "FD001")
+    plan = plan_of(q)
+    assert "PartitionFilters" in plan and "FD001" in plan
+    # row counts prove pruning semantics
+    assert q.count() == tagged.filter(F.col("dataset") == "FD001").count()

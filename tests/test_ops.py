@@ -177,3 +177,34 @@ def test_hash_split_deterministic_and_disjoint(spark):
     a = deterministic_downsample(docs.select("doc_id", "lang"), "doc_id", 300)
     b = deterministic_downsample(docs.select("doc_id", "source"), "doc_id", 300)
     assert a.join(b, "doc_id").count() == a.count() == b.count()
+
+
+def test_approx_sketches_error_bounds(spark):
+    """HLL distinct within 5% of exact; GK percentiles within 2% of
+    exact — the contract that makes sketches usable at 100 TB."""
+    import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+    from turbine_maintenance_etl_spark.queries import REGISTRY
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["a_approx_sketches"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, row in got.items():
+        assert abs(row["approx_users"] - exact[et]["users"]) <= max(
+            2, 0.05 * exact[et]["users"]
+        )
+        # rank-based percentile contract: the returned value's actual
+        # rank must sit within 2% of the requested percentile
+        grp = e.filter(F.col("event_type") == et)
+        n = grp.count()
+        for target, val in zip((0.5, 0.95), row["value_p50_p95"]):
+            rank = grp.filter(F.col("value") <= val).count() / n
+            assert abs(rank - target) <= 0.02 + 1.0 / n

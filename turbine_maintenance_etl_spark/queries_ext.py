@@ -626,3 +626,21 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunker (llm/text.py:chunk_documents,
     64-token chunks, 8-token overlap) — shuffle-free narrow op."""
     return TX.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8)
+
+
+@register("a_approx_sketches", None)  # sketch internals differ per engine -> rows-only
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct
+    counts and exact quantiles: HyperLogLog++ (approx_count_distinct,
+    mergeable, fixed ~KB state per group vs a shuffle of every distinct
+    value) and approx_percentile (Greenwald-Khanna, single pass).
+    Sketch values are engine-specific, so the registry records rows-only;
+    tests/test_ops.py bounds the error vs the exact answers."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "value_p50_p95"
+        ),
+        F.count("*").alias("n"),
+    )
