@@ -1,0 +1,83 @@
+"""Lakehouse maintenance sinks: upsert-by-key, compaction, range
+clustering — correctness and layout properties."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.io.sinks import (
+    compact_parquet,
+    upsert_by_key,
+    write_range_clustered,
+)
+
+
+def test_upsert_by_key_latest_wins_and_idempotent(spark, tmp_path):
+    path = str(tmp_path / "preds")
+    batch1 = spark.createDataFrame(
+        [(1, "m", 10.0, 1), (2, "m", 20.0, 1), (3, "m", 30.0, 1)],
+        "unit_nr int, model string, pred double, version int",
+    )
+    upsert_by_key(spark, batch1, path, keys=("unit_nr", "model"), order_col="version")
+    batch2 = spark.createDataFrame(
+        [(2, "m", 99.0, 2), (4, "m", 40.0, 2)],
+        "unit_nr int, model string, pred double, version int",
+    )
+    upsert_by_key(spark, batch2, path, keys=("unit_nr", "model"), order_col="version")
+    got = {r["unit_nr"]: r["pred"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # idempotent: re-applying the same batch changes nothing
+    upsert_by_key(spark, batch2, path, keys=("unit_nr", "model"), order_col="version")
+    again = {r["unit_nr"]: r["pred"] for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_upsert_partitioned_touches_only_new_partitions(spark, tmp_path):
+    path = str(tmp_path / "parted")
+    b1 = spark.createDataFrame(
+        [("FD001", 1, 10.0, 1), ("FD002", 1, 20.0, 1)],
+        "dataset string, unit_nr int, pred double, version int",
+    )
+    upsert_by_key(
+        spark, b1, path, keys=("dataset", "unit_nr"), order_col="version",
+        partition_cols=("dataset",),
+    )
+    b2 = spark.createDataFrame(
+        [("FD002", 1, 99.0, 2)], "dataset string, unit_nr int, pred double, version int"
+    )
+    upsert_by_key(
+        spark, b2, path, keys=("dataset", "unit_nr"), order_col="version",
+        partition_cols=("dataset",),
+    )
+    rows = {(r["dataset"], r["unit_nr"]): r["pred"] for r in spark.read.parquet(path).collect()}
+    assert rows == {("FD001", 1): 10.0, ("FD002", 1): 99.0}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.rand(42))
+    df.repartition(64).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 32
+    n = compact_parquet(spark, path, target_partitions=4, sort_cols=("id",))
+    assert n == 4
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_range_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 20000).withColumn("v", F.rand(7))
+    write_range_clustered(df, path, ("id",), num_files=4)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4
+    spans = []
+    for f in files:
+        stats = spark.read.parquet(os.path.join(path, f)).agg(
+            F.min("id"), F.max("id")
+        ).collect()[0]
+        spans.append((stats[0], stats[1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint key ranges -> min/max pruning works

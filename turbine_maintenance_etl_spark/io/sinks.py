@@ -10,6 +10,7 @@ unit_nr axis. The per-dataset replace/append pattern
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -65,3 +66,99 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(name)
+
+
+def upsert_by_key(
+    spark,
+    new_rows: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    order_col: str,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Parquet MERGE-by-rewrite: latest row per key wins (``order_col``
+    descending breaks the old-vs-new tie, so re-running with the same
+    batch is idempotent — the reference's ml_predictions re-score
+    pattern, scripts/ml_pipeline.py:646-667, without SQLite's implicit
+    PK replace).
+
+    Scale notes: with ``partition_cols`` + dynamic partition overwrite
+    (set in get_spark), ONLY partitions present in ``new_rows`` are
+    rewritten — cost is proportional to touched partitions, not table
+    size. The window dedup shuffles on the key columns once. For true
+    row-level merge without rewrite, layer Delta/Iceberg on the same
+    call signature."""
+    import os
+
+    from pyspark.sql import Window
+
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") or f.startswith(("part-", "dataset="))
+        for f in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path)
+        if partition_cols:
+            # touch only affected partitions: semi-join existing rows
+            # down to the partitions the new batch writes
+            parts = new_rows.select(*partition_cols).distinct()
+            existing = existing.join(F.broadcast(parts), list(partition_cols), "left_semi")
+        merged = existing.unionByName(new_rows, allowMissingColumns=True)
+    else:
+        merged = new_rows
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # materialize BEFORE overwriting: the plan reads the same path it is
+    # about to replace, and a lazy scan racing the delete would corrupt
+    # the table (localCheckpoint pins the merged rows to executor disk)
+    latest = latest.localCheckpoint(eager=True)
+    writer = latest.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    # dynamic overwrite keeps untouched partitions when partition_cols set
+    writer.parquet(path)
+
+
+def compact_parquet(spark, path: str, target_partitions: int, sort_cols: tuple[str, ...] = ()) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_partitions`` files (optionally sorted within files to
+    restore min/max row-group pruning). Streaming appends and per-batch
+    upserts accrete small files; at 100 TB the file count — not the
+    byte count — is what kills scan planning. Returns the file count
+    written."""
+    df = spark.read.parquet(path)
+    out = df.repartition(target_partitions)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    import os
+
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: tuple[str, ...],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """ZORDER-lite: repartitionByRange + sortWithinPartitions on the
+    cluster columns before writing, so each parquet file covers a
+    narrow, disjoint key range and point/range predicates prune to a
+    few files via footer min/max stats (the B-tree-index replacement
+    for high-cardinality columns that partitionBy can't hold)."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
