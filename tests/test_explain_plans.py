@@ -156,3 +156,13 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "PartitionFilters" in plan and "FD001" in plan
     # row counts prove pruning semantics
     assert q.count() == tagged.filter(F.col("dataset") == "FD001").count()
+
+
+def test_curation_pipeline_single_wide_stage(spark):
+    """Quality filter fuses into the scan; the dedup window's exchange
+    is the ONLY shuffle in the curated-chunk plan (chunking is narrow)."""
+    from turbine_maintenance_etl_spark.llm.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(curate_corpus(docs))
+    assert n_exchanges(plan) == 1

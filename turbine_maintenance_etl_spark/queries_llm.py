@@ -315,3 +315,41 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the canonical two-shuffle
     TF/DF pipeline with broadcast vocabulary join (llm/text.py)."""
     return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "pipeline_corpus_curation",
+    f"""
+    WITH q AS (
+        SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+    kept AS (
+        SELECT doc_id, text, toks FROM q
+        WHERE len(toks) >= 20
+          AND CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+              / NULLIF(CAST(len(toks) AS DOUBLE), 0) >= 0.05),
+    surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    docs2 AS (
+        SELECT k.doc_id, k.toks FROM kept k JOIN surv USING (doc_id)),
+    starts AS (
+        SELECT doc_id, toks,
+               UNNEST(list_filter(generate_series(1, len(toks), 56),
+                                  st -> st = 1 OR st + 8 <= len(toks))) AS st
+        FROM docs2 WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(LEAST(64, len(toks) - st + 1)) AS BIGINT) AS total_tokens
+    FROM starts GROUP BY doc_id
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (llm/curation.py): quality gate →
+    exact dedup → 64/8 chunking, reported as per-document chunk stats.
+    One wide stage (the dedup shuffle) in the whole plan."""
+    from turbine_maintenance_etl_spark.llm.curation import curate_corpus
+
+    chunks = curate_corpus(_t(spark, sf_dir, "documents"))
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("total_tokens"),
+    )
