@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis): random inputs, invariant checks.
+
+Spark round-trips are slow, so example counts are small but each
+example is adversarial (random keys/timestamps/sizes, including
+empties and ties)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=int(s))
+
+
+@st.composite
+def asof_case(draw):
+    keys = st.integers(1, 3)
+    left = draw(
+        st.lists(st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=12)
+    )
+    right_raw = draw(
+        st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=12)
+    )
+    # unique (key, ts) on the right: equal-ts duplicates make the winner
+    # engine-order-dependent in BOTH engines (not a semantics difference)
+    right = {kt: float(i) for i, kt in enumerate(dict.fromkeys(right_raw))}
+    return left, sorted((k, t, v) for (k, t), v in right.items())
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    from turbine_maintenance_etl_spark.ops.asof import asof_join
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t) in enumerate(left_rows)],
+        "k int, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in right_rows] or [],
+        "k int, ts timestamp, price double",
+    )
+    got = {
+        r["lid"]: r["asof_price"]
+        for r in asof_join(left, right, on=["k"], tie_break="lid").collect()
+    }
+
+    lpdf = pd.DataFrame(
+        [(k, _ts(t), i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rpdf = pd.DataFrame(
+        [(k, _ts(t), v) for k, t, v in right_rows], columns=["k", "ts", "price"]
+    ).sort_values("ts", kind="stable")
+    if len(rpdf):
+        expected = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward")
+    else:
+        expected = lpdf.assign(price=float("nan"))
+    exp = {
+        int(r.lid): (None if pd.isna(r.price) else float(r.price))
+        for r in expected.itertuples()
+    }
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(0, 120),
+    chunk=st.integers(2, 40),
+    data=st.data(),
+)
+def test_chunker_invariants(spark, n, chunk, data):
+    from turbine_maintenance_etl_spark.llm.text import chunk_documents
+
+    overlap = data.draw(st.integers(0, chunk - 1))
+    text = " ".join(f"t{i}" for i in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"].split(), r["chunk_tokens"])
+        for r in chunk_documents(docs, chunk, overlap).collect()
+    )
+    chunks = [toks for _, toks, _ in rows]
+    if n == 0:
+        assert chunks == []
+        return
+    # chunk_ids contiguous from 0; sizes within bounds; counts accurate
+    assert [cid for cid, _, _ in rows] == list(range(len(rows)))
+    assert all(1 <= len(c) <= chunk for c in chunks)
+    assert all(ct == len(c) for _, c, ct in rows)
+    # full coverage, in order, no token invented
+    assert set().union(*map(set, chunks)) == {f"t{i}" for i in range(n)}
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(chunks, chunks[1:]):
+        shared = [t for t in b if t in set(a)]
+        assert len(shared) == overlap
+        if overlap:
+            assert a[-overlap:] == b[:overlap]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 2), st.floats(-1e6, 1e6)), min_size=2, max_size=30
+    )
+)
+def test_group_zscore_properties(spark, rows):
+    """Non-constant groups: z-scores have mean ~0 and pop-std ~1;
+    constant groups: all NULL."""
+    from turbine_maintenance_etl_spark.ops.grouped_map import grouped_map_zscore
+
+    df = spark.createDataFrame(
+        [("D", k, i, v) for i, (k, v) in enumerate(rows)],
+        "dataset string, unit_nr int, time_cycles int, sensor2 double",
+    )
+    out = grouped_map_zscore(df, ["sensor2"]).toPandas()
+    for unit, grp in out.groupby("unit_nr"):
+        src = [v for k, v in rows if k == unit]
+        if len(set(src)) <= 1:
+            assert grp["z_sensor2"].isna().all()
+        else:
+            z = grp["z_sensor2"]
+            assert abs(z.mean()) < 1e-6
+            assert abs((z**2).mean() - 1.0) < 1e-6

@@ -644,3 +644,78 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "p_melt_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 4) AS val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def p_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (pandas .melt / SQL UNPIVOT) via DataFrame.unpivot
+    — a narrow op (each row expands locally, no shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+        .select("l_orderkey", "l_linenumber", "metric", F.round("val", 4).alias("val"))
+    )
+
+
+@register(
+    "f_json_struct_parse",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_field
+    FROM events
+    """,
+)
+def f_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse: from_json with an explicit schema (JVM-side
+    Jackson, codegen) — vs f_json_extract's stringly get_json_object.
+    Missing fields surface as typed NULLs, not errors."""
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k bigint, missing bigint")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        parsed["missing"].alias("missing_field"),
+    )
+
+
+@register(
+    "gen_calendar_dim",
+    """
+    SELECT CAST(d AS TIMESTAMP) AS cal_date,
+           CAST(EXTRACT(year FROM d) AS INT)      AS year,
+           CAST(EXTRACT(month FROM d) AS INT)     AS month,
+           CAST(EXTRACT(isodow FROM d) AS INT)    AS iso_weekday,
+           CASE WHEN EXTRACT(isodow FROM d) >= 6 THEN 1 ELSE 0 END AS is_weekend
+    FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(d)
+    """,
+)
+def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (the DAX CALENDAR() analog): a
+    sequence-explode over a date range — rows from thin air, no source
+    table, broadcastable against any fact."""
+    days = F.explode(
+        F.sequence(F.lit("2024-01-01").cast("date"), F.lit("2024-01-31").cast("date"))
+    ).alias("cal_date")
+    return spark.range(1).select(days).select(
+        F.col("cal_date").cast("timestamp").alias("cal_date"),
+        F.year("cal_date").alias("year"),
+        F.month("cal_date").alias("month"),
+        # Spark weekday() is 0-based Monday; ISO dow is 1-based
+        (F.weekday("cal_date") + 1).cast("int").alias("iso_weekday"),
+        F.when(F.weekday("cal_date") >= 5, 1).otherwise(0).alias("is_weekend"),
+    )
