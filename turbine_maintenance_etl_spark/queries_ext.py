@@ -719,3 +719,65 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("cal_date") + 1).cast("int").alias("iso_weekday"),
         F.when(F.weekday("cal_date") >= 5, 1).otherwise(0).alias("is_weekend"),
     )
+
+
+@register(
+    "a_collect_array_suite",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type))                 AS types_seen,
+           CAST(len(list(DISTINCT event_type)) AS INT)          AS n_types,
+           list_sort(list(event_id))[1:3]                       AS first3_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a_collect_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates: collect_set → sorted array (order-
+    insensitive by construction) and a bounded sorted prefix of
+    collected ids. Arrays sort deterministically so the result is
+    engine-comparable; the slice bounds the per-group payload (never
+    collect unbounded lists at scale)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+        F.slice(F.array_sort(F.collect_list("event_id")), 1, 3).alias("first3_events"),
+    )
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH offsets AS (SELECT UNNEST([0, 1]) AS k),
+    assigned AS (
+        SELECT e.event_type, e.value,
+               time_bucket(INTERVAL 5 MINUTE, e.ts) - k * INTERVAL 5 MINUTE AS win_start
+        FROM events e CROSS JOIN offsets)
+    SELECT CAST(epoch_us(win_start) AS BIGINT) AS win_start_us,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM assigned
+    GROUP BY win_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 10-minute windows every 5
+    minutes — each event lands in duration/slide = 2 windows.
+    ``F.window(ts, '10 minutes', '5 minutes')`` expands map-side then
+    aggregates once; the oracle replicates the two-window assignment
+    with an explicit offset cross join."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
