@@ -208,3 +208,34 @@ def test_approx_sketches_error_bounds(spark):
         for target, val in zip((0.5, 0.95), row["value_p50_p95"]):
             rank = grp.filter(F.col("value") <= val).count() / n
             assert abs(rank - target) <= 0.02 + 1.0 / n
+
+
+def test_udtf_parse_json_pairs(spark):
+    """UDTF handles arbitrary/nested/invalid JSON, not just the corpus
+    shape: nested values re-serialize, invalid/null inputs yield no rows."""
+    from turbine_maintenance_etl_spark.ops.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x"}'),
+            (2, '{"nested": {"c": 2}, "arr": [1, 2]}'),
+            (3, "not json"),
+            (4, None),
+            (5, "{}"),
+        ],
+        "id int, props string",
+    ).createOrReplaceTempView("udtf_in")
+    rows = {
+        (r["id"], r["key"]): r["value"]
+        for r in spark.sql(
+            "SELECT i.id, p.key, p.value FROM udtf_in i, "
+            "LATERAL parse_json_pairs(i.props) p"
+        ).collect()
+    }
+    assert rows == {
+        (1, "a"): "1",
+        (1, "b"): "x",
+        (2, "nested"): '{"c": 2}',
+        (2, "arr"): "[1, 2]",
+    }

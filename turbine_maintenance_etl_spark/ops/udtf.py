@@ -1,0 +1,39 @@
+"""Python UDTF surface (SURVEY §2.10) — Spark 4's table functions.
+
+A UDTF is the row→rows escape hatch with a LATERAL join surface: one
+input row yields any number of typed output rows. This is the SLOW
+path (row-at-a-time Python, pickled transfer — no Arrow batching), so
+it exists for API-surface parity and genuinely procedural expansions;
+anything expressible with explode/sequence/posexplode or from_json
+should use those (see f_json_struct_parse, text_chunking for the fast
+formulations of the same shapes).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="key string, value string")
+class ParseJsonPairs:
+    """Flatten an arbitrary JSON object string into (key, value) rows —
+    the classic UDTF demo shape (jsonb_each / LATERAL json_each).
+    Null/invalid JSON yields no rows (filter, not fail)."""
+
+    def eval(self, props: str):  # noqa: D401
+        if not props:
+            return
+        try:
+            obj = json.loads(props)
+        except (ValueError, TypeError):
+            return
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                yield str(k), json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+
+
+def register_udtfs(spark) -> None:
+    """Make the UDTFs callable from SQL (LATERAL position)."""
+    spark.udtf.register("parse_json_pairs", ParseJsonPairs)

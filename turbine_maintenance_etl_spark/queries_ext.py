@@ -781,3 +781,52 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "w_percent_rank_cume",
+    """
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
+               AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
+               AS cume
+    FROM events
+    """,
+)
+def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank, cume_dist) with
+    a unique-key tiebreak for determinism."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "udtf_json_pairs",
+    """
+    SELECT event_id, 'k' AS key,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS value
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def udtf_json_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in LATERAL position flattening JSON objects to
+    (key, value) rows — §2.10 table-function surface. The oracle
+    exploits that this corpus's props are single-key objects; the UDTF
+    itself handles arbitrary JSON."""
+    from turbine_maintenance_etl_spark.ops.udtf import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_v")
+    return spark.sql(
+        """
+        SELECT e.event_id, p.key, p.value
+        FROM events_udtf_v e, LATERAL parse_json_pairs(e.props) p
+        """
+    )
