@@ -142,3 +142,60 @@ def test_stream_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert (merged["n_events_got"] == merged["n_events_exp"]).all()
     assert (abs(merged["total_value_got"] - merged["total_value_exp"]) < 1e-6).all()
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches are emitted once."""
+    import datetime as dt
+
+    from turbine_maintenance_etl_spark.streaming.ingest import stream_dedup_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (2, base + dt.timedelta(minutes=1), 20.0),
+        (1, base + dt.timedelta(minutes=2), 10.0),  # dup of event 1
+        (3, base + dt.timedelta(minutes=3), 30.0),
+        (2, base + dt.timedelta(minutes=4), 20.0),  # dup of event 2
+    ]
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    src = spark.createDataFrame(rows, "event_id int, ts timestamp, value double")
+    src.repartition(2).write.parquet(in_dir)
+    stream = spark.readStream.schema(src.schema).parquet(in_dir)
+    q = (
+        stream_dedup_events(stream, keys=["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_sink").toPandas()
+    assert sorted(out["event_id"]) == [1, 2, 3]
+
+
+def test_stream_upsert_sink_latest_wins(spark, tmp_path):
+    """Replayed/updated rows merge by key across streamed batches."""
+    from turbine_maintenance_etl_spark.streaming.ingest import stream_upsert_sink
+
+    in_dir = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1)], "unit int, pred double, version int"
+    )
+    b1.write.mode("append").parquet(in_dir)
+    schema = b1.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        stream_upsert_sink(stream, out, ckpt, keys=("unit",), order_col="version")
+
+    run()
+    spark.createDataFrame(
+        [(2, 99.0, 2), (3, 30.0, 2)], "unit int, pred double, version int"
+    ).write.mode("append").parquet(in_dir)
+    run()
+    got = {r["unit"]: r["pred"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}

@@ -133,9 +133,12 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf rows are distinct per (doc, term) by construction, so plain
+    # count(*) IS the document frequency — countDistinct here would add
+    # an expand + second shuffle for nothing
     dfreq = (
         tf.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
     )
     idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)

@@ -118,3 +118,44 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: drop duplicate events across micro-batches
+    using ``dropDuplicatesWithinWatermark`` — state holds one entry per
+    key only until the watermark passes it, so state is bounded by the
+    event-time horizon (plain dropDuplicates on a stream would grow
+    state forever). ``events`` must carry an event-time ``ts`` column."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_upsert_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    keys: tuple[str, ...],
+    order_col: str,
+) -> None:
+    """Streaming ingest into a keyed parquet table: each micro-batch
+    MERGEs via upsert_by_key (latest ``order_col`` wins), so replayed or
+    late rows update in place instead of appending duplicates — the
+    exactly-once-per-key composition of checkpointed ingest + idempotent
+    merge."""
+    from turbine_maintenance_etl_spark.io.sinks import upsert_by_key
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_by_key(batch_df.sparkSession, batch_df, path, keys, order_col)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
