@@ -239,3 +239,26 @@ def test_udtf_parse_json_pairs(spark):
         (2, "nested"): '{"c": 2}',
         (2, "arr"): "[1, 2]",
     }
+
+
+def test_weighted_sample_bias_and_plan(spark):
+    """High-weight rows are (near-)surely included; selection compiles
+    to a true distributed top-k, not a global sort."""
+    from turbine_maintenance_etl_spark.ops.sampling import weighted_sample
+
+    rows = [(i, 10000.0 if i < 3 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    picked = weighted_sample(df, "w", 50, "doc_id")
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    ids = {r["doc_id"] for r in picked.collect()}
+    assert len(ids) == 50
+    assert {0, 1, 2} <= ids  # weight-10000 rows virtually always sampled
+    # deterministic
+    ids2 = {r["doc_id"] for r in weighted_sample(df, "w", 50, "doc_id").collect()}
+    assert ids == ids2
+    # zero/negative weights excluded
+    withzero = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 1.0)], "doc_id int, w double"
+    )
+    assert {r["doc_id"] for r in weighted_sample(withzero, "w", 3, "doc_id").collect()} == {3}

@@ -60,3 +60,33 @@ def deterministic_downsample(
     same id/salt keep the SAME entities, so FK joins still line up — the
     standard trick for building consistent dev slices of a warehouse."""
     return df.filter(hash_bucket(F.col(id_col), 1000, salt) < keep_per_mille)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "",
+    buckets: int = 1 << 20,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each row gets key = ln(u) / w with u uniform in (0,1); the k largest
+    keys are a weighted sample without replacement.
+
+    The uniform is DERIVED (md5 bucket of the id, not RNG), so the
+    sample is deterministic, reproducible across engines/runs, and
+    needs no driver-side state. Selection is a distributed top-k
+    (TakeOrderedAndProject — per-partition heads then a k-row merge,
+    never a global sort). The standard lever for quality-weighted
+    corpus mixing at 100 TB. Rows with non-positive weight are
+    excluded (ln(u)/w flips sign)."""
+    u = (hash_bucket(F.col(id_col), buckets, salt).cast("double") + 0.5) / buckets
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", F.round(key, 10))
+        .orderBy(F.desc("_es_key"), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )

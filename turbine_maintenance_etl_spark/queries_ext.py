@@ -830,3 +830,25 @@ def udtf_json_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_udtf_v e, LATERAL parse_json_pairs(e.props) p
         """
     )
+
+
+@register(
+    "sample_weighted_topk",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               LN(({_DUCK_BUCKET.format(id="doc_id", m=1 << 20)} + 0.5) / 1048576.0)
+                   / n_chars AS es_key
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars
+    FROM keyed ORDER BY ROUND(es_key, 10) DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (50 docs, weight = n_chars) via
+    A-ES with hash-derived uniforms — byte-identical across engines,
+    which is exactly what the oracle verifies."""
+    from turbine_maintenance_etl_spark.ops.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", 50, "doc_id")
