@@ -48,3 +48,58 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, S.ivf_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, S.ivf_topk(emb, queries, k=3).collect()))
     assert a == b
+
+
+def test_resolve_duplicate_clusters_matches_union_find(spark):
+    """Label propagation == classic union-find on random graphs,
+    including chains (worst-case diameter) and singleton pairs."""
+    import random
+
+    from turbine_maintenance_etl_spark.llm.dedup import resolve_duplicate_clusters
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges += [(100 + i, 101 + i) for i in range(12)]  # a 13-node chain
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    # canonical: min member of each component
+    comp_min = {}
+    for x, r in expected.items():
+        comp_min.setdefault(find(r), set()).add(x)
+    want = {x: min(m) for r, m in comp_min.items() for x in m}
+
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_duplicate_clusters(pairs, max_iter=30).collect()
+    }
+    assert got == want
+
+
+def test_lsh_to_clusters_end_to_end(spark):
+    """minhash pairs -> clusters -> survivors: survivors are unique per
+    cluster and every clustered doc maps to a surviving min id."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = D.minhash_lsh_candidates(docs)
+    clusters = D.resolve_duplicate_clusters(pairs)
+    assert clusters.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+    per = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("m"))
+    assert per.filter(F.col("m") != F.col("cluster_id")).count() == 0

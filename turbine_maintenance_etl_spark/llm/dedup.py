@@ -242,3 +242,54 @@ def simhash(
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two packed simhash bigints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate CLUSTERS (connected
+    components) — the step between LSH candidate generation and actual
+    removal: every doc in a component keeps the component's min id as
+    ``cluster_id``; survivors are the rows where doc_id == cluster_id.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (duplicate clusters are near-cliques
+    from multi-band LSH, so diameter is tiny — 2-3 rounds typical).
+    Each round is one groupBy-min shuffle over the edge list; iteration
+    stops early when a round changes nothing (count of label updates ==
+    0). For adversarial long-chain graphs at extreme scale, swap in the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce") — same API.
+
+    Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        # label each node with min(own, neighbors') labels
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        changed = (
+            labels.join(new_labels, "node")
+            .filter(F.col("label") != F.col("new_label"))
+            .count()
+        )
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint(eager=True)  # cut the lineage per round
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -353,3 +353,30 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("chunk_tokens").alias("total_tokens"),
     )
+
+
+def _cluster_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node)
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_cluster_resolution", _cluster_oracle())
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs resolved to duplicate clusters (connected components
+    via iterative min-label propagation). The oracle computes the same
+    components with a recursive CTE (transitive closure + min) — an
+    iterative Spark algorithm still exactly oracle-checked."""
+    pairs = D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    return D.resolve_duplicate_clusters(pairs)
