@@ -380,3 +380,35 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative Spark algorithm still exactly oracle-checked."""
     pairs = D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
     return D.resolve_duplicate_clusters(pairs)
+
+
+@register(
+    "dedup_neardup_survivors",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+                 FROM reach GROUP BY node)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept corpus after near-dup removal: cluster members collapse
+    to the min-id representative, untouched docs pass through (left
+    join + filter — clusters table ≪ corpus, broadcastable)."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = D.resolve_duplicate_clusters(D.minhash_lsh_candidates(docs))
+    return (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "source")
+    )
