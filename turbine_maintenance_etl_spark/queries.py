@@ -48,12 +48,19 @@ def register(name: str, oracle: str | None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Normalize timestamps: events.ts arrives as nanos-long (see session
-    # conf) → rebuild as TIMESTAMP via integer div (never double division
-    # — 1e18 nanos exceeds double's 2^53 exact-integer range); NTZ
-    # columns cast to session-TZ (UTC) timestamps so unix_micros works.
+    # Driver-portable events read: events.parquet stores TIMESTAMP(NANOS),
+    # which Spark rejects unless nanosAsLong is on. The conf is
+    # runtime-settable, and the driver hands us an externally built vanilla
+    # session — so set it here, at query time, not only in get_spark().
     if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Normalize timestamps: events.ts arrives as nanos-long → rebuild as
+    # TIMESTAMP via integer div (never double division — 1e18 nanos
+    # exceeds double's 2^53 exact-integer range); NTZ columns cast to
+    # session-TZ (UTC) timestamps so unix_micros works. Guard on dtype so
+    # a session that reads nanos differently can't double-convert.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif name == "orders":
         df = df.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
@@ -210,14 +217,15 @@ def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p5_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/P6: typed casts + lossy coercion (bad numeric string → NULL,
-    matching pd.to_numeric(errors='coerce'); ANSI off so plain cast
-    behaves as try_cast)."""
+    matching pd.to_numeric(errors='coerce')). Uses try_cast so the
+    semantics hold under any session, including the driver's ANSI-on
+    Spark 4 default — plain cast would raise CAST_INVALID_INPUT there."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.round("o_totalprice", 0).cast("bigint").alias("price_int"),
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_orderpriority").cast("double").alias("prio_num"),
+        F.col("o_orderpriority").try_cast("double").alias("prio_num"),
     )
 
 

@@ -286,6 +286,9 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_tumbling_event_counts,
     )
 
+    # Driver-portable: TIMESTAMP(NANOS) parquet needs nanosAsLong, which a
+    # vanilla session doesn't set — set it at query time (runtime-settable).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -725,9 +728,9 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_collect_array_suite",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type))                 AS types_seen,
-           CAST(len(list(DISTINCT event_type)) AS INT)          AS n_types,
-           list_sort(list(event_id))[1:3]                       AS first3_events
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')  AS types_seen,
+           CAST(len(list(DISTINCT event_type)) AS INT)                 AS n_types,
+           array_to_string(list_sort(list(event_id))[1:3], ',')        AS first3_events
     FROM events
     GROUP BY user_id
     """,
@@ -735,14 +738,20 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_collect_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregates: collect_set → sorted array (order-
     insensitive by construction) and a bounded sorted prefix of
-    collected ids. Arrays sort deterministically so the result is
-    engine-comparable; the slice bounds the per-group payload (never
-    collect unbounded lists at scale)."""
+    collected ids. Arrays sort deterministically, then serialize to a
+    joined string: raw array cells compare differently across pandas
+    conversion paths (Python list without Arrow vs numpy array from
+    DuckDB), so string form keeps the entry portable to any harness.
+    The slice bounds the per-group payload (never collect unbounded
+    lists at scale)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_seen"),
         F.size(F.collect_set("event_type")).alias("n_types"),
-        F.slice(F.array_sort(F.collect_list("event_id")), 1, 3).alias("first3_events"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("event_id")), 1, 3).cast("array<string>"),
+            ",",
+        ).alias("first3_events"),
     )
 
 
