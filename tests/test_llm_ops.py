@@ -103,3 +103,42 @@ def test_lsh_to_clusters_end_to_end(spark):
     assert clusters.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
     per = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("m"))
     assert per.filter(F.col("m") != F.col("cluster_id")).count() == 0
+
+
+def test_minhash_slots_are_independent_permutations(spark):
+    """Round-1 regression (ADVICE high): the affine permutations never
+    wrapped their modulus, so all K signature slots were determined by
+    the single minimum shingle hash — two docs matched on ALL slots or
+    (generically) none, collapsing banded LSH to one equality test.
+
+    With a genuine universal hash family the per-slot match indicator is
+    ~Bernoulli(J): for a pair with shingle Jaccard J strictly between 0
+    and 1, the number of matching slots out of K=32 must be strictly
+    between 0 and 32 and near J*32."""
+    from turbine_maintenance_etl_spark.llm.dedup import minhash_signatures
+
+    words_a = [f"w{i}" for i in range(100)]
+    words_b = words_a[:70] + [f"x{i}" for i in range(30)]  # heavy overlap
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))], "doc_id int, text string"
+    )
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(docs, num_hashes=32).collect()
+    }
+    matches = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+
+    # true trigram-shingle Jaccard of the two docs
+    def sh(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    j = len(sh(words_a) & sh(words_b)) / len(sh(words_a) | sh(words_b))
+    assert 0 < j < 1
+    assert 0 < matches < 32, f"degenerate all-or-nothing signature: {matches}/32"
+    # K=32 => sigma ~ sqrt(J(1-J)/32) ~ 0.09; allow ~3 sigma
+    assert abs(matches / 32 - j) < 0.3, f"match rate {matches/32:.2f} vs J={j:.2f}"
+
+    # and the slots within one signature must not be a monotone map of a
+    # single argmin (the degenerate case made rank order identical for
+    # every doc): many distinct values, not one repeated value
+    assert len(set(sigs[1])) > 16

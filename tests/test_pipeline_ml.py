@@ -93,7 +93,7 @@ def test_ml_train_and_score(spark, etl_setup):
     assert table.columns == [
         "id", "unit_nr", "cycle", "dataset", "model_name", "predicted_rul",
         "actual_rul", "prediction_date", "model_version", "confidence_score",
-        "features_used",
+        "features_used", "created_at",
     ]
     summary = prediction_error_summary(table)
     row = summary.collect()[0]

@@ -1,0 +1,49 @@
+"""The driver grades only the first GRADE_WINDOW registry entries, so
+export order IS coverage. These tests pin (a) PRIORITY_ORDER covers the
+registry exactly — a new entry without an ordering decision fails fast —
+and (b) every SURVEY §2-mapped operator sits inside the graded window."""
+
+from __future__ import annotations
+
+from turbine_maintenance_etl_spark.queries import (
+    GRADE_WINDOW,
+    PRIORITY_ORDER,
+    REGISTRY,
+    ordered_registry,
+)
+import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
+import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+import turbine_maintenance_etl_spark.queries_window_ext  # noqa: F401
+
+# Every §2-mapped operator entry (plus the round-1 judge's stretch picks,
+# dedup_cluster_resolution / dedup_simhash_oracle) must be graded.
+SURVEY_S2_ENTRIES = PRIORITY_ORDER[:GRADE_WINDOW]
+
+
+def test_order_covers_registry_exactly():
+    assert sorted(PRIORITY_ORDER) == sorted(REGISTRY), (
+        "PRIORITY_ORDER and REGISTRY drifted; add/remove the entry in both"
+    )
+    assert len(set(PRIORITY_ORDER)) == len(PRIORITY_ORDER), "duplicate names"
+
+
+def test_survey_s2_inside_grade_window():
+    ordered = list(ordered_registry())
+    graded = set(ordered[:GRADE_WINDOW])
+    must_grade = {
+        "p1_positional_truncation", "p3_constant_detection",
+        "p10_rename_projection", "p12_regex_column_select",
+        "o1_composite_sort", "a16_summary_stats", "f_null_handling",
+        "agg_cube_grouping_id", "w_analytic_suite", "w_range_time_frame",
+        "cmapss_feature_engine", "dedup_cluster_resolution",
+        "dedup_simhash_oracle",
+    }
+    assert must_grade <= graded, f"outside grade window: {must_grade - graded}"
+
+
+def test_every_graded_entry_has_oracle():
+    ordered = ordered_registry()
+    for name in list(ordered)[:GRADE_WINDOW]:
+        assert ordered[name].oracle is not None, (
+            f"{name} is inside the grade window but has no oracle SQL"
+        )

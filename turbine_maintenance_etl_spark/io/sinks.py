@@ -88,15 +88,18 @@ def upsert_by_key(
     size. The window dedup shuffles on the key columns once. For true
     row-level merge without rewrite, layer Delta/Iceberg on the same
     call signature."""
-    import os
-
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") or f.startswith(("part-", "dataset="))
-        for f in os.listdir(path)
-    ):
+    # Detect an existing table by actually reading it — a filename
+    # heuristic misses tables partitioned by arbitrary columns (e.g.
+    # model_name=...) and breaks on non-local (S3/HDFS) paths; silently
+    # treating those as empty would drop their rows in the rewrite.
+    try:
         existing = spark.read.parquet(path)
+    except AnalysisException:
+        existing = None  # path absent or no parquet data yet
+    if existing is not None:
         if partition_cols:
             # touch only affected partitions: semi-join existing rows
             # down to the partitions the new batch writes

@@ -22,23 +22,21 @@ from pyspark.sql import functions as F
 from turbine_maintenance_etl_spark.llm.text import tokens_expr
 from turbine_maintenance_etl_spark.util import ensure_parallelism
 
-# Mersenne prime 2^61 - 1: the classic universal-hash modulus; a*h+b stays
-# within int64*small bounds when h < 2^60 (15 hex chars of md5).
-_MERSENNE61 = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: the MinHash permutation modulus. The modulus
+# must be SMALL relative to a*h+b so the affine map actually wraps:
+# with a,b < p and h reduced mod p, a*h+b reaches ~2^62 (fits int64) and
+# wraps mod p many times over, giving a genuine universal hash family.
+# (The round-1 bug: modulus 2^61-1 with a*h+b < 2^60 never wrapped, so
+# every 'permutation' was monotone in h and all K slots were determined
+# by the single minimum shingle hash — LSH banding collapsed to one
+# equality test. A statistical test now pins the fix.)
+_MERSENNE31 = (1 << 31) - 1
 
 
 def md5_hash64(col: Column) -> Column:
     """Portable 60-bit integer hash: first 15 hex chars of md5, base-16 →
     decimal. Reproducible in any engine with md5 (DuckDB oracle parity)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
-
-def md5_hash28(col: Column) -> Column:
-    """28-bit portable hash (7 hex chars): small enough that
-    ``a * h + b`` with 31-bit coefficients stays inside int64 — no
-    overflow wrap, so the affine MinHash permutations are exact and
-    portable to any engine with 64-bit integers."""
-    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
@@ -122,24 +120,28 @@ def minhash_signatures(
     """K-permutation MinHash signature per document.
 
     Scale shape: explode shingles → one md5 per shingle → K affine
-    permutations ``(a_i * h + b_i) mod M61`` as plain codegen'd int64
-    expressions → ``groupBy(id).min`` per permutation. The min
-    aggregation combines map-side (partial agg), so the shuffle carries
-    only K int64s per document regardless of document size, and the
-    per-shingle work parallelizes across all cores/executors (a
+    permutations ``(a_i * h + b_i) mod p`` (p = 2^31-1, h pre-reduced
+    mod p so ``a*h+b < 2^62`` stays exact int64 while wrapping p many
+    times — a real universal hash family, not a monotone map) as plain
+    codegen'd int64 expressions → ``groupBy(id).min`` per permutation.
+    The min aggregation combines map-side (partial agg), so the shuffle
+    carries only K int64s per document regardless of document size, and
+    the per-shingle work parallelizes across all cores/executors (a
     per-row array-transform formulation would pin each document to one
     thread and run interpreted, not codegen'd). Empty shingle sets
     yield NULL signature slots."""
     import random
 
     rng = random.Random(seed)
-    # 31-bit coefficients x 28-bit base hash keeps a*h+b < 2^60: exact int64
-    coeffs = [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_hashes)]
+    coeffs = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(shingles(text_col, n)).alias("_sh")
-    ).select(F.col(id_col), md5_hash28(F.col("_sh")).alias("_h"))
+    ).select(F.col(id_col), (md5_hash64(F.col("_sh")) % F.lit(_MERSENNE31)).alias("_h"))
     aggs = [
-        F.min((F.col("_h") * F.lit(ai) % F.lit(_MERSENNE61) + F.lit(bi)) % F.lit(_MERSENNE61)).alias(f"mh_{i}")
+        F.min((F.col("_h") * F.lit(ai) + F.lit(bi)) % F.lit(_MERSENNE31)).alias(f"mh_{i}")
         for i, (ai, bi) in enumerate(coeffs)
     ]
     return exploded.groupBy(id_col).agg(*aggs).select(
@@ -155,7 +157,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH candidate pairs: split the K-slot signature into ``bands``
     bands of K/bands rows each, hash every band, and group documents by
@@ -165,10 +167,13 @@ def minhash_lsh_candidates(
 
     Pair generation is groupBy + in-bucket combination expansion rather
     than a bucket self-join: the signature pipeline runs ONCE (a
-    self-join would execute it per side), and the quadratic blowup of a
-    pathological mega-bucket can be capped via ``max_bucket_size``
-    (boilerplate-heavy corpora at 100 TB; capped buckets are near-100%
-    duplicates and are better handled by exact-dedup first)."""
+    self-join would execute it per side). The quadratic blowup of a
+    pathological mega-bucket is capped BY DEFAULT via ``max_bucket_size``
+    (a boilerplate-heavy 100 TB corpus can put millions of docs in one
+    bucket → one O(b^2) collect_list row → executor OOM). Docs in a
+    capped bucket are near-100% mutual duplicates and are better handled
+    by exact-dedup first; pass ``max_bucket_size=None`` only for small
+    corpora where the full pair set is genuinely wanted."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)

@@ -105,9 +105,12 @@ def predictions_table(
     label_col: str = "rul",
 ) -> DataFrame:
     """Canonical ml_predictions schema (GPU-writer variant,
-    scripts/ml_pipeline_gpu.py:722-737; FIXTURES.md §5). ``features_used``
-    is a proper array<string> instead of the reference's comma-joined
-    string."""
+    scripts/ml_pipeline_gpu.py:722-737; FIXTURES.md §5): id, unit_nr,
+    cycle, dataset, model_name, predicted_rul, actual_rul,
+    prediction_date, model_version, confidence_score, features_used,
+    created_at. ``features_used`` is a proper array<string> instead of
+    the reference's comma-joined string; the [:10] truncation mirrors
+    the reference writer (scripts/ml_pipeline_gpu.py:1017)."""
     return scored.select(
         F.monotonically_increasing_id().alias("id"),
         F.col("unit_nr").cast("int").alias("unit_nr"),
@@ -120,6 +123,7 @@ def predictions_table(
         F.lit(model_version).alias("model_version"),
         F.lit(None).cast("double").alias("confidence_score"),
         F.array(*[F.lit(c) for c in feature_cols[:10]]).alias("features_used"),
+        F.current_timestamp().alias("created_at"),
     )
 
 

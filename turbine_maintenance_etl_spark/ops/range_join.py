@@ -42,13 +42,20 @@ def range_join(
     ``[start_col, end_col]`` (closed) contains ``point_ts``, matching on
     the optional equi-keys ``on``. Non-key column names must be disjoint
     between the two inputs. ``how`` is ``inner`` or ``left`` (left also
-    keeps point rows with no containing interval, interval cols NULL;
-    assumes point rows are unique as whole tuples)."""
+    keeps point rows with no containing interval, interval cols NULL).
+    Unmatched left rows are recovered via a synthetic row id — never by
+    equality on all point columns, which both breaks on NULLs (NULL
+    never equals itself, so a NULL-bearing row would appear matched AND
+    NULL-padded) and duplicates genuinely repeated point tuples."""
     on = on or []
     dup = (set(points.columns) & set(intervals.columns)) - set(on)
     if dup:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(dup)}")
 
+    if how == "left":
+        # id assigned on the source scan; the same plan subtree feeds both
+        # the matched and anti-join branches, so ids are consistent
+        points = points.withColumn("_pid", F.monotonically_increasing_id())
     pb = points.withColumn(
         "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_seconds))
     )
@@ -69,10 +76,8 @@ def range_join(
     if how == "left":
         matched = pb.join(ib, on + ["_bucket"]).filter(in_range).drop("_bucket")
         interval_only = [c for c in intervals.columns if c not in on]
-        missing = points.join(
-            matched.select(*points.columns), points.columns, "left_anti"
-        )
+        missing = points.join(matched.select("_pid"), "_pid", "left_anti")
         for c in interval_only:
             missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
-        return matched.unionByName(missing)
+        return matched.unionByName(missing).drop("_pid")
     raise ValueError(f"unsupported how={how!r}")

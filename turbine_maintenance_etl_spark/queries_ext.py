@@ -793,30 +793,6 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w_percent_rank_cume",
-    """
-    SELECT event_id, event_type,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
-               AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
-               AS cume
-    FROM events
-    """,
-)
-def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative-position window functions (percent_rank, cume_dist) with
-    a unique-key tiebreak for determinism."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return e.select(
-        "event_id",
-        "event_type",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
-
-
-@register(
     "udtf_json_pairs",
     """
     SELECT event_id, 'k' AS key,

@@ -26,9 +26,10 @@ _DUCK_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
     " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
 )
-# portable 28-bit hash of a string s: first 7 hex chars of md5, folded
-_DUCK_HASH28 = (
-    "list_reduce(list_transform(string_split(substr(md5({s}), 1, 7), ''),"
+# portable 60-bit hash of a string s: first 15 hex chars of md5, folded
+# (mirrors dedup.md5_hash64; DuckDB lacks conv(hex, 16, 10) so fold digits)
+_DUCK_HASH64 = (
+    "list_reduce(list_transform(string_split(substr(md5({s}), 1, 15), ''),"
     " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 )
 
@@ -175,12 +176,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    # Coefficient generation MUST mirror dedup.minhash_signatures exactly:
+    # same seed, same randrange bounds, same (a*h+b) mod 2^31-1 formula
+    # over the 60-bit md5 hash pre-reduced mod p.
     rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_hashes)]
-    m61 = (1 << 61) - 1
-    h = _DUCK_HASH28.format(s="s")
+    p = (1 << 31) - 1
+    coeffs = [
+        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
+    ]
+    h = _DUCK_HASH64.format(s="s")
     mh_cols = ", ".join(
-        f"list_aggregate(list_transform(hs, h -> (h * {a} % {m61} + {b}) % {m61}), 'min') AS mh_{i}"
+        f"list_aggregate(list_transform(hs, h -> (h % {p} * {a} + {b}) % {p}), 'min') AS mh_{i}"
         for i, (a, b) in enumerate(coeffs)
     )
     rows = num_hashes // bands

@@ -43,8 +43,17 @@ def stream_cmapss_ingest(
     dataset: str = "STREAM",
 ) -> None:
     """Incrementally ingest CMAPSS text files landing in ``input_dir``:
-    parse → feature engine → append to partitioned parquet, exactly once
-    per file, then return (availableNow drains what exists and stops)."""
+    parse → feature engine → write to partitioned parquet, exactly once
+    per file, then return (availableNow drains what exists and stops).
+
+    Exactly-once is real, not just checkpointed-source: foreachBatch is
+    at-least-once (a batch that fails between sink write and checkpoint
+    commit is REPLAYED), so a blind append would duplicate replayed
+    rows. Each batch instead dynamically overwrites its own
+    ``(dataset, _epoch=epoch_id)`` partitions — a replay rewrites the
+    same partition instead of appending, making the sink idempotent.
+    The ``_epoch`` partition column is part of the output layout (and
+    doubles as batch provenance); compact_parquet can fold it away."""
     from turbine_maintenance_etl_spark.features.engine import build_features
 
     raw = spark.readStream.format("text").load(input_dir)
@@ -52,7 +61,15 @@ def stream_cmapss_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         feats = build_features(batch_df, sensors=sensors, windows=windows)
-        feats.write.mode("append").partitionBy("dataset").parquet(output_path)
+        (
+            feats.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            # per-write conf: only the partitions present in this batch
+            # are replaced, whatever the session-wide overwrite mode
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dataset", "_epoch")
+            .parquet(output_path)
+        )
 
     q = (
         parsed.writeStream.foreachBatch(process_batch)
