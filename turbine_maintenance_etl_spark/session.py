@@ -8,7 +8,11 @@ Design notes (100 TB posture):
   (``pd.to_numeric(errors="coerce")``, reference scripts/etl_turbofan.py:16-17)
   and division by zero yields NULL/NaN, never a query error. Spark 4
   defaults ANSI on, which would instead raise; we pin it off so `cast`
-  behaves like `try_cast` engine-wide.
+  behaves like `try_cast` engine-wide. NOTE the query registry does NOT
+  rely on this (or any other) session conf: it uses explicit try_cast /
+  nullif / runtime conf-sets so it runs identically under an externally
+  built vanilla session (the driver's environment — round-1 lesson,
+  verified by scripts/selfcheck_vanilla.py).
 - Session timezone pinned UTC so timestamp values round-trip the
   DuckDB oracle and parquet without shifts.
 - shuffle.partitions defaults to the local core count; on a real cluster
