@@ -166,3 +166,26 @@ def test_curation_pipeline_single_wide_stage(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(curate_corpus(docs))
     assert n_exchanges(plan) == 1
+
+
+def test_analytic_suite_single_exchange(spark):
+    """The merged rank/offset/cumulative/boundary window suite: two
+    orderings over ONE partition key -> exactly one Exchange and two
+    Window nodes (each with its intra-partition sort), never a shuffle
+    per window family."""
+    plan = plan_of(REGISTRY["w_analytic_suite"].fn(spark, SF_DIR))
+    assert n_exchanges(plan) == 1
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_rolling_means_share_window_exec(spark):
+    """W2+W3 (frames 5 and 20) evaluate in a single Window node over a
+    single shuffle — the single-WindowSpec rule the feature engine is
+    built on."""
+    plan = plan_of(REGISTRY["w2_w3_rolling_means"].fn(spark, SF_DIR))
+    assert n_exchanges(plan) == 1
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
