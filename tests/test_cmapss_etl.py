@@ -169,3 +169,15 @@ def test_add_rul(cmapss_sdf):
     df = add_rul(cmapss_sdf)
     mx = df.groupBy("unit_nr").agg(F.max("rul").alias("r"), F.max("time_cycles").alias("t"))
     assert mx.filter(F.col("r") != F.col("t") - 1).count() == 0
+
+
+def test_all_null_column_detection(spark):
+    """P4: one-pass detection of entirely-NULL columns."""
+    from turbine_maintenance_etl_spark.features.engine import all_null_columns
+
+    df = spark.createDataFrame(
+        [(1, None, None, 5.0), (2, None, "x", None)],
+        "id int, ghost string, partial string, num double",
+    )
+    assert all_null_columns(df, ["ghost", "partial", "num"]) == ["ghost"]
+    assert all_null_columns(df, []) == []

@@ -47,6 +47,18 @@ def constant_columns(df: DataFrame, candidates: list[str]) -> list[str]:
     return [c for c in candidates if row[c] <= 1]
 
 
+def all_null_columns(df: DataFrame, candidates: list[str]) -> list[str]:
+    """P4: columns whose every value is NULL (``dropna(axis=1,
+    how="all")``, reference scripts/etl_turbofan.py dropna pre-pass).
+    Same one-pass shape as ``constant_columns``: ``count(col)`` skips
+    NULLs, so one aggregation job over all candidates answers every
+    column at once."""
+    if not candidates:
+        return []
+    row = df.agg(*[F.count(F.col(c)).alias(c) for c in candidates]).collect()[0]
+    return [c for c in candidates if row[c] == 0]
+
+
 def variable_sensor_intersection(dfs: dict[str, DataFrame]) -> list[str]:
     """Sorted intersection of each dataset's variable (non-constant)
     sensors — the multi-dataset schema-consistency pre-pass

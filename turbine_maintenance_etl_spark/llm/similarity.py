@@ -158,6 +158,32 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def _kmeans_lloyd(X, k: int, max_iter: int, seed: int):
+    """Seeded Lloyd's k-means on an in-memory sample (numpy): the coarse
+    quantizer trains on at most ``max_train_vectors`` rows, so driver
+    memory is bounded and training costs ZERO Spark jobs beyond the one
+    sample-collect (an MLlib fit here would run ~2 jobs per iteration of
+    fixed scheduling overhead over a tiny sample — the FAISS design
+    trains in memory for the same reason). Distances use the
+    x^2 + c^2 - 2xC' expansion: O(n*k) memory, never an (n,k,dim) cube."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    centers = X[rng.choice(len(X), size=k, replace=False)].copy()
+    x_sq = (X**2).sum(1)[:, None]
+    for _ in range(max_iter):
+        d = x_sq + (centers**2).sum(1)[None, :] - 2.0 * (X @ centers.T)
+        assign = d.argmin(1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(0)
+            else:  # dead centroid: reseed to a random point
+                centers[j] = X[rng.integers(len(X))]
+    return centers
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -167,6 +193,7 @@ def ivf_topk(
     seed: int = 42,
     train_fraction: float = 1.0,
     max_iter: int = 6,
+    max_train_vectors: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -174,37 +201,37 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path (FAISS IVF-Flat shape, on Spark):
 
-    1. TRAIN: MLlib KMeans on a ``train_fraction`` sample of candidates
-       (at 100 TB you train the quantizer on ~1e6 sampled vectors, never
-       the full corpus).
-    2. ASSIGN: centroids come back to the driver (tiny: n_clusters x dim)
-       and are embedded as literal arrays; each candidate maps to its
-       nearest centroid via an argmin expression — map-only, codegen, no
-       Python and no second shuffle.
+    1. TRAIN: seeded in-memory k-means on a bounded sample of candidates
+       (``train_fraction`` sample, capped at ``max_train_vectors`` —
+       at 100 TB you train the quantizer on ~1e5-1e6 sampled vectors,
+       never the full corpus; the cap bounds driver memory to
+       max_train_vectors x dim doubles).
+    2. ASSIGN: the trained centroids (tiny: n_clusters x dim) embed as
+       literal arrays; each candidate maps to its nearest centroid via
+       an argmin expression — map-only, codegen, no Python and no
+       second shuffle.
     3. PROBE: each query expands to its ``n_probe`` nearest centroids,
        then an equi-join on the cluster id (queries broadcast) scores
        exact cosine only inside probed clusters: O(Q x N x n_probe /
        n_clusters) instead of O(Q x N).
 
     Recall < 1 by construction; raise ``n_probe`` to trade compute for
-    recall. Deterministic given ``seed``. Not SQL-expressible (iterative
-    KMeans) -> registry records the weaker rows-only check; recall vs
+    recall. Deterministic given ``seed`` (sample rows are taken in id
+    order, Lloyd's is seeded numpy). Not SQL-expressible (iterative
+    k-means) -> registry records the weaker rows-only check; recall vs
     brute force is pytest-asserted instead."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
     )
     train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
-    # Coarse quantizers don't need convergence — a few Lloyd rounds from
-    # random init partition the space fine (FAISS defaults to 10); each
-    # extra iteration is a full Spark job over the training sample.
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cid",
-        maxIter=max_iter, initMode="random",
-    ).fit(train.withColumn("_fv", array_to_vector("_cv")).select("_fv"))
-    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    # deterministic bounded collect: TakeOrdered on the id, one Spark job
+    sample_rows = train.orderBy("neighbor_id").limit(max_train_vectors).select("_cv").collect()
+    X = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
+    centroids = [
+        [float(x) for x in ctr] for ctr in _kmeans_lloyd(X, n_clusters, max_iter, seed)
+    ]
 
     cc = c.withColumn(
         "_cid", F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"]

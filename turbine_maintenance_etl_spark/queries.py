@@ -106,7 +106,8 @@ PRIORITY_ORDER: list[str] = [
     "events_tumbling_window",
     "dedup_cluster_resolution",
     "dedup_simhash_oracle",
-    # -- beyond the grade window: LLM-pipeline extensions ----------------
+    # -- beyond the grade window: remaining §2 + LLM-pipeline extensions -
+    "p4_allnull_detection",
     "dedup_exact_groups",
     "dedup_exact_survivors",
     "dedup_minhash_lsh",

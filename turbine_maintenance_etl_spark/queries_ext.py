@@ -48,6 +48,49 @@ def p3_constant_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p4_allnull_detection",
+    """
+    WITH e AS (
+        SELECT event_type,
+               CAST(NULL AS DOUBLE) AS ghost,
+               CASE WHEN value < 50 THEN NULL ELSE value END AS value_masked
+        FROM events)
+    SELECT 'ghost' AS col, COUNT(ghost) AS n_nonnull,
+           CASE WHEN COUNT(ghost) = 0 THEN 1 ELSE 0 END AS dropped FROM e
+    UNION ALL
+    SELECT 'value_masked', COUNT(value_masked),
+           CASE WHEN COUNT(value_masked) = 0 THEN 1 ELSE 0 END FROM e
+    UNION ALL
+    SELECT 'event_type', COUNT(event_type),
+           CASE WHEN COUNT(event_type) = 0 THEN 1 ELSE 0 END FROM e
+    """,
+)
+def p4_allnull_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (``dropna(axis=1, how='all')``): the all-null-column detection
+    aggregate behind ``features.engine.all_null_columns`` — one pass
+    (count skips NULLs), stack-unpivoted to one row per candidate so the
+    keep/drop decision is itself a checkable result. A synthetic all-NULL
+    column and a partially-masked column prove both outcomes."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ghost", F.lit(None).cast("double"))
+        .withColumn(
+            "value_masked",
+            F.when(F.col("value") < 50, None).otherwise(F.col("value")),
+        )
+    )
+    counts = e.agg(
+        F.count("ghost").alias("n_ghost"),
+        F.count("value_masked").alias("n_vm"),
+        F.count("event_type").alias("n_et"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'ghost', n_ghost, 'value_masked', n_vm, 'event_type', n_et)"
+        " AS (col, n_nonnull)"
+    ).withColumn("dropped", F.when(F.col("n_nonnull") == 0, 1).otherwise(0))
+
+
+@register(
     "p10_rename_projection",
     """
     SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
