@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "sim_lsh_topk",
     "sim_ivf_topk",
     "events_tumbling_window",
+    "w_analytic_suite",
+    "pipeline_corpus_curation",
     "j_asof_join",
     "j_range_join",
     "q18_large_orders",

@@ -142,3 +142,37 @@ def test_minhash_slots_are_independent_permutations(spark):
     # single argmin (the degenerate case made rank order identical for
     # every doc): many distinct values, not one repeated value
     assert len(set(sigs[1])) > 16
+
+
+def test_lsh_bucket_cap_and_stats(spark):
+    """An adversarial boilerplate corpus (many identical docs) forms a
+    mega-bucket: the default cap drops it from pair expansion, and the
+    stats operator reports exactly what was capped — no silent caps."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.dedup import (
+        minhash_lsh_bucket_stats,
+        minhash_lsh_candidates,
+    )
+
+    boiler = "lorem ipsum dolor sit amet " * 10
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(100, "a unique document about turbines and rotors spinning fast"),
+           (101, "another unique text concerning maintenance schedules today")],
+        "doc_id int, text string",
+    )
+    # cap smaller than the boilerplate cluster: its buckets are dropped
+    pairs = minhash_lsh_candidates(docs, max_bucket_size=10)
+    got = pairs.collect()
+    ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert not (ids & set(range(40))), "capped bucket leaked pairs"
+
+    stats = minhash_lsh_bucket_stats(docs, max_bucket_size=10).collect()
+    assert all(r["n_capped_buckets"] >= 1 for r in stats)
+    assert all(r["n_docs_in_capped"] == 40 for r in stats)
+    assert all(r["max_bucket_size"] == 40 for r in stats)
+
+    # with the cap lifted, the boilerplate cluster pairs up fully
+    pairs_uncapped = minhash_lsh_candidates(docs, max_bucket_size=None)
+    assert pairs_uncapped.count() >= 40 * 39 // 2

@@ -129,3 +129,26 @@ def test_cross_validated_training(spark):
     assert metrics["rmse"] <= 2 * single["rmse"] + 1e-9
     # best model actually scores
     assert best.transform(feats).count() == feats.count()
+
+
+def test_reference_grids_resolve_on_mllib_estimators():
+    """The documented reference grids (RF 16-combo / GBT 32-combo,
+    scripts/ml_pipeline.py:300-353) must map to real MLlib params so
+    train_with_cv(param_grid=REFERENCE_GRIDS[...]) runs the exact sweep."""
+    from turbine_maintenance_etl_spark.ml.pipeline import (
+        REFERENCE_GRIDS,
+        make_pipeline,
+    )
+
+    for model_name, grid in REFERENCE_GRIDS.items():
+        reg = make_pipeline(["f1", "f2"], model_name).getStages()[-1]
+        for pname in grid:
+            assert reg.getParam(pname) is not None
+    combos = 1
+    for values in REFERENCE_GRIDS["random_forest"].values():
+        combos *= len(values)
+    assert combos == 16
+    combos = 1
+    for values in REFERENCE_GRIDS["gbt"].values():
+        combos *= len(values)
+    assert combos == 32

@@ -216,6 +216,50 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Bucket-size distribution + capped-bucket accounting for the LSH
+    pass — 'no silent caps': run this alongside ``minhash_lsh_candidates``
+    to see exactly how many buckets (and docs) the ``max_bucket_size``
+    guard dropped. Returns one row per band with n_buckets,
+    max_bucket_size observed, n_capped_buckets, n_docs_in_capped.
+    A nonzero capped count means near-100%-duplicate boilerplate the
+    exact-dedup pass should have removed first."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col("signature")[bi * rows + r] for r in range(rows)])).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    sizes = (
+        sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
+        .groupBy(F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .agg(F.count("*").alias("sz"))
+    )
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
+    capped = (F.col("sz") > cap) if cap is not None else F.lit(False)
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(F.when(capped, 1).otherwise(0)).alias("n_capped_buckets"),
+        F.sum(F.when(capped, F.col("sz")).otherwise(0)).alias("n_docs_in_capped"),
+    )
+
+
 def simhash(
     df: DataFrame,
     bits: int = 64,

@@ -53,6 +53,31 @@ MODEL_BUILDERS = {
 }
 
 
+# The reference's FULL grids (scripts/ml_pipeline.py:300-305 RF 16
+# combos, :347-353 XGB 32 combos, both 3-fold), mapped param-by-param to
+# the MLlib estimators. sklearn's min_samples_split/min_samples_leaf
+# control the same complexity axis as MLlib's minInstancesPerNode;
+# colsample_bytree maps to featureSubsetStrategy on GBT's tree builder
+# (exposed as subsamplingRate + featureSubsetStrategy). Pass one of
+# these as ``param_grid`` to ``train_with_cv`` to run the reference's
+# exact sweep; tests use the compact default grid for runtime.
+REFERENCE_GRIDS: dict[str, dict[str, list]] = {
+    "random_forest": {  # 2*2*2*2 = 16 combos x 3 folds
+        "numTrees": [100, 200],
+        "maxDepth": [10, 20],
+        "minInstancesPerNode": [2, 4],  # ~ min_samples_leaf [2, 4]
+        "subsamplingRate": [0.8, 1.0],
+    },
+    "gbt": {  # 2*2*2*2*2 = 32 combos x 3 folds (XGBoost analog)
+        "maxIter": [100, 200],
+        "maxDepth": [6, 10],
+        "stepSize": [0.1, 0.2],  # learning_rate
+        "subsamplingRate": [0.8, 1.0],
+        "featureSubsetStrategy": ["0.8", "all"],  # colsample_bytree
+    },
+}
+
+
 def feature_columns(df: DataFrame) -> list[str]:
     """All engineered numeric columns minus keys/label — the reference's
     'all columns except unit_nr/time_cycles/dataset/rul' derivation
