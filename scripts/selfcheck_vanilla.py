@@ -52,6 +52,12 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from oracle_harness import compare, duck_connection
 
+    # the driver smoke-checks entry() with ITS session too — replicate
+    entry_df = entry_mod.entry(spark)
+    n_entry = entry_df.count()
+    assert n_entry >= 0 and entry_df.columns, "entry() smoke failed"
+    print(f"[ok] entry() smoke ({n_entry} rows)", flush=True)
+
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     con = duck_connection(sf_dir)

@@ -176,3 +176,26 @@ def test_lsh_bucket_cap_and_stats(spark):
     # with the cap lifted, the boilerplate cluster pairs up fully
     pairs_uncapped = minhash_lsh_candidates(docs, max_bucket_size=None)
     assert pairs_uncapped.count() >= 40 * 39 // 2
+
+
+def test_quadratic_kernels_guarded(spark):
+    """The O(n^2) operators refuse full-scale inputs unless forced."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from turbine_maintenance_etl_spark.llm.similarity import brute_force_topk
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("some text here").alias("text")
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs, max_rows=10)
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="baseline"):
+        brute_force_topk(emb, q, max_queries=10)
+    # forcing works
+    assert brute_force_topk(emb, q.limit(3), max_queries=None).count() > 0

@@ -88,13 +88,25 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_rows: int = 10_000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity >= threshold.
 
     Quadratic — the *verification* kernel, meant for candidate sets (LSH
     buckets) or small corpora; the linear-scale path is
-    ``minhash_lsh_candidates`` feeding this on bucket-mates only.
+    ``minhash_lsh_candidates`` feeding this on bucket-mates only. Guarded
+    (like ``brute_force_topk``) so the O(n^2) pair join cannot silently
+    run on a full-scale corpus: raises beyond ``max_rows`` input rows
+    (one count job); pass ``max_rows=None`` to force.
     """
+    if max_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs got {n_rows} rows (> {max_rows}): this is "
+                "the quadratic verification kernel — generate candidates with "
+                "minhash_lsh_candidates first, or pass max_rows=None to force"
+            )
     base = ensure_parallelism(df).select(F.col(id_col), shingles(text_col, n).alias("sh"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

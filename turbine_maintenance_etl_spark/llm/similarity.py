@@ -52,6 +52,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -59,7 +60,23 @@ def brute_force_topk(
     (small side). Excludes self-matches when ids collide. Scores are
     rounded to 6 dp *before* ranking so the ordering is reproducible
     across engines; ties break on candidate id.
+
+    This is the O(Q x N) CORRECTNESS BASELINE, guarded so it cannot be
+    misused as the scale path: the query side must fit ``max_queries``
+    (it is broadcast and multiplies the candidate scan). For large Q use
+    ``lsh_bucketed_topk`` / ``ivf_topk``; the count costs one job on the
+    (small by contract) query side. Pass ``max_queries=None`` to skip
+    the guard in controlled benchmarks.
     """
+    if max_queries is not None:
+        n_q = queries.count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk got {n_q} query vectors (> {max_queries}): "
+                "this operator is the O(Q*N) exact baseline — use "
+                "lsh_bucketed_topk or ivf_topk for large query sets, or pass "
+                "max_queries=None to force it"
+            )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
