@@ -199,3 +199,20 @@ def test_quadratic_kernels_guarded(spark):
         brute_force_topk(emb, q, max_queries=10)
     # forcing works
     assert brute_force_topk(emb, q.limit(3), max_queries=None).count() > 0
+
+
+def test_cluster_resolution_long_chain(spark):
+    """A 30-node chain (diameter 29) must fully collapse to cluster 1 —
+    plain min-label propagation capped at 10 rounds would silently
+    return wrong clusters here; pointer jumping converges in O(log d)."""
+    from turbine_maintenance_etl_spark.llm.dedup import resolve_duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a int, id_b int"
+    )
+    got = resolve_duplicate_clusters(chain, max_iter=10)
+    rows = got.collect()
+    assert len(rows) == 30
+    assert all(r["cluster_id"] == 1 for r in rows), sorted(
+        (r["doc_id"], r["cluster_id"]) for r in rows
+    )[:5]

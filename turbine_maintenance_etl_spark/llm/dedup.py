@@ -314,15 +314,20 @@ def resolve_duplicate_clusters(
     removal: every doc in a component keeps the component's min id as
     ``cluster_id``; survivors are the rows where doc_id == cluster_id.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds (duplicate clusters are near-cliques
-    from multi-band LSH, so diameter is tiny — 2-3 rounds typical).
-    Each round is one groupBy-min shuffle over the edge list; iteration
-    stops early when a round changes nothing (count of label updates ==
-    0). For adversarial long-chain graphs at extreme scale, swap in the
+    Min-label propagation WITH POINTER JUMPING: each round every node
+    adopts the smallest label among itself and its neighbors (one hop),
+    then labels chase their own label's label (``label := label[label]``
+    — pointer jumping / path doubling). The hop spreads the minimum like
+    BFS; the jump squares the reach per round, so convergence is
+    O(log diameter) rounds, not O(diameter) — a 1M-long chain converges
+    in ~20 rounds instead of 1M. (Plain propagation capped at max_iter
+    would silently return WRONG clusters for any component with diameter
+    > max_iter; this version instead converges fast and RAISES if the
+    cap is ever genuinely hit.) Each round costs two shuffles (neighbor
+    groupBy-min + the self-join jump) over the edge/label lists;
+    lineage is cut per round with localCheckpoint. The equivalent
     alternating large-star/small-star formulation (Kiveris et al.,
-    "Connected Components in MapReduce") — same API.
+    "Connected Components in MapReduce") has the same bound.
 
     Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id)."""
     edges = (
@@ -334,23 +339,40 @@ def resolve_duplicate_clusters(
         "label", F.col("node")
     )
     for _ in range(max_iter):
-        # label each node with min(own, neighbors') labels
+        # hop: label each node with min(own, neighbors') labels
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
+        hopped = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("new_label"))
+            .agg(F.min("label").alias("label"))
+        )
+        # jump: label := label's label (pointer jumping -> log convergence)
+        parent = hopped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            hopped.join(parent, hopped.label == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("new_label"),
+            )
         )
         changed = (
-            labels.join(new_labels, "node")
+            labels.join(jumped, "node")
             .filter(F.col("label") != F.col("new_label"))
             .count()
         )
-        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        labels = jumped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
-            break
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
         labels = labels.localCheckpoint(eager=True)  # cut the lineage per round
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected components did not converge in {max_iter} rounds — "
+        "component diameter > 2^max_iter is pathological for LSH duplicate "
+        "graphs; raise max_iter"
+    )
