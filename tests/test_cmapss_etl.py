@@ -181,3 +181,21 @@ def test_all_null_column_detection(spark):
     )
     assert all_null_columns(df, ["ghost", "partial", "num"]) == ["ghost"]
     assert all_null_columns(df, []) == []
+
+
+def test_coercion_holds_under_ansi_on(spark, tmp_path):
+    """Garbage numeric tokens must coerce to NULL under an ANSI-ON
+    session too (the driver/vanilla default) — round-1's failure class
+    was exactly this: library semantics silently depending on the tuned
+    session's ansi.enabled=false."""
+    p = tmp_path / "garbage.txt"
+    p.write_text("1 1 0.1 0.2 100.0 " + " ".join(["5.0"] * 20) + " not_a_number\n")
+    from turbine_maintenance_etl_spark.io.cmapss import read_cmapss_text
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        row = read_cmapss_text(spark, str(p)).collect()[0]
+        assert row["unit_nr"] == 1 and row["sensor21"] is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

@@ -109,6 +109,32 @@ def test_ml_models_tree(spark, etl_setup):
     assert metrics["r2"] > 0.3
 
 
+def test_model_persistence_roundtrip(spark, etl_setup, tmp_path):
+    """UD4: save → load → transform-equality (reference persists fitted
+    models + scalers with joblib, scripts/ml_pipeline.py:600-630; the
+    MLlib twin is PipelineModel.save/load, which round-trips the whole
+    Imputer→Assembler→Scaler→regressor chain)."""
+    from pyspark.ml import PipelineModel
+
+    _, res = etl_setup
+    train = res.features.filter(F.col("dataset") == "FD001")
+    model, scored, _ = train_and_score(train, None, "linear_regression")
+    path = str(tmp_path / "lr_model")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+    orig = {
+        (r["unit_nr"], r["time_cycles"]): r["prediction"]
+        for r in model.transform(train).select(
+            "unit_nr", "time_cycles", "prediction").collect()
+    }
+    back = reloaded.transform(train).select(
+        "unit_nr", "time_cycles", "prediction").collect()
+    assert len(back) == len(orig)
+    for r in back:
+        assert r["prediction"] == pytest.approx(
+            orig[(r["unit_nr"], r["time_cycles"])], rel=1e-12)
+
+
 def test_cross_validated_training(spark):
     """CV grid search returns a fitted best model whose holdout RMSE is
     finite and no worse than 2x a default single fit."""

@@ -122,10 +122,15 @@ def test_group_zscore_properties(spark, rows):
         [("D", k, i, v) for i, (k, v) in enumerate(rows)],
         "dataset string, unit_nr int, time_cycles int, sensor2 double",
     )
+    import numpy as np
+
     out = grouped_map_zscore(df, ["sensor2"]).toPandas()
     for unit, grp in out.groupby("unit_nr"):
         src = [v for k, v in rows if k == unit]
-        if len(set(src)) <= 1:
+        # "constant" must be judged in float64, exactly as the engine
+        # computes it: distinct values whose variance UNDERFLOWS to 0
+        # (e.g. [0.0, 2e-313]) are constant-in-float → z is NULL
+        if len(src) < 2 or np.std(src) == 0:
             assert grp["z_sensor2"].isna().all()
         else:
             z = grp["z_sensor2"]

@@ -34,9 +34,15 @@ def read_cmapss_text(
     arr = F.split(F.trim(F.col("value")), r"\s+")
     cols = []
     for i, name in enumerate(CMAPSS_COLS):
-        typ = "int" if name in _INT_COLS else "double"
-        # ANSI off: cast failure -> NULL (== to_numeric(errors="coerce"))
-        cols.append(F.try_element_at(arr, F.lit(i + 1)).cast(typ).alias(name))
+        # try_cast to DOUBLE first: failure -> NULL under ANY session
+        # (== to_numeric(errors="coerce"); a plain cast would raise under
+        # ANSI-on defaults). Int columns then truncate double->int, so
+        # "1.0"-style tokens parse like pandas' to_numeric + astype(int)
+        # — strict try_cast("int") would wrongly NULL them.
+        num = F.try_element_at(arr, F.lit(i + 1)).try_cast("double")
+        if name in _INT_COLS:
+            num = num.cast("int")
+        cols.append(num.alias(name))
     df = raw.where(F.trim(F.col("value")) != "").select(*cols)
     if dataset is not None:
         df = df.withColumn("dataset", F.lit(dataset))
@@ -58,6 +64,6 @@ def read_rul_truth(spark: SparkSession, path: str) -> DataFrame:
     w = Window.orderBy(F.monotonically_increasing_id())
     return (
         raw.where(F.trim(F.col("value")) != "")
-        .select(F.trim(F.col("value")).cast("int").alias("rul_true"))
+        .select(F.trim(F.col("value")).try_cast("double").cast("int").alias("rul_true"))
         .withColumn("unit_nr", F.row_number().over(w))
     )

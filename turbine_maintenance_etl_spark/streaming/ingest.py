@@ -28,8 +28,12 @@ def _parse_cmapss_lines(raw: DataFrame) -> DataFrame:
     arr = F.split(F.trim(F.col("value")), r"\s+")
     cols = []
     for i, name in enumerate(CMAPSS_COLS):
-        typ = "int" if name in _INT_COLS else "double"
-        cols.append(F.try_element_at(arr, F.lit(i + 1)).cast(typ).alias(name))
+        # same coerce-to-NULL recipe as io.cmapss: double try_cast (holds
+        # under ANSI-on), then truncate for int columns
+        num = F.try_element_at(arr, F.lit(i + 1)).try_cast("double")
+        if name in _INT_COLS:
+            num = num.cast("int")
+        cols.append(num.alias(name))
     return raw.where(F.trim(F.col("value")) != "").select(*cols)
 
 
