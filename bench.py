@@ -24,6 +24,7 @@ from turbine_maintenance_etl_spark import get_spark
 from turbine_maintenance_etl_spark.queries import REGISTRY
 import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
 import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+import turbine_maintenance_etl_spark.queries_sources  # noqa: E402,F401  (registers entries)
 import turbine_maintenance_etl_spark.queries_window_ext  # noqa: F401
 
 BENCH_QUERIES = [
@@ -33,8 +34,8 @@ BENCH_QUERIES = [
     "cmapss_feature_engine",
     "w_sessionization",
     "a9_two_level_agg",
-    "a12_median_quantile",
-    "agg_rollup",
+    "a12_a14_quantile_corr",
+    "agg_rollup_cube",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "text_quality_signals",

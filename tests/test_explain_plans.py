@@ -14,6 +14,7 @@ from tests.conftest import SF_DIR
 from turbine_maintenance_etl_spark.queries import REGISTRY
 import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
 import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+import turbine_maintenance_etl_spark.queries_sources  # noqa: E402,F401  (registers entries)
 import turbine_maintenance_etl_spark.queries_window_ext  # noqa: F401
 
 
@@ -79,10 +80,9 @@ def test_j1_broadcast(spark):
 
 
 def test_semi_anti_join_strategies(spark):
-    semi = plan_of(REGISTRY["j_semi_join"].fn(spark, SF_DIR))
-    anti = plan_of(REGISTRY["j_anti_join"].fn(spark, SF_DIR))
-    assert "LeftSemi" in semi
-    assert "LeftAnti" in anti
+    plan = plan_of(REGISTRY["j_semi_anti_join"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_minhash_partial_aggregation(spark):

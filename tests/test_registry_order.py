@@ -13,6 +13,7 @@ from turbine_maintenance_etl_spark.queries import (
 )
 import turbine_maintenance_etl_spark.queries_llm  # noqa: F401
 import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+import turbine_maintenance_etl_spark.queries_sources  # noqa: E402,F401  (registers entries)
 import turbine_maintenance_etl_spark.queries_window_ext  # noqa: F401
 
 # Every §2-mapped operator entry (plus the round-1 judge's stretch picks,
@@ -32,11 +33,15 @@ def test_survey_s2_inside_grade_window():
     graded = set(ordered[:GRADE_WINDOW])
     must_grade = {
         "p1_positional_truncation", "p3_constant_detection",
+        "p4_allnull_detection",
         "p10_rename_projection", "p12_regex_column_select",
         "o1_composite_sort", "a16_summary_stats", "f_null_handling",
-        "agg_cube_grouping_id", "w_analytic_suite", "w_range_time_frame",
+        "agg_rollup_cube", "w_analytic_suite", "w_range_time_frame",
         "cmapss_feature_engine", "dedup_cluster_resolution",
-        "dedup_simhash_oracle",
+        "dedup_simhash_oracle", "dedup_neardup_survivors",
+        # §2.1/§2 UD families, graded since round 2:
+        "s1_s2_text_scan_suite", "s3_s5_catalog_introspection",
+        "s_sink_roundtrip", "ud_grouped_map_slope",
     }
     assert must_grade <= graded, f"outside grade window: {must_grade - graded}"
 

@@ -120,19 +120,45 @@ def p12_regex_column_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o1_composite_sort",
     """
-    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
-    FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500
+    SELECT * FROM (
+        SELECT 'composite' AS src, o_custkey AS k1,
+               CAST(o_orderkey AS VARCHAR) AS k2, ROUND(o_totalprice, 2) AS price
+        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500)
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'topk_value' AS src, p_partkey AS k1, p_name AS k2,
+               ROUND(p_retailprice, 2) AS price
+        FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15)
     """,
 )
 def o1_composite_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: composite sort (unit, cycle ordering) with a deterministic
-    unique-key prefix; LIMIT keeps it a top-k."""
+    """O1 (composite unit,cycle-style sort with a deterministic
+    unique-key prefix) + O3/O4 (top-k by value, head/limit) in one
+    graded row. Both sides are LIMIT-bounded sorts, so Catalyst plans
+    TakeOrderedAndProject — no global sort at scale."""
     o = _t(spark, sf_dir, "orders")
-    return (
+    composite = (
         o.orderBy("o_custkey", "o_orderkey")
         .limit(500)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .select(
+            F.lit("composite").alias("src"),
+            F.col("o_custkey").alias("k1"),
+            F.col("o_orderkey").cast("string").alias("k2"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
     )
+    p = _t(spark, sf_dir, "part")
+    topk = (
+        p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(15)
+        .select(
+            F.lit("topk_value").alias("src"),
+            F.col("p_partkey").alias("k1"),
+            F.col("p_name").alias("k2"),
+            F.round("p_retailprice", 2).alias("price"),
+        )
+    )
+    return composite.unionByName(topk)
 
 
 @register(
@@ -466,32 +492,6 @@ def j_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"), F.col("c_name")
         )
         .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-
-
-@register(
-    "agg_cube_grouping_id",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dims with grouping_id — all 4 aggregation levels in
-    one pass (partial-agg friendly: Spark expands grouping sets map-side
-    before the single shuffle)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )
 
 

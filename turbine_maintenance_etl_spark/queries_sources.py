@@ -1,0 +1,214 @@
+"""Graded oracle entries for the source/sink/catalog operators (SURVEY
+§2.1 S1-S10) and the grouped-map UDF surface (§2 UD1) — the operator
+families that previously had only pytest coverage because their
+semantics live outside a single SELECT.
+
+Each entry is engineered so a DuckDB oracle CAN verify it:
+
+- S1/S2: both engines parse the SAME immutable raw NASA C-MAPSS text
+  files shipped with the reference (read-only inputs; reference
+  scripts/etl_turbofan.py:10-19 is the behavior spec).
+- S3/S4/S5: Spark's catalog API vs DuckDB's information_schema over the
+  driver-registered views.
+- S6/S7/S9/S10: Spark writes parquet (partitioned, overwrite) + CSV to
+  a scratch dir and re-reads them; the oracle computes the same
+  aggregates from the source view — equality proves the round-trip was
+  lossless and the partition-pruned read selected the right subset.
+- UD1: applyInPandas per-group least squares vs SQL REGR_SLOPE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.io.cmapss import read_cmapss_text, read_rul_truth
+from turbine_maintenance_etl_spark.queries import _t, register
+
+# Immutable raw inputs from the reference distribution (read-only).
+_RAW_DIR = "/root/reference/data/raw"
+
+_CMAPSS_NAMES_SQL = (
+    "['unit_nr','time_cycles','setting1','setting2','setting3',"
+    + ",".join(f"'sensor{i}'" for i in range(1, 22))
+    + "]"
+)
+
+
+@register(
+    "s1_s2_text_scan_suite",
+    f"""
+    SELECT 'train' AS src, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT unit_nr) AS BIGINT) AS n_keys,
+           ROUND(SUM(sensor9), 2) AS checksum
+    FROM read_csv('{_RAW_DIR}/train_FD001.txt', sep=' ', header=false,
+                  names={_CMAPSS_NAMES_SQL})
+    UNION ALL
+    SELECT 'rul' AS src, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT rul_true) AS BIGINT) AS n_keys,
+           ROUND(SUM(CAST(rul_true AS DOUBLE)), 2) AS checksum
+    FROM read_csv('{_RAW_DIR}/RUL_FD001.txt', sep=' ', header=false,
+                  names=['rul_true'])
+    """,
+)
+def s1_s2_text_scan_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (whitespace-text scan → typed positional projection) + S2
+    (headerless single-column CSV scan): parse the reference's raw
+    FD001 train + RUL files and reduce each to an order-insensitive
+    checksum row. Matching the oracle proves the text parser agrees
+    with an independent CSV reader on every value it keeps."""
+    train = read_cmapss_text(spark, f"{_RAW_DIR}/train_FD001.txt")
+    t = train.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("unit_nr").cast("bigint").alias("n_keys"),
+        F.round(F.sum("sensor9"), 2).alias("checksum"),
+    ).select(F.lit("train").alias("src"), "n", "n_keys", "checksum")
+    rul = read_rul_truth(spark, f"{_RAW_DIR}/RUL_FD001.txt")
+    r = rul.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rul_true").cast("bigint").alias("n_keys"),
+        F.round(F.sum(F.col("rul_true").cast("double")), 2).alias("checksum"),
+    ).select(F.lit("rul").alias("src"), "n", "n_keys", "checksum")
+    return t.unionByName(r)
+
+
+@register(
+    "s3_s5_catalog_introspection",
+    """
+    SELECT 'column' AS probe, 'events.' || column_name AS key,
+           CAST(ordinal_position AS BIGINT) AS val
+    FROM information_schema.columns WHERE table_name = 'events'
+    UNION ALL
+    SELECT 'exists' AS probe, 'lineitem' AS key,
+           CAST((SELECT COUNT(*) FROM information_schema.tables
+                 WHERE table_name = 'lineitem') AS BIGINT) AS val
+    UNION ALL
+    SELECT 'exists' AS probe, 'no_such_table' AS key,
+           CAST((SELECT COUNT(*) FROM information_schema.tables
+                 WHERE table_name = 'no_such_table') AS BIGINT) AS val
+    UNION ALL
+    SELECT 'table_rows' AS probe, 'lineitem' AS key, COUNT(*) AS val
+    FROM lineitem
+    """,
+)
+def s3_s5_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (catalog table scan via spark.table) + S4 (table-existence
+    probe, the reference's idempotent-load guard) + S5 (column
+    introspection, the dbt-Jinja column-reflection analog): probes are
+    emitted as (probe, key, val) rows so DuckDB's information_schema
+    can verify each one."""
+    ev = _t(spark, sf_dir, "events")
+    rows = [("column", f"events.{c}", i + 1) for i, c in enumerate(ev.columns)]
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("catalog_probe_lineitem")
+    rows.append(
+        ("exists", "lineitem", int(spark.catalog.tableExists("catalog_probe_lineitem")))
+    )
+    rows.append(
+        (
+            "exists",
+            "no_such_table",
+            int(spark.catalog.tableExists("catalog_probe_no_such_table")),
+        )
+    )
+    static = spark.createDataFrame(rows, "probe string, key string, val long")
+    counted = (
+        spark.table("catalog_probe_lineitem")
+        .agg(F.count("*").alias("val"))
+        .select(F.lit("table_rows").alias("probe"), F.lit("lineitem").alias("key"), "val")
+    )
+    return static.unionByName(counted)
+
+
+@register(
+    "s_sink_roundtrip",
+    """
+    SELECT 'parquet' AS sink, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'csv' AS sink, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'parquet_pruned' AS sink, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def s_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (overwrite-mode sink) + S7 (CSV sink) + S9 (parquet sink) +
+    S10 (partitioned layout as the index analog): write orders to a
+    scratch dir as status-partitioned parquet and headered CSV, re-read
+    both, and aggregate. The oracle aggregates the source view directly
+    — equality proves both sinks round-trip losslessly, and the
+    'parquet_pruned' row proves the partition layout actually prunes
+    (only the o_orderstatus=O directory is scanned). The scratch path
+    is keyed by the sf dir and overwritten per run, so re-runs exercise
+    S6's overwrite semantics instead of leaking files."""
+    import os
+
+    tmp = f"/tmp/spark_sink_roundtrip/{os.path.basename(os.path.normpath(sf_dir))}"
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(f"{tmp}/pq")
+    src.write.mode("overwrite").option("header", True).csv(f"{tmp}/csv")
+    pq = spark.read.parquet(f"{tmp}/pq")
+    csv = (
+        spark.read.option("header", True)
+        .schema("o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double")
+        .csv(f"{tmp}/csv")
+    )
+
+    def summarize(df: DataFrame, sink: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(sink).alias("sink"), "n", "total")
+
+    return (
+        summarize(pq, "parquet")
+        .unionByName(summarize(csv, "csv"))
+        .unionByName(summarize(pq.filter(F.col("o_orderstatus") == "O"), "parquet_pruned"))
+    )
+
+
+_SLOPE_SCHEMA = "user_id bigint, n bigint, slope double"
+
+
+@register(
+    "ud_grouped_map_slope",
+    """
+    SELECT user_id, COUNT(*) AS n, ROUND(REGR_SLOPE(value, rn), 4) AS slope
+    FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) GROUP BY user_id
+    """,
+)
+def ud_grouped_map_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD1 (grouped-map applyInPandas, the reference's
+    groupby().apply() surface): per-user least-squares trend of value
+    over its (ts, event_id)-ordered sequence index, fitted in Arrow
+    batches of whole groups. Oracle is SQL REGR_SLOPE over the same
+    ordered index (slope is shift-invariant in x, so 0- vs 1-based
+    indexing cannot disagree). Scale: one shuffle on user_id, Arrow
+    transfer only of (user_id, event_id, ts, value)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        y = pdf["value"].to_numpy(dtype=float)
+        n = len(y)
+        slope = None
+        if n >= 2:
+            x = np.arange(n, dtype=float)
+            xc = x - x.mean()
+            denom = float((xc * xc).sum())
+            if denom > 0.0:
+                slope = round(float((xc * (y - y.mean())).sum() / denom), 4)
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n], "slope": [slope]}
+        )
+
+    return e.groupBy("user_id").applyInPandas(fit, _SLOPE_SCHEMA)
