@@ -1,0 +1,89 @@
+"""Edge-case tests for llm/quality.py: Gopher-style repetition signals
+and benchmark decontamination (the sf-data paths are oracle-checked in
+test_oracle.py; these pin hand-computed values and degenerate inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.llm.quality import (
+    decontamination_scores,
+    repetition_signals,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b a b a b"),            # heavy bigram repetition
+        (2, "x"),                      # single word: no bigrams
+        (3, ""),                       # empty text
+        (4, "# 1 ... 2 # ..."),        # symbols, no alphabetic words
+        (5, "one two three four"),     # all distinct
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_hand_computed(docs):
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+
+    r1 = out[1]  # tokens: a b a b a b -> bigrams: ab ba ab ba ab
+    assert r1["n_words"] == 6 and r1["n_bigrams"] == 5
+    assert r1["dup_word_frac"] == round((6 - 2) / 6, 4)
+    assert r1["dup_bigram_frac"] == round((5 - 2) / 5, 4)
+    assert r1["top_bigram_frac"] == round(3 / 5, 4)  # 'a b' x3
+    assert r1["mean_word_len"] == 1.0
+    assert r1["alpha_word_frac"] == 1.0
+
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["n_bigrams"] == 0
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_bigram_frac"] is None  # 0-denominator -> NULL
+    assert r2["top_bigram_frac"] is None
+
+    r3 = out[3]
+    assert r3["n_words"] == 0
+    assert r3["dup_word_frac"] is None and r3["mean_word_len"] is None
+
+    r4 = out[4]  # '#' x2 + '...' x2 over 6 words
+    assert r4["symbol_word_ratio"] == round(4 / 6, 4)
+    assert r4["alpha_word_frac"] == 0.0
+
+    r5 = out[5]
+    assert r5["dup_word_frac"] == 0.0 and r5["dup_bigram_frac"] == 0.0
+    assert r5["top_bigram_frac"] == round(1 / 3, 4)
+
+
+def test_decontamination_hand_computed(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )  # trigrams: {alpha beta gamma, beta gamma delta}
+    cands = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma epsilon"),  # 2 trigrams, 1 contaminated
+            (2, "zeta eta theta iota"),       # 2 trigrams, 0 contaminated
+            (3, "alpha beta gamma delta"),    # exact benchmark doc: 2/2
+            (4, "too short"),                 # no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontamination_scores(cands, bench).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_shingles": 2, "n_contaminated": 1,
+        "contamination": 0.5, "flagged": 0,
+    }
+    assert out[2]["n_contaminated"] == 0 and out[2]["flagged"] == 0
+    assert out[3]["contamination"] == 1.0 and out[3]["flagged"] == 1
+    assert out[4] == {
+        "doc_id": 4, "n_shingles": 0, "n_contaminated": 0,
+        "contamination": None, "flagged": 0,
+    }
+
+
+def test_repetition_signals_zero_shuffle(spark, docs):
+    plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -117,6 +117,8 @@ PRIORITY_ORDER: list[str] = [
     "text_bpe_token_count",
     "text_tfidf_top_terms",
     "text_chunking",
+    "text_repetition_signals",
+    "text_decontamination",
     "pipeline_corpus_curation",
     "streaming_tumbling_window",
     "events_sliding_window",

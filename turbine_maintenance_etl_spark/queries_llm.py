@@ -418,3 +418,97 @@ def dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "text_repetition_signals",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    bglist AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                              i -> words[i] || ' ' || words[i + 1]) AS bgs
+        FROM toks
+    ),
+    bg AS (SELECT doc_id, u.b AS b FROM bglist, UNNEST(bgs) AS u(b)),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bgs AS (
+        SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct, MAX(c) AS top
+        FROM bgc GROUP BY 1
+    ),
+    ws AS (
+        SELECT doc_id,
+               LEN(words) AS n_words,
+               LEN(list_distinct(words)) AS n_distinct_words,
+               COALESCE(list_aggregate(list_transform(words, x -> LENGTH(x)), 'sum'), 0)
+                   AS sum_len,
+               LEN(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+                   + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_symbols
+        FROM toks
+    )
+    SELECT ws.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND((n_words - n_distinct_words) / CAST(NULLIF(n_words, 0) AS DOUBLE), 4)
+               AS dup_word_frac,
+           ROUND((n_bigrams - n_distinct) / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 4)
+               AS dup_bigram_frac,
+           ROUND(top / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 4) AS top_bigram_frac,
+           ROUND(sum_len / CAST(NULLIF(n_words, 0) AS DOUBLE), 4) AS mean_word_len,
+           ROUND(n_alpha / CAST(NULLIF(n_words, 0) AS DOUBLE), 4) AS alpha_word_frac,
+           ROUND(n_symbols / CAST(NULLIF(n_words, 0) AS DOUBLE), 4) AS symbol_word_ratio
+    FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filters (dup word/bigram
+    fractions, top-bigram fraction, symbol-to-word ratio) as a
+    ZERO-shuffle narrow map — see llm/quality.py. The oracle recomputes
+    every statistic relationally (unnest → window bigrams → group by)."""
+    from turbine_maintenance_etl_spark.llm.quality import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_decontamination",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, source, {_DUCK_SHINGLES} AS sh FROM toks),
+    bench AS (SELECT DISTINCT u.s AS s FROM sh, UNNEST(sh) AS u(s)
+              WHERE source = 'src0'),
+    cand AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+    exploded AS (SELECT doc_id, u.s AS s FROM cand, UNNEST(sh) AS u(s)),
+    scored AS (
+        SELECT e.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+        FROM exploded e LEFT JOIN bench b ON e.s = b.s GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           ROUND(n_contaminated / CAST(NULLIF(n_shingles, 0) AS DOUBLE), 4)
+               AS contamination,
+           CAST(CASE WHEN ROUND(n_contaminated / CAST(NULLIF(n_shingles, 0) AS DOUBLE), 4) > 0.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM cand c LEFT JOIN scored ON c.doc_id = scored.doc_id
+    """,
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: distinct-trigram overlap of every
+    candidate doc (source <> src0) against the src0 'benchmark' corpus,
+    via a broadcast shingle-set join — see llm/quality.py."""
+    from turbine_maintenance_etl_spark.llm.quality import decontamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontamination_scores(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
