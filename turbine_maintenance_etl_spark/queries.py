@@ -120,6 +120,7 @@ PRIORITY_ORDER: list[str] = [
     "text_repetition_signals",
     "text_decontamination",
     "pipeline_corpus_curation",
+    "pipeline_chunk_embed_ann",
     "streaming_tumbling_window",
     "events_sliding_window",
     "dedup_exact_groups",

@@ -512,3 +512,36 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
     )
+
+
+@register("pipeline_chunk_embed_ann", None)  # mapInPandas encoder: rows-only check
+def pipeline_chunk_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RAG indexing flow: chunk documents (zero-shuffle
+    posexplode) -> embed every chunk with the mapInPandas hashing
+    encoder (llm/embed.py; narrow map, Arrow-batched) -> answer
+    similarity queries for the src0 chunks against the rest of the
+    corpus with the SRP-LSH bucketed ANN (bucket equi-join, no cross
+    join). Deterministic end to end (md5 hashing encoder + seeded
+    hyperplanes) but not SQL-expressible, so the driver records the
+    rows-only check; pytest pins determinism and self-retrieval."""
+    from turbine_maintenance_etl_spark.llm.embed import embed_text
+    from turbine_maintenance_etl_spark.llm.similarity import lsh_bucketed_topk
+    from turbine_maintenance_etl_spark.llm.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=4).withColumn(
+        "cid", F.col("doc_id") * 10_000 + F.col("chunk_id")
+    )
+    emb = embed_text(chunks, id_col="cid", text_col="chunk_text", dim=64)
+    bench_ids = docs.filter(F.col("source") == "src0").select("doc_id")
+    queries = (
+        emb.join(
+            F.broadcast(bench_ids),
+            (F.col("cid") / 10_000).cast("bigint") == F.col("doc_id"),
+        )
+        .select(F.col("cid").alias("query_id"), "embedding")
+        .limit(200)
+    )
+    return lsh_bucketed_topk(
+        emb, queries, dim=64, k=3, id_col="cid", vec_col="embedding"
+    )
