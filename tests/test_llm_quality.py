@@ -87,3 +87,18 @@ def test_decontamination_hand_computed(spark):
 def test_repetition_signals_zero_shuffle(spark, docs):
     plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must join via broadcast hash join —
+    never a shuffle of the (huge) candidate side on the shingle key."""
+    bench = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    cands = spark.createDataFrame([(2, "a b c x y")], "doc_id long, text string")
+    plan = (
+        decontamination_scores(cands, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
