@@ -293,3 +293,69 @@ def test_extract_image_features_real_png_decoder(spark):
     }
     assert (feats[1]["width"], feats[1]["height"], feats[1]["channels"]) == (9, 12, 3)
     assert (feats[2]["width"], feats[2]["height"], feats[2]["channels"]) == (20, 4, 1)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (views within 2h after a
+    purchase), drained with processAllAvailable, equals the same join
+    computed in batch — and the plan carries watermarks on BOTH sides."""
+    import shutil
+
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    src_dir = str(tmp_path / "events_src")
+    (tmp_path / "events_src").mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir)
+    batch_events = spark.read.parquet(src_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+    def streamed():
+        s = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    purchases = streamed().where(F.col("event_type") == "purchase")
+    views = streamed().where(F.col("event_type") == "view")
+    joined = stream_stream_interval_join(purchases, views)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("ssj_out")
+
+    bp = batch_events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    bv = batch_events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    )
+    expected = bp.join(
+        bv,
+        F.expr(
+            "p_user_id = v_user_id AND v_ts >= p_ts"
+            " AND v_ts <= p_ts + interval 2 hours"
+        ),
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user_id").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("v_ts").alias("v_ts_us"),
+        "view_value",
+    )
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

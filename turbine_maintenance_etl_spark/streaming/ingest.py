@@ -180,3 +180,53 @@ def stream_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    window: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every view within ``window`` AFTER a
+    purchase by the same user (the attribution-window shape). Both sides
+    carry watermarks, and the join condition bounds view.ts relative to
+    purchase.ts, so each side's state buffer evicts rows once the other
+    side's watermark passes the interval — bounded state, the ONLY way a
+    stream-stream join is safe on an unbounded stream (an unbounded
+    condition would buffer both streams forever).
+
+    Inputs must be STREAMING DataFrames with (user_id, event_id, ts,
+    value). Output grain: one row per (purchase, view-in-window) pair.
+    The batch twin of this semantics is ops/range_join.py — identical
+    results on a drained (availableNow) stream, differential-tested."""
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    return p.join(
+        v,
+        F.expr(
+            f"p_user_id = v_user_id AND v_ts >= p_ts AND v_ts <= p_ts + interval {window}"
+        ),
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user_id").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("v_ts").alias("v_ts_us"),
+        "view_value",
+    )
