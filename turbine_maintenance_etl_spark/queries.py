@@ -121,6 +121,7 @@ PRIORITY_ORDER: list[str] = [
     "text_decontamination",
     "pipeline_corpus_curation",
     "pipeline_chunk_embed_ann",
+    "pipeline_sequence_packing",
     "streaming_tumbling_window",
     "events_sliding_window",
     "dedup_exact_groups",

@@ -545,3 +545,58 @@ def pipeline_chunk_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         emb, queries, dim=64, k=3, id_col="cid", vec_col="embedding"
     )
+
+
+@register(
+    "pipeline_sequence_packing",
+    r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+    s AS (
+        SELECT doc_id, source, toks,
+               UNNEST(list_filter(generate_series(1, len(toks), 56),
+                                  st -> st = 1 OR st + 8 <= len(toks))) AS st
+        FROM t WHERE len(toks) > 0),
+    chunks AS (
+        SELECT source AS shard, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS BIGINT)
+                   AS chunk_id,
+               CAST(LEAST(64, len(toks) - st + 1) AS BIGINT) AS chunk_tokens
+        FROM s),
+    ordered AS (
+        SELECT shard, doc_id, chunk_id, chunk_tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, chunk_id) AS rn
+        FROM chunks),
+    packed AS (
+        SELECT shard, rn, doc_id, chunk_id, chunk_tokens,
+               CAST(1 AS BIGINT) AS seq_no, chunk_tokens AS filled
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.chunk_id, o.chunk_tokens,
+               CASE WHEN p.filled + o.chunk_tokens > 256
+                    THEN p.seq_no + 1 ELSE p.seq_no END,
+               CASE WHEN p.filled + o.chunk_tokens > 256
+                    THEN o.chunk_tokens ELSE p.filled + o.chunk_tokens END
+        FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1)
+    SELECT shard, doc_id, chunk_id, chunk_tokens, seq_no FROM packed
+    """,
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> contiguous-fill sequence packing per source shard
+    (llm/pack.py): a sequential-per-shard applyInPandas operator whose
+    exact output the oracle reproduces with a recursive CTE scan —
+    iterative Python logic, still value-checked row for row."""
+    from turbine_maintenance_etl_spark.llm.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(docs, chunk_tokens=64, overlap=8).join(
+        docs.select("doc_id", F.col("source").alias("shard")), "doc_id"
+    )
+    return pack_sequences(
+        chunks.select(
+            "shard", "doc_id", "chunk_id", F.col("chunk_tokens").cast("long").alias("chunk_tokens")
+        ),
+        max_tokens=256,
+    )
