@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "events_tumbling_window",
     "w_analytic_suite",
     "pipeline_corpus_curation",
+    "text_repetition_signals",
+    "text_decontamination",
+    "pipeline_sequence_packing",
     "j_asof_join",
     "j_range_join",
     "q18_large_orders",
