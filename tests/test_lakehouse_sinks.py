@@ -81,3 +81,56 @@ def test_range_clustered_files_have_disjoint_ranges(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2  # disjoint key ranges -> min/max pruning works
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout gives tight per-file min/max ranges on BOTH
+    cluster columns; lexicographic range-clustering only on the leading
+    one. Per-file parquet footer stats prove it: the trailing column's
+    mean per-file range must shrink materially under Z-order."""
+    import pyarrow.parquet as pq
+
+    from turbine_maintenance_etl_spark.io.sinks import (
+        write_range_clustered,
+        write_zordered,
+    )
+
+    df = (
+        spark.range(20_000)
+        .withColumn("x", (F.col("id") * 2654435761 % 1000003) % 1000)
+        .withColumn("y", (F.col("id") * 40503 % 999983) % 1000)
+        .select("id", "x", "y")
+    )
+    lex_dir, z_dir = str(tmp_path / "lex"), str(tmp_path / "zord")
+    write_range_clustered(df, lex_dir, ("x", "y"), num_files=16)
+    write_zordered(df, z_dir, ("x", "y"), num_files=16)
+
+    def mean_range(path, col):
+        import os
+
+        ranges = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                ranges.append(hi - lo)
+        assert ranges
+        return sum(ranges) / len(ranges)
+
+    # leading column: both layouts cluster it
+    assert mean_range(lex_dir, "x") < 400
+    assert mean_range(z_dir, "x") < 600
+    # trailing column: lexicographic leaves it unclustered (~full range),
+    # Z-order clusters it too
+    lex_y, z_y = mean_range(lex_dir, "y"), mean_range(z_dir, "y")
+    assert lex_y > 900, f"lex y unexpectedly clustered: {lex_y}"
+    assert z_y < 0.65 * lex_y, f"zorder y not clustered: {z_y} vs {lex_y}"
