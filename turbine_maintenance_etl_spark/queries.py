@@ -122,6 +122,7 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_corpus_curation",
     "pipeline_chunk_embed_ann",
     "pipeline_sequence_packing",
+    "curation_source_mix",
     "streaming_tumbling_window",
     "events_sliding_window",
     "dedup_exact_groups",

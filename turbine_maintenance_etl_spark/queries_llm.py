@@ -600,3 +600,38 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         max_tokens=256,
     )
+
+
+@register(
+    "curation_source_mix",
+    f"""
+    WITH t AS (
+        SELECT source, lang, len({_DUCK_TOKS}) AS n_tokens FROM documents)
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS mean_tokens,
+           ROUND(SUM(n_tokens) / CAST((SELECT SUM(n_tokens) FROM t) AS DOUBLE), 6)
+               AS token_share
+    FROM t GROUP BY source, lang
+    """,
+)
+def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture report: per (source, lang) document counts, token
+    mass, and share of the total token budget — the numbers that drive
+    sampling weights when assembling a training mix. One partial-agg
+    shuffle plus a broadcast of the single-row total (scalar subquery in
+    the oracle, cross-joined literal in Spark)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "lang", TX.token_count_expr("text").cast("bigint").alias("n_tokens")
+    )
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+    )
+    total = d.agg(F.sum("n_tokens").alias("_grand"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source", "lang", "n_docs", "total_tokens", "mean_tokens",
+        F.round(F.col("total_tokens") / F.col("_grand"), 6).alias("token_share"),
+    )
