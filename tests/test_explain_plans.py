@@ -189,3 +189,45 @@ def test_rolling_means_share_window_exec(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_aqe_splits_engineered_skew_join(spark):
+    """Runtime scale evidence: a join with one hot key (95% of rows)
+    must trigger AQE's skew-partition split in the FINAL adaptive plan
+    ('skew=true'), with thresholds lowered to make local data sizes
+    qualify. At 100 TB the default thresholds do the same job."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") < 285_000, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # bare join: AQE declines the skew split if a downstream stage
+        # (e.g. a groupBy on the join key) REQUIRES the join's hash
+        # partitioning — splitting would force a re-shuffle. collect()
+        # executes THIS DataFrame's queryExecution, so its adaptive plan
+        # is finalized (count() would spawn a separate one).
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

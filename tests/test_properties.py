@@ -136,3 +136,47 @@ def test_group_zscore_properties(spark, rows):
             z = grp["z_sensor2"]
             assert abs(z.mean()) < 1e-6
             assert abs((z**2).mean() - 1.0) < 1e-6
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "a", "#", "..."]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_repetition_signals_match_python_reference(spark, docs):
+    """Differential property test: the zero-shuffle expression pipeline
+    equals a direct Python computation on arbitrary token multisets."""
+    from collections import Counter
+
+    from turbine_maintenance_etl_spark.llm.quality import repetition_signals
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+
+    for i, toks in enumerate(docs):
+        r = got[i]
+        n = len(toks)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert r["n_words"] == n and r["n_bigrams"] == len(bgs)
+        if n == 0:
+            assert r["dup_word_frac"] is None
+            continue
+        assert r["dup_word_frac"] == round((n - len(set(toks))) / n, 4)
+        assert r["mean_word_len"] == round(sum(map(len, toks)) / n, 4)
+        text = " ".join(toks)
+        n_sym = text.count("#") + text.count("...")
+        assert r["symbol_word_ratio"] == round(n_sym / n, 4)
+        if bgs:
+            c = Counter(bgs)
+            assert r["top_bigram_frac"] == round(max(c.values()) / len(bgs), 4)
+            assert r["dup_bigram_frac"] == round(
+                (len(bgs) - len(c)) / len(bgs), 4
+            )
+        else:
+            assert r["top_bigram_frac"] is None
