@@ -102,3 +102,16 @@ def test_decontamination_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_pathological_giant_doc(spark):
+    """Scale guard: one 200k-token document must compute in-row without
+    blowup (the zero-shuffle design claims O(B log B) per row — a giant
+    row is the worst case, not a wide corpus)."""
+    words = ["w%d" % (i % 50_000) for i in range(200_000)] + ["hot", "pair"] * 500
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    r = repetition_signals(df).collect()[0]
+    assert r["n_words"] == 201_000
+    assert r["n_bigrams"] == 200_999
+    # 'hot pair' occurs 500x, 'pair hot' 499x; every other bigram ≤ 4x
+    assert r["top_bigram_frac"] == round(500 / 200_999, 4)
