@@ -359,3 +359,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def _encode_wav(samples, rate=8000, bits=16, channels=1):
+    """Minimal PCM WAV writer for tests (float samples in [-1, 1])."""
+    import struct
+
+    if bits == 16:
+        import numpy as np
+
+        raw = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+    else:
+        import numpy as np
+
+        raw = ((np.asarray(samples) * 127) + 128).astype("u1").tobytes()
+    byte_rate = rate * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * bits // 8, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+
+
+def test_wav_decode_round_trip():
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import decode_wav_samples
+
+    t = np.arange(800) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_wav_samples(_encode_wav(sig))
+    assert rate == 8000 and samples.shape == (800, 1)
+    assert abs(float(np.abs(samples[:, 0]).max()) - 0.5) < 0.01
+    # 8-bit path
+    s8, _ = decode_wav_samples(_encode_wav(sig, bits=8))
+    assert abs(float(np.abs(s8[:, 0]).max()) - 0.5) < 0.02
+
+
+def test_extract_audio_features_real_wav_decoder(spark):
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import extract_audio_features
+
+    t = np.arange(1600) / 8000.0
+    rows = [
+        (1, bytearray(_encode_wav(0.5 * np.sin(2 * np.pi * 440 * t)))),
+        (2, bytearray(_encode_wav(np.zeros(400)))),   # silence
+        (3, bytearray(b"not audio at all")),           # poison pill -> NULLs
+        (4, None),                                     # missing media
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 1
+    assert abs(got[1]["duration_s"] - 0.2) < 1e-6
+    assert abs(got[1]["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
+    assert got[3]["sample_rate"] is None and got[4]["sample_rate"] is None

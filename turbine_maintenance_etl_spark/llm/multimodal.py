@@ -168,3 +168,86 @@ def sample_frames(
     """Frame-sampling for video tables keyed (video_id, frame_idx):
     keep every Nth frame — a pure filter, prunable at scan time."""
     return df.filter(F.col(frame_col) % every_nth == 0)
+
+
+# --- Audio: real WAV (RIFF/PCM) decode, stdlib-only like the PNG path ---
+
+_WAV_SIG = b"RIFF"
+
+
+def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python WAV decode to (samples float32 in [-1, 1] shaped
+    (n_frames, n_channels), sample_rate). Supports PCM 8/16-bit — the
+    overwhelmingly common cases; anything else raises (honest partial
+    decoder, same policy as decode_png_pixels)."""
+    import struct
+
+    if len(data) < 44 or not data.startswith(_WAV_SIG) or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE byte stream")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_fmt, n_channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} unsupported")
+    if bits == 16:
+        x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2").astype(
+            np.float32
+        ) / 32768.0
+    else:  # 8-bit WAV is unsigned, biased at 128
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    n_frames = len(x) // n_channels
+    return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def extract_audio_features(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WAV decode + feature extraction as Arrow-batched mapInPandas:
+    (id, bytes) -> (id, sample_rate, n_channels, duration_s, rms, peak).
+    Same batching/schema discipline as extract_image_features; rows that
+    fail to decode surface NULL features instead of failing the batch
+    (bad media is routine at corpus scale — poison-pill rows must not
+    kill the job)."""
+    schema = (
+        f"{id_col} bigint, sample_rate int, n_channels int, "
+        "duration_s double, rms double, peak double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                out = {id_col: r[id_col], "sample_rate": None, "n_channels": None,
+                       "duration_s": None, "rms": None, "peak": None}
+                try:
+                    samples, rate = decode_wav_samples(
+                        bytes(r[binary_col]) if r[binary_col] is not None else b""
+                    )
+                    mono = samples.mean(axis=1)
+                    out.update(
+                        sample_rate=rate,
+                        n_channels=samples.shape[1],
+                        duration_s=round(samples.shape[0] / rate, 6),
+                        rms=round(float(np.sqrt(np.mean(mono**2))), 6) if len(mono) else 0.0,
+                        peak=round(float(np.abs(mono).max()), 6) if len(mono) else 0.0,
+                    )
+                except (ValueError, NotImplementedError):
+                    pass
+                rows.append(out)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_channels", "duration_s", "rms", "peak"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
