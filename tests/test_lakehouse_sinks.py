@@ -134,3 +134,21 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     lex_y, z_y = mean_range(lex_dir, "y"), mean_range(z_dir, "y")
     assert lex_y > 900, f"lex y unexpectedly clustered: {lex_y}"
     assert z_y < 0.65 * lex_y, f"zorder y not clustered: {z_y} vs {lex_y}"
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appends with a widened schema coexist in one table: mergeSchema
+    unions the footers, old files surface NULL for new columns — the
+    lakehouse schema-evolution contract (no table rewrite)."""
+    path = str(tmp_path / "evolving")
+    spark.range(10).select(F.col("id"), F.lit("x").alias("tag")).write.parquet(path)
+    (
+        spark.range(10, 20)
+        .select(F.col("id"), F.lit("y").alias("tag"), F.lit(1.5).alias("score"))
+        .write.mode("append").parquet(path)
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "tag", "score"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("score").isNull()).count() == 10
+    assert merged.filter(F.col("score") == 1.5).count() == 10
