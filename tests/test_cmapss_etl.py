@@ -199,3 +199,35 @@ def test_coercion_holds_under_ansi_on(spark, tmp_path):
         assert row["unit_nr"] == 1 and row["sensor21"] is None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """The curate subcommand: documents parquet in -> curated chunk +
+    packed-sequence tables out, with a JSON stats line on stdout."""
+    import contextlib
+    import io
+    import json
+
+    from tests.conftest import SF_DIR
+    from turbine_maintenance_etl_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            [
+                "curate",
+                "--input", f"{SF_DIR}/documents.parquet",
+                "--output", out,
+                "--max-seq-tokens", "128",
+            ]
+        )
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["input_docs"] == 500
+    assert 0 < stats["curated_chunks"] <= stats["input_docs"] * 3
+    assert 0 < stats["packed_sequences"] < stats["curated_chunks"]
+    chunks = spark.read.parquet(stats["chunks_path"])
+    packed = spark.read.parquet(stats["packed_path"])
+    assert chunks.count() == stats["curated_chunks"]
+    assert packed.count() == chunks.count()  # same grain: one row per chunk

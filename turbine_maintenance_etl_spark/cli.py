@@ -30,6 +30,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the benchmark suite")
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="LLM corpus curation: quality gate -> dedup -> chunk -> pack",
+    )
+    p_cur.add_argument("--input", required=True, help="documents parquet path")
+    p_cur.add_argument("--output", required=True, help="curated output dir")
+    p_cur.add_argument("--chunk-tokens", type=int, default=64)
+    p_cur.add_argument("--overlap", type=int, default=8)
+    p_cur.add_argument("--max-seq-tokens", type=int, default=256)
+    p_cur.add_argument("--shard-col", default="source")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "bench":
@@ -39,9 +50,53 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from turbine_maintenance_etl_spark import get_spark
-    from turbine_maintenance_etl_spark.pipeline import EtlConfig, run_etl
 
     spark = get_spark(app_name=f"turbine-etl-{args.cmd}")
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from turbine_maintenance_etl_spark.llm.curation import curate_corpus
+        from turbine_maintenance_etl_spark.llm.pack import pack_sequences
+
+        docs = spark.read.parquet(args.input)
+        chunks = curate_corpus(
+            docs, chunk_tokens=args.chunk_tokens, overlap=args.overlap
+        )
+        if args.shard_col in docs.columns:
+            chunks = chunks.join(
+                docs.select("doc_id", F.col(args.shard_col).alias("shard")), "doc_id"
+            )
+        else:
+            chunks = chunks.withColumn("shard", F.lit("all"))
+        packed = pack_sequences(
+            chunks.select(
+                "shard", "doc_id", "chunk_id",
+                F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+            ),
+            max_tokens=args.max_seq_tokens,
+        )
+        out_chunks = f"{args.output}/chunks"
+        out_packed = f"{args.output}/packed"
+        chunks.write.mode("overwrite").parquet(out_chunks)
+        packed.write.mode("overwrite").parquet(out_packed)
+        n_chunks = spark.read.parquet(out_chunks).count()
+        seqs = spark.read.parquet(out_packed).groupBy("shard", "seq_no").count()
+        print(
+            json.dumps(
+                {
+                    "input_docs": docs.count(),
+                    "curated_chunks": n_chunks,
+                    "packed_sequences": seqs.count(),
+                    "chunks_path": out_chunks,
+                    "packed_path": out_packed,
+                }
+            )
+        )
+        return 0
+
+    from turbine_maintenance_etl_spark.pipeline import EtlConfig, run_etl
+
     cfg = EtlConfig.from_yaml(args.config)
 
     if args.cmd == "etl":
