@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import make_cmapss_pdf
+from tests.conftest import SF_DIR, make_cmapss_pdf
 from turbine_maintenance_etl_spark.features.engine import build_features
 from turbine_maintenance_etl_spark.ops.grouped_map import grouped_map_zscore
 from turbine_maintenance_etl_spark.ops.skew import salted_groupby_agg
@@ -262,3 +262,39 @@ def test_weighted_sample_bias_and_plan(spark):
         [(1, 0.0), (2, -5.0), (3, 1.0)], "doc_id int, w double"
     )
     assert {r["doc_id"] for r in weighted_sample(withzero, "w", 3, "doc_id").collect()} == {3}
+
+
+def test_incremental_agg_matches_full_recompute(spark, tmp_path):
+    """Two batches folded incrementally == one aggregation over all the
+    data; replaying a batch_id is a no-op (ledger-idempotent)."""
+    from turbine_maintenance_etl_spark.ops.incremental import merge_incremental_agg
+
+    state = str(tmp_path / "rollup")
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    b1 = e.filter(F.col("event_id") % 2 == 0)
+    b2 = e.filter(F.col("event_id") % 2 == 1)
+    aggs = {
+        "n": ("count", "value"),
+        "total": ("sum", "value"),
+        "vmax": ("max", "value"),
+    }
+    merge_incremental_agg(spark, state, b1, "batch-1", ["event_type"], aggs)
+    merged = merge_incremental_agg(spark, state, b2, "batch-2", ["event_type"], aggs)
+
+    full = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("total"),
+        F.max("value").alias("vmax"),
+    )
+    got = {r["event_type"]: r for r in merged.collect()}
+    for r in full.collect():
+        g = got[r["event_type"]]
+        assert g["n"] == r["n"]
+        assert abs(g["total"] - r["total"]) < 1e-6
+        assert g["vmax"] == r["vmax"]
+
+    # replay batch-2: state must not change (no double counting)
+    replayed = merge_incremental_agg(spark, state, b2, "batch-2", ["event_type"], aggs)
+    again = {r["event_type"]: r for r in replayed.collect()}
+    for k, g in got.items():
+        assert again[k]["n"] == g["n"] and abs(again[k]["total"] - g["total"]) < 1e-6
