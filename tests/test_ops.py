@@ -298,3 +298,49 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_path):
     again = {r["event_type"]: r for r in replayed.collect()}
     for k, g in got.items():
         assert again[k]["n"] == g["n"] and abs(again[k]["total"] - g["total"]) < 1e-6
+
+
+def test_scd2_merge_hand_computed(spark):
+    """SCD2: change closes + reopens, no-op passes through, new key
+    inserts, and the as-of slice reconstructs any point in time."""
+    from turbine_maintenance_etl_spark.ops.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_bootstrap,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "bronze", 10), (2, "silver", 10)],
+        "cust long, tier string, ts long",
+    )
+    dim = scd2_bootstrap(snap, ["cust"], ["tier"], "ts")
+
+    updates = spark.createDataFrame(
+        [
+            (1, "gold", 20),     # real change
+            (2, "silver", 20),   # no-op
+            (3, "bronze", 20),   # new key
+            (1, "silver", 15),   # stale earlier update, superseded in batch
+        ],
+        "cust long, tier string, ts long",
+    )
+    out = scd2_apply(dim, updates, ["cust"], ["tier"], "ts")
+    rows = {(r["cust"], r["tier"], r["is_current"]): r for r in out.collect()}
+
+    assert len(rows) == 4
+    closed = rows[(1, "bronze", False)]
+    assert closed["valid_from"] == 10 and closed["valid_to"] == 20
+    assert rows[(1, "gold", True)]["valid_from"] == 20
+    assert rows[(2, "silver", True)]["valid_from"] == 10  # untouched
+    assert rows[(3, "bronze", True)]["valid_from"] == 20
+
+    # point-in-time reconstruction
+    at15 = {(r["cust"], r["tier"]) for r in scd2_as_of(out, 15).collect()}
+    assert at15 == {(1, "bronze"), (2, "silver")}
+    at25 = {(r["cust"], r["tier"]) for r in scd2_as_of(out, 25).collect()}
+    assert at25 == {(1, "gold"), (2, "silver"), (3, "bronze")}
+
+    # idempotence: re-applying the same batch changes nothing
+    again = scd2_apply(out, updates, ["cust"], ["tier"], "ts")
+    assert again.count() == out.count()
+    assert again.exceptAll(out).count() == 0

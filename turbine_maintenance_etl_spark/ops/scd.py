@@ -1,0 +1,117 @@
+"""SCD Type-2 merge: maintain a dimension table with full change
+history (valid_from / valid_to / is_current) from change batches —
+the warehouse pattern behind every "as of" lookup, expressed as plain
+DataFrame ops (no engine MERGE needed).
+
+Scale shape: one window over the update batch (latest change per key),
+one key-shuffle join of updates against the CURRENT slice only (open
+rows ≈ key cardinality, usually broadcastable — history rows never
+join), then a union. History rows pass through untouched, so the cost
+is proportional to the update batch + open set, not to accumulated
+history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apply a change batch to an SCD2 dimension.
+
+    ``dim`` columns: key_cols + tracked_cols + (valid_from, valid_to,
+    is_current). ``updates`` columns: key_cols + tracked_cols + ts_col.
+    If several updates share a key, only the latest (by ts, then
+    tracked-column tie-break) applies — batch grain is one effective
+    change per key, the standard daily-merge contract.
+
+    Rules: a genuinely changed key closes its open row (valid_to = the
+    update's ts) and opens a new one; an unseen key inserts an open
+    row; a no-op update (tracked values equal) leaves the dimension
+    untouched."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(ts_col), *[F.desc(c) for c in tracked_cols]
+    )
+    latest = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    open_rows = dim.filter(F.col("is_current"))
+    history = dim.filter(~F.col("is_current"))
+
+    upd = latest.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+        F.col(ts_col).alias("_u_ts"),
+    )
+    cond = [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in key_cols]
+    joined = open_rows.join(upd, cond, "full_outer")
+
+    same = None
+    for c in tracked_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+        same = eq if same is None else (same & eq)
+
+    has_dim = F.col("valid_from").isNotNull()
+    has_upd = F.col("_u_ts").isNotNull()
+
+    # open rows with no update, or a no-op update: unchanged
+    untouched = joined.filter(has_dim & (~has_upd | same)).select(*dim.columns)
+    # open rows with a real change: close them at the update timestamp
+    closed = (
+        joined.filter(has_dim & has_upd & ~same)
+        .select(
+            *key_cols, *tracked_cols, "valid_from",
+            F.col("_u_ts").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    # real changes + brand-new keys: open a fresh row
+    opened = (
+        joined.filter(has_upd & (~has_dim | ~same))
+        .select(
+            *[F.col(f"_u_{c}").alias(c) for c in key_cols],
+            *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
+            F.col("_u_ts").alias("valid_from"),
+            F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return (
+        history.unionByName(untouched)
+        .unionByName(closed.select(*dim.columns))
+        .unionByName(opened.select(*dim.columns))
+    )
+
+
+def scd2_bootstrap(
+    snapshot: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Turn an initial snapshot into an SCD2 dimension (all rows open)."""
+    return snapshot.select(
+        *key_cols, *tracked_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lit(None).cast(snapshot.schema[ts_col].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
+    """Point-in-time slice: the version of every key valid at ``ts``."""
+    t = F.lit(ts)
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
