@@ -344,3 +344,21 @@ def test_scd2_merge_hand_computed(spark):
     again = scd2_apply(out, updates, ["cust"], ["tier"], "ts")
     assert again.count() == out.count()
     assert again.exceptAll(out).count() == 0
+
+
+def test_scd2_stale_update_is_ignored(spark):
+    """An out-of-order update older than the open row's valid_from must
+    be a no-op — applying it would mint a corrupt interval
+    (valid_to <= valid_from)."""
+    from turbine_maintenance_etl_spark.ops.scd import scd2_apply, scd2_bootstrap
+
+    snap = spark.createDataFrame([(1, "gold", 20)], "cust long, tier string, ts long")
+    dim = scd2_bootstrap(snap, ["cust"], ["tier"], "ts")
+    stale = spark.createDataFrame(
+        [(1, "bronze", 10)], "cust long, tier string, ts long"
+    )
+    out = scd2_apply(dim, stale, ["cust"], ["tier"], "ts")
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tier"] == "gold" and r["is_current"] and r["valid_to"] is None

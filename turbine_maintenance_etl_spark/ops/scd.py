@@ -63,21 +63,27 @@ def scd2_apply(
 
     has_dim = F.col("valid_from").isNotNull()
     has_upd = F.col("_u_ts").isNotNull()
+    # stale guard: an update not strictly newer than the open row's
+    # valid_from is already superseded — applying it would produce a
+    # corrupt interval (valid_to <= valid_from). Treat it as a no-op.
+    fresh = F.col("_u_ts") > F.col("valid_from")
 
-    # open rows with no update, or a no-op update: unchanged
-    untouched = joined.filter(has_dim & (~has_upd | same)).select(*dim.columns)
-    # open rows with a real change: close them at the update timestamp
+    # open rows with no update, a no-op update, or a stale update: unchanged
+    untouched = joined.filter(has_dim & (~has_upd | same | ~fresh)).select(
+        *dim.columns
+    )
+    # open rows with a real, fresh change: close them at the update timestamp
     closed = (
-        joined.filter(has_dim & has_upd & ~same)
+        joined.filter(has_dim & has_upd & ~same & fresh)
         .select(
             *key_cols, *tracked_cols, "valid_from",
             F.col("_u_ts").alias("valid_to"),
             F.lit(False).alias("is_current"),
         )
     )
-    # real changes + brand-new keys: open a fresh row
+    # real fresh changes + brand-new keys: open a fresh row
     opened = (
-        joined.filter(has_upd & (~has_dim | ~same))
+        joined.filter(has_upd & (~has_dim | (~same & fresh)))
         .select(
             *[F.col(f"_u_{c}").alias(c) for c in key_cols],
             *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
