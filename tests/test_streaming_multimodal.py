@@ -416,3 +416,27 @@ def test_extract_audio_features_real_wav_decoder(spark):
     assert abs(got[1]["rms"] - 0.5 / np.sqrt(2)) < 0.01
     assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
     assert got[3]["sample_rate"] is None and got[4]["sample_rate"] is None
+
+
+def test_wav_zero_channel_header_is_poison_not_crash(spark):
+    """A crafted fmt chunk declaring 0 channels / 0 rate must surface
+    NULL features (ValueError path), never ZeroDivisionError."""
+    import struct
+
+    from turbine_maintenance_etl_spark.llm.multimodal import extract_audio_features
+
+    def bad_wav(channels, rate):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, 8, 2, 16)
+        raw = b"\x00\x00" * 4
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_wav(0, 8000))), (2, bytearray(bad_wav(1, 0)))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+    assert got[1]["sample_rate"] is None and got[2]["sample_rate"] is None

@@ -180,9 +180,11 @@ def zorder_expr(
     expressions."""
     n_buckets = 1 << bits_per_dim
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE sample pass computes every column's cutpoints (per-column
+    # approxQuantile calls would scan df once per dimension)
+    all_cuts = df.stat.approxQuantile(list(cols), probs, 0.01)
     bucketized: list[Column] = []
-    for c in cols:
-        cuts = df.stat.approxQuantile(c, probs, 0.01)
+    for c, cuts in zip(cols, all_cuts):
         # strictly increasing cutpoints (duplicate quantiles collapse)
         uniq: list[float] = []
         for v in cuts:

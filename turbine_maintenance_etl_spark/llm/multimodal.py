@@ -198,6 +198,10 @@ def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, n_channels, sample_rate, _, _, bits = fmt
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} unsupported")
+    if n_channels <= 0 or sample_rate <= 0:
+        # crafted/corrupt headers must raise ValueError (caught by the
+        # poison-pill path), never divide by zero downstream
+        raise ValueError(f"bad WAV header: channels={n_channels} rate={sample_rate}")
     if bits == 16:
         x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2").astype(
             np.float32

@@ -22,6 +22,24 @@ _MERGES = {
 }
 
 
+def partial_agg_exprs(
+    aggs: dict[str, tuple[str, str]], prefix: str = ""
+) -> list[Column]:
+    """Partial (map-side) expressions for a decomposable-aggregate spec
+    ``out -> (fn, col)`` with fn in _MERGES; raises on anything that
+    can't be merged associatively. Shared by the skew-salted and
+    incremental-maintenance operators so the decomposability contract
+    lives in one place."""
+    unsupported = {fn for fn, _ in aggs.values()} - set(_MERGES)
+    if unsupported:
+        raise ValueError(f"non-decomposable aggregates: {unsupported}")
+    exprs: list[Column] = []
+    for out, (fn, col) in aggs.items():
+        expr = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        exprs.append(expr.alias(f"{prefix}{out}"))
+    return exprs
+
+
 def salted_groupby_agg(
     df: DataFrame,
     group_cols: list[str],
@@ -35,16 +53,10 @@ def salted_groupby_agg(
     split across ``salt_factor`` reducers; stage 2 merges partials by
     key. The salt is random-per-row but the result is exact because
     every aggregate is associative."""
-    unsupported = {f for f, _ in aggs.values()} - set(_MERGES)
-    if unsupported:
-        raise ValueError(f"non-decomposable aggregates: {unsupported}")
-
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_factor).cast("int"))
-    partial_exprs: list[Column] = []
-    for out, (fn, col) in aggs.items():
-        expr = F.count(col) if fn == "count" else getattr(F, fn)(col)
-        partial_exprs.append(expr.alias(f"_p_{out}"))
-    partials = salted.groupBy(*group_cols, "_salt").agg(*partial_exprs)
+    partials = salted.groupBy(*group_cols, "_salt").agg(
+        *partial_agg_exprs(aggs, prefix="_p_")
+    )
     merge_exprs = [
         _MERGES[fn](f"_p_{out}").alias(out) for out, (fn, _) in aggs.items()
     ]
