@@ -123,6 +123,7 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_chunk_embed_ann",
     "pipeline_sequence_packing",
     "curation_source_mix",
+    "scd2_event_tier_history",
     "streaming_tumbling_window",
     "events_sliding_window",
     "dedup_exact_groups",

@@ -880,3 +880,56 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "n_chars", 50, "doc_id")
+
+
+@register(
+    "scd2_event_tier_history",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type AS tier, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn_f,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) AS rn_l
+        FROM events
+    ),
+    firsts AS (SELECT user_id, tier, ts_us FROM ranked WHERE rn_f = 1),
+    lasts  AS (SELECT user_id, tier, ts_us FROM ranked WHERE rn_l = 1)
+    SELECT f.user_id, f.tier,
+           f.ts_us AS valid_from_us, l.ts_us AS valid_to_us, FALSE AS is_current
+    FROM firsts f JOIN lasts l ON f.user_id = l.user_id
+    WHERE f.tier <> l.tier AND l.ts_us > f.ts_us
+    UNION ALL
+    SELECT l.user_id, l.tier,
+           CASE WHEN f.tier <> l.tier AND l.ts_us > f.ts_us
+                THEN l.ts_us ELSE f.ts_us END AS valid_from_us,
+           CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current
+    FROM lasts l JOIN firsts f ON f.user_id = l.user_id
+    """,
+)
+def scd2_event_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (ops/scd.py) exercised on a deterministic scenario:
+    bootstrap each user's dimension from their FIRST event's type, then
+    apply their LAST event as the change batch — changed users get a
+    closed row + an open row, unchanged users keep one open row, and
+    the stale-update guard is live (last.ts == first.ts cannot close).
+    The oracle reconstructs the identical history relationally."""
+    from pyspark.sql import Window as W
+
+    from turbine_maintenance_etl_spark.ops.scd import scd2_apply, scd2_bootstrap
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("tier"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w_f = W.partitionBy("user_id").orderBy("ts_us", "tier")
+    w_l = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("tier"))
+    first = e.withColumn("rn", F.row_number().over(w_f)).filter("rn = 1").drop("rn")
+    last = e.withColumn("rn", F.row_number().over(w_l)).filter("rn = 1").drop("rn")
+    dim = scd2_bootstrap(first, ["user_id"], ["tier"], "ts_us")
+    out = scd2_apply(dim, last, ["user_id"], ["tier"], "ts_us")
+    return out.select(
+        "user_id", "tier",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
