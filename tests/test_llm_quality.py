@@ -115,3 +115,19 @@ def test_repetition_signals_pathological_giant_doc(spark):
     assert r["n_bigrams"] == 200_999
     # 'hot pair' occurs 500x, 'pair hot' 499x; every other bigram ≤ 4x
     assert r["top_bigram_frac"] == round(500 / 200_999, 4)
+
+
+def test_redact_pii_hand_computed(spark):
+    from turbine_maintenance_etl_spark.llm.quality import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x-y.co.uk and call 555 0142 or 555-9999"),
+        (2, "no pii here"),
+        (3, "double jane@a.io joe@b.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 2
+    assert got[1]["redacted"] == "mail <EMAIL> and call <PHONE> or <PHONE>"
+    assert got[2]["n_emails"] == 0 and got[2]["redacted"] == "no pii here"
+    assert got[3]["n_emails"] == 2 and got[3]["redacted"] == "double <EMAIL> <EMAIL>"

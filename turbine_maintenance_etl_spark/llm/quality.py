@@ -161,3 +161,29 @@ def decontamination_scores(
         .cast("bigint")
         .alias("flagged"),
     )
+
+
+# PII patterns: portable between Java regex (Spark) and RE2 (DuckDB) —
+# no backrefs, no lookaround, \b and bounded quantifiers only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails and phone-shaped numbers from a text column —
+    the minimal PII pass every training corpus gets before release.
+    Pure regexp expressions (codegen, zero shuffle); adds counts so the
+    redaction rate is auditable per document."""
+    c = F.col(text_col)
+    return df.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    ).withColumn(
+        "n_phones", F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+    ).withColumn(
+        out_col,
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+    )

@@ -119,6 +119,7 @@ PRIORITY_ORDER: list[str] = [
     "text_chunking",
     "text_repetition_signals",
     "text_decontamination",
+    "text_pii_redaction",
     "pipeline_corpus_curation",
     "pipeline_chunk_embed_ann",
     "pipeline_sequence_packing",

@@ -635,3 +635,52 @@ def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", "n_docs", "total_tokens", "mean_tokens",
         F.round(F.col("total_tokens") / F.col("_grand"), 6).alias("token_share"),
     )
+
+
+@register(
+    "text_pii_redaction",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-01' || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   AS text
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{3}[- ]\d{4}\b')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{3}[- ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (llm/quality.py:redact_pii) proven end to end: every
+    document gets a deterministic synthetic email + phone injected
+    (derived from doc_id), then both engines must agree on the
+    extraction counts AND the md5 of the fully redacted text — an exact
+    cross-engine check of the regex semantics, not just row counts."""
+    from turbine_maintenance_etl_spark.llm.quality import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(d)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
