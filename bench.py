@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "j_range_join",
     "q18_large_orders",
     "text_tfidf_top_terms",
+    "curation_temperature_mix",
 ]
 
 

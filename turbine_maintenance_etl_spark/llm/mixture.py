@@ -1,0 +1,209 @@
+"""Temperature-weighted corpus mixture sampling and hash-sharded export
+— the step that turns per-source statistics (``curation_source_mix``)
+into an actual assembled training mix, plus the final shard writer.
+
+Mirrors the standard LLM-corpus recipe (The Pile / Gopher / LLaMA data
+mixes): source *s* with token mass ``T_s`` receives sampling weight
+``w_s ∝ T_s^alpha`` — ``alpha=1`` reproduces natural proportions,
+``alpha=0`` forces a uniform mix, and intermediate temperatures
+up-weight small high-quality sources without letting any single crawl
+dominate. The per-source token budget is ``w_s / Σw · token_budget``.
+
+Two selection strategies with identical semantics at the budget level:
+
+* ``sample_temperature_mixture`` — EXACT: documents are ordered by a
+  deterministic 60-bit md5 priority hash and taken greedily until the
+  source budget is exhausted. One tiny aggregate (per-source token
+  mass, broadcast back) + ONE shuffle of the corpus (by source, for
+  the per-source running-sum window). Reproducible across engines,
+  runs, and cluster layouts — this is the oracle-checkable path.
+* ``sample_temperature_mixture_approx`` — SCALE: keep a document iff
+  ``priority_hash < keep_frac · 2^60`` with
+  ``keep_frac = budget_s / T_s``. After the same tiny broadcast this
+  is a narrow map-only filter — NO corpus shuffle at all, so at
+  100 TB it runs at scan speed; kept token mass converges to the
+  budget by hash uniformity (law of large numbers). Same priority
+  hash, so the approx selection is a superset/subset-stable cousin
+  of the exact one (both prefer low-hash docs).
+
+Sharded export: ``shard = priority_hash mod n_shards`` is
+embarrassingly parallel (no global sort, no ntile window — a global
+ORDER BY is exactly what an export job must avoid at 100 TB); token
+balance across shards follows from hash uniformity, verified by the
+``export_hash_shards`` oracle entry and a skew test. The writer
+repartitions BY the shard column so each output directory is written
+by the tasks that own that shard — one wide exchange, then
+partition-pruned reads for downstream trainers.
+
+Reference analog: the reference ETL materializes one monolithic
+training table (scripts/etl_pipeline.py write step); sharded,
+mixture-weighted export is the 100 TB-scale generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from turbine_maintenance_etl_spark.llm.text import token_count_expr
+
+#: priority hashes are 60-bit (15 md5 hex chars) — chosen because the
+#: fold is portable to engines without a hex→decimal conv (see the
+#: DuckDB oracle), and 2^60 fits comfortably in a signed int64.
+HASH_SPACE = 1 << 60
+
+
+def priority_hash(id_col: str | Column, salt: str = "mix") -> Column:
+    """Deterministic 60-bit priority in [0, 2^60): md5 of the id plus a
+    salt, so independent operators (mixture vs sharding) see
+    independent orderings of the same corpus."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    s = F.concat(c.cast("string"), F.lit("|" + salt))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def source_token_budgets(
+    docs: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token budgets under temperature ``alpha``:
+    ``budget_s = round(T_s^alpha / Σ T^alpha · token_budget)``.
+
+    Returns a tiny (one row per source) DataFrame — always broadcast
+    it back onto the corpus. ``alpha=0.5`` uses ``sqrt`` explicitly:
+    IEEE-754 requires sqrt to be correctly rounded, so the weights are
+    bit-identical across engines, which ``pow`` does not guarantee."""
+    tok = token_count_expr(text_col).cast("double")
+    per = docs.groupBy(source_col).agg(F.sum(tok).alias("src_tokens"))
+    if alpha == 0.5:
+        w = F.sqrt("src_tokens")
+    elif alpha == 0.0:
+        w = F.lit(1.0)
+    elif alpha == 1.0:
+        w = F.col("src_tokens")
+    else:
+        w = F.pow("src_tokens", F.lit(float(alpha)))
+    powed = per.select(source_col, F.col("src_tokens"), w.alias("_w"))
+    total = powed.agg(F.sum("_w").alias("_tw"))
+    return powed.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.col("src_tokens").cast("bigint").alias("src_tokens"),
+        F.round(F.col("_w") / F.col("_tw") * F.lit(float(token_budget)))
+        .cast("bigint")
+        .alias("token_budget"),
+    )
+
+
+def sample_temperature_mixture(
+    docs: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """EXACT mixture sample: per source, take documents in priority-hash
+    order while the running token total BEFORE the document is still
+    under the source budget (so any source with a positive budget
+    contributes at least one document, and the mix overshoots each
+    budget by at most one document).
+
+    Output: the selected documents (id, source, n_tokens). Plan shape:
+    tiny per-source agg → broadcast join → one shuffle by source for
+    the running-sum window. Sources are assumed far fewer than
+    partitions; a pathologically huge single source serializes its own
+    window partition — switch to the approx variant there."""
+    budgets = source_token_budgets(docs, token_budget, alpha, source_col, text_col)
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
+        priority_hash(id_col, salt).alias("_pri"),
+    )
+    joined = d.join(F.broadcast(budgets.drop("src_tokens")), source_col)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        joined.withColumn("_cum", cum)
+        .filter(F.col("_cum") - F.col("n_tokens") < F.col("token_budget"))
+        .select(id_col, source_col, "n_tokens")
+    )
+
+
+def sample_temperature_mixture_approx(
+    docs: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """SCALE mixture sample: hash-threshold filter, no corpus shuffle.
+    Keeps ``priority_hash < (budget_s / T_s) · 2^60`` (capped at 1),
+    so expected kept token mass per source equals the budget. The
+    whole corpus is touched by exactly one narrow map — at 100 TB this
+    is the difference between a scan and a sort."""
+    budgets = source_token_budgets(docs, token_budget, alpha, source_col, text_col)
+    frac = F.least(
+        F.col("token_budget").cast("double") / F.col("src_tokens"), F.lit(1.0)
+    )
+    thresholds = budgets.select(
+        source_col,
+        (frac * F.lit(float(HASH_SPACE))).cast("bigint").alias("_cut"),
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
+        priority_hash(id_col, salt).alias("_pri"),
+    )
+    return (
+        d.join(F.broadcast(thresholds), source_col)
+        .filter(F.col("_pri") < F.col("_cut"))
+        .select(id_col, source_col, "n_tokens")
+    )
+
+
+def assign_hash_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment: ``priority_hash mod n_shards``.
+    Map-only; shard sizes concentrate around total/n by hash
+    uniformity (no sort, no ntile — nothing global)."""
+    return df.withColumn(
+        out_col, F.pmod(priority_hash(id_col, salt), F.lit(n_shards)).cast("bigint")
+    )
+
+
+def write_hash_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """Sharded training-data export: one exchange hash-partitioned on
+    the shard id, then ``partitionBy(shard)`` so every output directory
+    is written by the tasks owning that shard and trainers get
+    partition-pruned reads of ``shard=K/``."""
+    sharded = assign_hash_shards(df, n_shards, id_col, salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -124,6 +124,8 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_chunk_embed_ann",
     "pipeline_sequence_packing",
     "curation_source_mix",
+    "curation_temperature_mix",
+    "export_hash_shards",
     "scd2_event_tier_history",
     "streaming_tumbling_window",
     "events_sliding_window",

@@ -684,3 +684,84 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phones").cast("bigint").alias("n_phones"),
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+_DUCK_PRI_MIX = _DUCK_HASH64.format(s="concat(CAST(doc_id AS VARCHAR), '|mix')")
+_DUCK_PRI_SHARD = _DUCK_HASH64.format(s="concat(CAST(doc_id AS VARCHAR), '|shard')")
+
+
+@register(
+    "curation_temperature_mix",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               {_DUCK_PRI_MIX} AS pri
+        FROM documents),
+    s AS (SELECT source, SUM(CAST(n_tokens AS DOUBLE)) AS src_tokens
+          FROM d GROUP BY source),
+    b AS (SELECT source,
+                 CAST(ROUND(sqrt(src_tokens)
+                            / (SELECT SUM(sqrt(src_tokens)) FROM s)
+                            * 8000.0) AS BIGINT) AS budget
+          FROM s),
+    r AS (SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+                 SUM(d.n_tokens) OVER (PARTITION BY d.source
+                                       ORDER BY d.pri, d.doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS cum
+          FROM d JOIN b USING (source))
+    SELECT doc_id, source, n_tokens FROM r WHERE cum - n_tokens < budget
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (llm/mixture.py, alpha=0.5,
+    8000-token budget): per-source budgets ∝ sqrt(token mass), greedy
+    deterministic take in md5-priority order. The oracle reproduces the
+    full chain — budgets, priority order, running-sum cutoff — so the
+    selected document SET is hash-checked across engines, not just its
+    size. Exact variant; the map-only hash-threshold variant is the
+    100 TB path (test-verified against this one's budgets)."""
+    from turbine_maintenance_etl_spark.llm.mixture import sample_temperature_mixture
+
+    return sample_temperature_mixture(
+        _t(spark, sf_dir, "documents"), token_budget=8000, alpha=0.5
+    )
+
+
+@register(
+    "export_hash_shards",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               {_DUCK_PRI_SHARD} % 8 AS shard
+        FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM d GROUP BY shard
+    """,
+)
+def export_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data shard assignment (llm/mixture.py): shard = salted
+    md5 priority hash mod 8 — embarrassingly parallel, no global sort
+    or ntile. The entry reports per-shard doc/token mass (the balance a
+    trainer depends on); the writer path (write_hash_shards) is
+    pytest-verified as a partitionBy round-trip."""
+    from turbine_maintenance_etl_spark.llm.mixture import assign_hash_shards
+    from turbine_maintenance_etl_spark.llm.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").cast("bigint").alias("n_tokens")
+    )
+    return (
+        assign_hash_shards(d, 8)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
