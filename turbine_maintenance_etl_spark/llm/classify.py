@@ -1,0 +1,109 @@
+"""Learned quality-classifier filtering — the fasttext-classifier
+analog every production LLM corpus pipeline runs (CCNet's
+wikipedia-vs-crawl classifier; the LLaMA and GPT-3 data recipes both
+filter CommonCrawl with a linear classifier over bag-of-words
+features).
+
+Division of labor at 100 TB:
+
+* TRAINING is small by nature — quality classifiers train on
+  10^4–10^6 labeled documents, not on the corpus. Any single node
+  handles it; MLlib's LogisticRegression keeps it in the same API
+  family as the repo's regression stage (ml/pipeline.py).
+* SCORING is the scale path: ``PipelineModel.transform`` with
+  RegexTokenizer → HashingTF → LogisticRegression stays entirely
+  JVM-side (no Python in the row path), so classifying the full
+  corpus is one narrow map over the scan — same shape as the
+  heuristic quality signals (llm/text.py), just with learned weights.
+
+Weak supervision bootstrap: when no labeled set exists, label by the
+heuristic signals themselves (stopword ratio + length), mirroring how
+CCNet bootstraps from "looks like Wikipedia". The classifier then
+generalizes beyond the exact thresholds — tested by holdout accuracy.
+
+Reference analog: the reference has model training + batch scoring
+(scripts/ml_pipeline.py:200-367, predictions write 600-630) but no
+text-classifier surface; this extends the same MLlib pattern to the
+corpus-curation domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF, RegexTokenizer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.llm.text import add_quality_signals
+
+
+def weak_quality_labels(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 15,
+    min_stopword_ratio: float = 0.10,
+) -> DataFrame:
+    """Bootstrap labels from heuristic signals: quality=1 iff the doc
+    is long enough AND reads like natural prose (stopword mass).
+    Deterministic, so the training set is reproducible."""
+    q = add_quality_signals(docs, text_col)
+    label = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    ).cast("double")
+    return q.withColumn("label", label).select(*docs.columns, "label")
+
+
+def build_quality_classifier(
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    reg_param: float = 0.01,
+) -> Pipeline:
+    """RegexTokenizer (same \\s+ split as tokens_expr) → HashingTF
+    (feature hashing = vocabulary-free, so the transform needs no
+    fitted dictionary and scoring is stateless per row) → binary
+    LogisticRegression. All three stages execute JVM-side."""
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="_toks", pattern=r"\s+", toLowercase=False
+    )
+    tf = HashingTF(inputCol="_toks", outputCol="features", numFeatures=num_features)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", regParam=reg_param, maxIter=50
+    )
+    return Pipeline(stages=[tok, tf, lr])
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    reg_param: float = 0.01,
+) -> PipelineModel:
+    return build_quality_classifier(text_col, num_features, reg_param).fit(labeled)
+
+
+def score_quality(
+    model: PipelineModel, docs: DataFrame, out_col: str = "quality_prob"
+) -> DataFrame:
+    """Corpus scoring: one JVM-side transform; emits P(quality=1).
+    Drops the intermediate token/feature columns so downstream plans
+    don't carry a 2^18-wide sparse vector."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs)
+    prob = F.element_at(vector_to_array("probability"), 2)
+    keep = [c for c in docs.columns if c not in ("_toks", "features")]
+    return scored.select(*keep, F.round(prob, 6).alias(out_col))
+
+
+def filter_by_quality(
+    model: PipelineModel,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """The curation gate: keep documents the classifier scores above
+    the threshold. Catalyst pushes the surviving-column pruning into
+    the scan; the classifier itself is a narrow map."""
+    return score_quality(model, docs, out_col).filter(F.col(out_col) > threshold)

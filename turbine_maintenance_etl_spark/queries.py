@@ -126,6 +126,7 @@ PRIORITY_ORDER: list[str] = [
     "curation_source_mix",
     "curation_temperature_mix",
     "export_hash_shards",
+    "quality_classifier_filter",
     "scd2_event_tier_history",
     "streaming_tumbling_window",
     "events_sliding_window",

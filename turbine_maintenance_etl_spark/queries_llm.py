@@ -765,3 +765,31 @@ def export_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@register("quality_classifier_filter", None)  # learned model -> rows-only check
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate (llm/classify.py): weak-label the corpus
+    from heuristic signals, train the hashed-bag-of-words logistic
+    classifier on an 80% hash split, and report the holdout confusion
+    matrix. No SQL oracle — LBFGS is iterative; generalization is the
+    pytest assertion (holdout accuracy band), this entry proves the
+    train→score path end to end on the driver's session."""
+    from turbine_maintenance_etl_spark.llm.classify import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+    from turbine_maintenance_etl_spark.ops.sampling import hash_split
+
+    labeled = weak_quality_labels(_t(spark, sf_dir, "documents"))
+    train, eval_ = hash_split(labeled, "doc_id", 80, salt="qc")
+    model = train_quality_classifier(train)
+    scored = score_quality(model, eval_)
+    return (
+        scored.withColumn(
+            "predicted", (F.col("quality_prob") > 0.5).cast("bigint")
+        )
+        .groupBy(F.col("label").cast("bigint").alias("label"), "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
