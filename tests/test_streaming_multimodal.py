@@ -11,6 +11,7 @@ from turbine_maintenance_etl_spark.llm.multimodal import (
     extract_image_features,
     sample_frames,
 )
+from turbine_maintenance_etl_spark.queries import normalize_event_ts
 from turbine_maintenance_etl_spark.streaming.ingest import (
     stream_cmapss_ingest,
     stream_tumbling_event_counts,
@@ -47,8 +48,7 @@ def test_stream_tumbling_matches_batch(spark):
         .parquet(f"{src}")
         .where(F.col("event_id").isNotNull())
     )
-    # events.ts is nanos-long under nanosAsLong: rebuild timestamp
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     agg = stream_tumbling_event_counts(spark, stream)
     q = (
         agg.writeStream.outputMode("complete")
@@ -60,8 +60,7 @@ def test_stream_tumbling_matches_batch(spark):
     q.stop()
     got = spark.table("stream_out")
     batch = (
-        spark.read.parquet(f"{src}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_event_ts(spark.read.parquet(f"{src}/events.parquet"))
         .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(F.unix_micros("win.start").alias("win_start_us"), "event_type", "n", "total_value")
@@ -308,15 +307,13 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     src_dir = str(tmp_path / "events_src")
     (tmp_path / "events_src").mkdir()
     shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir)
-    batch_events = spark.read.parquet(src_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch_events = normalize_event_ts(spark.read.parquet(src_dir))
 
     def streamed():
         s = spark.readStream.schema(
             spark.read.parquet(src_dir).schema
         ).parquet(src_dir)
-        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(s)
 
     purchases = streamed().where(F.col("event_type") == "purchase")
     views = streamed().where(F.col("event_type") == "view")
@@ -436,6 +433,44 @@ def test_wav_zero_channel_header_is_poison_not_crash(spark):
 
     df = spark.createDataFrame(
         [(1, bytearray(bad_wav(0, 8000))), (2, bytearray(bad_wav(1, 0)))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+    assert got[1]["sample_rate"] is None and got[2]["sample_rate"] is None
+
+
+def test_wav_truncated_fmt_chunk_is_poison_not_crash(spark):
+    """A fmt chunk whose body is under 16 bytes (or whose declared size
+    overruns the buffer) must surface NULL features — struct.error
+    escaping the per-row handler would kill the whole batch."""
+    import struct
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        decode_wav_samples,
+        extract_audio_features,
+    )
+
+    # ≥44 bytes total (past the cheap length gate), fmt chunk truncated:
+    # a junk chunk pads the file, then fmt declares 16 bytes but only 4
+    # remain before EOF
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 44) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 20) + b"\x00" * 20
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    )
+    # declared fmt size overruns the remaining buffer
+    overrun = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 64) + b"\x00" * 30
+    )
+    for payload in (short_fmt, overrun):
+        try:
+            decode_wav_samples(payload)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+    df = spark.createDataFrame(
+        [(1, bytearray(short_fmt)), (2, bytearray(overrun))],
         "doc_id long, media binary",
     )
     got = {r["doc_id"]: r.asDict() for r in extract_audio_features(df).collect()}

@@ -189,6 +189,12 @@ def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # A declared chunk size can overrun the buffer (truncated or
+            # crafted file) leaving body short — struct.unpack on <16
+            # bytes raises struct.error, which is NOT in the poison-pill
+            # catch list; surface it as ValueError instead.
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             raw = body
@@ -246,7 +252,11 @@ def extract_audio_features(
                         rms=round(float(np.sqrt(np.mean(mono**2))), 6) if len(mono) else 0.0,
                         peak=round(float(np.abs(mono).max()), 6) if len(mono) else 0.0,
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
+                    # struct.error belt-and-braces: decode_wav_samples
+                    # validates lengths, but any residual short-buffer
+                    # unpack must degrade to NULL features, not kill the
+                    # batch.
                     pass
                 rows.append(out)
             yield pd.DataFrame(

@@ -174,21 +174,38 @@ def ordered_registry() -> dict[str, Query]:
     return {n: REGISTRY[n] for n in PRIORITY_ORDER}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ TIMESTAMP across every
+    physical encoding the driver's data generator has shipped:
+
+    - TIMESTAMP(NANOS) parquet read under ``nanosAsLong`` → bigint nanos:
+      rebuild via integer div (never double division — 1e18 nanos exceeds
+      double's 2^53 exact-integer range);
+    - plain ``timestamp[us]`` with no tz → TIMESTAMP_NTZ: cast to
+      session-TZ TIMESTAMP (session TZ is UTC, so the instant is
+      preserved and ``unix_micros`` works).
+
+    Works on batch and streaming DataFrames (dtype-only inspection).
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Driver-portable events read: events.parquet stores TIMESTAMP(NANOS),
-    # which Spark rejects unless nanosAsLong is on. The conf is
-    # runtime-settable, and the driver hands us an externally built vanilla
-    # session — so set it here, at query time, not only in get_spark().
+    # Driver-portable events read: some testdata generations store
+    # events.ts as TIMESTAMP(NANOS), which Spark rejects unless
+    # nanosAsLong is on. The conf is runtime-settable, and the driver
+    # hands us an externally built vanilla session — so set it here, at
+    # query time, not only in get_spark().
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Normalize timestamps: events.ts arrives as nanos-long → rebuild as
-    # TIMESTAMP via integer div (never double division — 1e18 nanos
-    # exceeds double's 2^53 exact-integer range); NTZ columns cast to
-    # session-TZ (UTC) timestamps so unix_micros works. Guard on dtype so
-    # a session that reads nanos differently can't double-convert.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     elif name == "orders":
         df = df.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
     elif name == "lineitem":

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from turbine_maintenance_etl_spark.llm import dedup as D
 from turbine_maintenance_etl_spark.llm import similarity as S
 from turbine_maintenance_etl_spark.llm import text as TX
-from turbine_maintenance_etl_spark.queries import _t, register
+from turbine_maintenance_etl_spark.queries import _t, normalize_event_ts, register
 from turbine_maintenance_etl_spark.queries_llm import _DUCK_TOKS
 
 
@@ -365,9 +365,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    stream = stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = normalize_event_ts(stream)
     agg = stream_tumbling_event_counts(spark, stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
