@@ -81,7 +81,22 @@ def merge_incremental_agg(
 
     Scale shape: ONE partial aggregation of the batch (map-side
     combine), one merge agg of state ∪ partials — state is
-    group-cardinality-sized, never fact-sized."""
+    group-cardinality-sized, never fact-sized.
+
+    Durability contract: the no-double-count guarantee rests on
+    ``shutil.move`` being an atomic same-filesystem rename. It holds on
+    local/POSIX paths where ``state_path`` and its ``__staging``/
+    ``__old`` siblings share a device (they always do — same parent
+    dir). It does NOT hold on object stores (s3://, gs://, abfs://),
+    where "rename" degrades to copy+delete and reopens the torn-publish
+    window; deploy there behind a transactional table format (Delta/
+    Iceberg commit protocol) instead of this path-rename publish."""
+    if "://" in state_path and not state_path.startswith("file://"):
+        raise ValueError(
+            "merge_incremental_agg requires a local-POSIX state_path "
+            "(atomic rename publish); object-store URIs need a "
+            f"transactional table format: {state_path!r}"
+        )
     _recover(state_path)
     state = _read_or_none(spark, state_path)
     ledger = _read_or_none(spark, f"{state_path}/{_LEDGER}")

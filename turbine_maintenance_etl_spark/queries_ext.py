@@ -896,7 +896,13 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM firsts f JOIN lasts l ON f.user_id = l.user_id
     WHERE f.tier <> l.tier AND l.ts_us > f.ts_us
     UNION ALL
-    SELECT l.user_id, l.tier,
+    SELECT l.user_id,
+           -- mirror scd2_apply's stale-update guard: a change batch row
+           -- whose ts does NOT advance past the open row's valid_from
+           -- is ignored, so the FIRST tier stays current even when the
+           -- tiers differ at an equal timestamp
+           CASE WHEN f.tier <> l.tier AND l.ts_us > f.ts_us
+                THEN l.tier ELSE f.tier END AS tier,
            CASE WHEN f.tier <> l.tier AND l.ts_us > f.ts_us
                 THEN l.ts_us ELSE f.ts_us END AS valid_from_us,
            CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current

