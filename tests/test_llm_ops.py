@@ -216,3 +216,54 @@ def test_cluster_resolution_long_chain(spark):
     assert all(r["cluster_id"] == 1 for r in rows), sorted(
         (r["doc_id"], r["cluster_id"]) for r in rows
     )[:5]
+
+
+def test_incremental_lsh_matches_full_corpus_restriction(spark):
+    """incremental_lsh_candidates(new, index(existing)) == the
+    full-corpus LSH pair set restricted to new<->existing pairs
+    (orientation-normalized): indexing once and probing per batch loses
+    no candidates vs re-running LSH over everything."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    index = D.lsh_band_buckets(existing)
+    got = {
+        (r["new_id"], r["existing_id"])
+        for r in D.incremental_lsh_candidates(new_batch, index).collect()
+    }
+
+    full = D.minhash_lsh_candidates(docs, max_bucket_size=None).collect()
+    want = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a % 4 == 0 and b % 4 != 0:
+            want.add((a, b))
+        elif b % 4 == 0 and a % 4 != 0:
+            want.add((b, a))
+    assert got == want and len(want) > 0
+
+
+def test_incremental_lsh_index_bucket_cap(spark):
+    """Mega-buckets in the stored index are excluded by max_bucket_size
+    (boilerplate guard), and probing an appended index
+    (index UNION new rows) equals batch-self + batch-vs-corpus pairs."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm import dedup as D
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(1, 30)]
+    uniq = [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    new_batch = spark.createDataFrame(
+        [(1000, "lorem ipsum dolor sit amet consectetur")], "doc_id long, text string"
+    )
+    index = D.lsh_band_buckets(docs)
+    capped = D.incremental_lsh_candidates(new_batch, index, max_bucket_size=10)
+    assert capped.count() == 0  # the 29-doc boilerplate bucket is capped
+    uncapped = D.incremental_lsh_candidates(new_batch, index, max_bucket_size=None)
+    assert uncapped.count() == 29  # matches every boilerplate doc

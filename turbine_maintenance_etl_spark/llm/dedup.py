@@ -161,6 +161,98 @@ def minhash_signatures(
     )
 
 
+def _band_struct_expr(bands: int, rows: int) -> Column:
+    """array<struct<band,bh>> of per-band hashes over a ``signature``
+    column: band bi hashes signature slots [bi*rows, (bi+1)*rows)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col("signature")[bi * rows + r] for r in range(rows)]
+                    )
+                ).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bh) LSH bucket rows — the PERSISTABLE index. At 100 TB
+    this is what you store (partitioned/bucketed by (band, bh)) so the
+    next ingest batch never re-hashes the corpus: build once, append
+    each batch's rows (``index.unionByName(new_rows)`` → write), and
+    probe with ``incremental_lsh_candidates``. B rows of
+    (int, 32-char hash) per document — ~300 bytes/doc at the defaults,
+    independent of document size."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
+    return sigs.select(
+        F.col(id_col), F.explode(_band_struct_expr(bands, rows)).alias("b")
+    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup candidates of an INCOMING BATCH against an EXISTING
+    corpus index (``lsh_band_buckets`` output) — the production ingest
+    shape: signatures are computed for the new batch only (linear in the
+    batch, not the corpus), then an equi-join on (band, bh) probes the
+    stored index. Returns distinct (new_id, existing_id) pairs.
+
+    New-vs-new duplicates inside the batch are a separate (cheap)
+    ``minhash_lsh_candidates(new_docs)`` call; keeping the two paths
+    split keeps this join's build side strictly index rows.
+
+    ``max_bucket_size`` mirrors the batch path's mega-bucket guard:
+    index buckets holding more docs than the cap are near-100% mutual
+    duplicates (boilerplate) that exact-dedup should have absorbed —
+    probing them would fan every matching new doc out to the whole
+    bucket. Capped via one aggregation over the index (vocabulary-sized
+    relative to the corpus), not a window over the join."""
+    new_buckets = lsh_band_buckets(
+        new_docs, num_hashes, bands, n, text_col, id_col, seed
+    )
+    idx = index.select(
+        F.col(id_col).alias("existing_id"), F.col("band"), F.col("bh")
+    )
+    if max_bucket_size is not None:
+        ok = (
+            idx.groupBy("band", "bh")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+        idx = idx.join(ok, ["band", "bh"], "left_semi")
+    return (
+        new_buckets.select(F.col(id_col).alias("new_id"), "band", "bh")
+        .join(idx, ["band", "bh"])
+        .filter(F.col("new_id") != F.col("existing_id"))
+        .select("new_id", "existing_id")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 32,
@@ -187,20 +279,7 @@ def minhash_lsh_candidates(
     by exact-dedup first; pass ``max_bucket_size=None`` only for small
     corpora where the full pair set is genuinely wanted."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col("signature")[bi * rows + r] for r in range(rows)])).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    buckets = lsh_band_buckets(df, num_hashes, bands, n, text_col, id_col, seed)
     grouped = buckets.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -246,20 +325,9 @@ def minhash_lsh_bucket_stats(
     A nonzero capped count means near-100%-duplicate boilerplate the
     exact-dedup pass should have removed first."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col("signature")[bi * rows + r] for r in range(rows)])).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
-    )
     sizes = (
-        sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
-        .groupBy(F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        lsh_band_buckets(df, num_hashes, bands, n, text_col, id_col, seed)
+        .groupBy("band", "bh")
         .agg(F.count("*").alias("sz"))
     )
     cap = F.lit(max_bucket_size) if max_bucket_size is not None else None

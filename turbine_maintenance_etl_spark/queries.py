@@ -110,6 +110,8 @@ PRIORITY_ORDER: list[str] = [
     "dedup_neardup_survivors",
     # -- beyond the grade window: never-graded extensions first, then the
     # -- entries that already earned a green CORRECTNESS_r01 row ---------
+    "quality_lm_perplexity",
+    "dedup_incremental_lsh",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

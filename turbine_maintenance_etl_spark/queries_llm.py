@@ -798,3 +798,104 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").cast("bigint").alias("label"), "predicted")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "quality_lm_perplexity",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_prepend('<s>', list_filter(
+                   regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY 1, 2),
+    hist AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM big),
+    scored AS (
+        SELECT g.doc_id,
+               CASE WHEN h.c1 IS NULL THEN ln(1.0 / vocab.v)
+                    ELSE ln((COALESCE(b.c12, 0) + 0.5) / (h.c1 + 0.5 * vocab.v))
+               END AS lp
+        FROM grams g
+        LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+        LEFT JOIN hist h ON g.w1 = h.w1
+        CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT)     AS n_bigrams,
+           ROUND(p.slp / p.n_bigrams, 4)                AS avg_logprob,
+           ROUND(exp(-(p.slp / p.n_bigrams)), 4)        AS perplexity
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (llm/lm.py): train an add-k-smoothed
+    bigram LM on the corpus in ONE aggregation pass, score every
+    document's perplexity via a broadcast lookup join — exactly
+    oracle-checkable because the whole model is deterministic count
+    arithmetic. Low-perplexity docs are fluent in-domain text; the gate
+    feeds curation the same way the classifier entry does."""
+    from turbine_maintenance_etl_spark.llm.lm import perplexity_scores
+
+    return perplexity_scores(_t(spark, sf_dir, "documents"))
+
+
+def _incremental_lsh_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    # Mirrors _minhash_oracle's signature pipeline, then probes the
+    # "existing" partition's buckets with the "new" partition's buckets
+    # (split on doc_id % 5) instead of self-joining the whole corpus.
+    rng = random.Random(seed)
+    p = (1 << 31) - 1
+    coeffs = [
+        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
+    ]
+    h = _DUCK_HASH64.format(s="s")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h % {p} * {a} + {b}) % {p}), 'min') AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")) AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
+    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, {mh_cols} FROM hashed),
+    buckets AS ({band_selects})
+    SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+    FROM buckets n
+    JOIN buckets e ON n.band = e.band AND n.bh = e.bh
+    WHERE n.doc_id % 5 = 0 AND e.doc_id % 5 <> 0
+    """
+
+
+@register("dedup_incremental_lsh", _incremental_lsh_oracle())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (llm/dedup.py): the corpus partition
+    (doc_id % 5 != 0) is indexed ONCE via ``lsh_band_buckets`` — the
+    persistable (id, band, band-hash) table — and the incoming batch
+    (doc_id % 5 == 0) probes it with an equi-join on the bucket key.
+    Signature cost is linear in the BATCH, never the corpus: the
+    re-hash-everything-per-ingest trap is the real 100 TB killer this
+    operator exists to avoid. Exactly oracle-checkable (portable md5
+    hash family, like the batch LSH entry)."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = D.lsh_band_buckets(existing)
+    return D.incremental_lsh_candidates(new_batch, index)
