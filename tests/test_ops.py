@@ -362,3 +362,37 @@ def test_scd2_stale_update_is_ignored(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["tier"] == "gold" and r["is_current"] and r["valid_to"] is None
+
+
+def test_hll_sketch_merge_equals_direct_and_bounds_error(spark):
+    """The property that makes partition-sketching sound at 100 TB:
+    merging per-shard sketches gives EXACTLY the same estimate as one
+    direct sketch over all rows (union-of-sketches == sketch-of-union),
+    and the estimate is within HLL error bounds of the exact count."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.ops.sketch import merge_estimate, shard_sketches
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "user_id", "event_type"
+    )
+    sketches = shard_sketches(e, ["event_type"], "user_id")
+    merged = merge_estimate(sketches).collect()[0]
+
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).collect()[0]["est"]
+    assert merged["approx_distinct"] == direct
+
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged["approx_distinct"] - exact) / exact < 0.05
+    assert merged["n_rows"] == e.count()
+
+    # regrouping stored sketches to a coarser grain matches per-grain exact
+    per_type = {
+        r["event_type"]: r["approx_distinct"]
+        for r in merge_estimate(sketches, ["event_type"]).collect()
+    }
+    for t, est in per_type.items():
+        ex = e.filter(F.col("event_type") == t).select("user_id").distinct().count()
+        assert abs(est - ex) / ex < 0.05

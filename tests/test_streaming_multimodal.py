@@ -475,3 +475,38 @@ def test_wav_truncated_fmt_chunk_is_poison_not_crash(spark):
     )
     got = {r["doc_id"]: r.asDict() for r in extract_audio_features(df).collect()}
     assert got[1]["sample_rate"] is None and got[2]["sample_rate"] is None
+
+
+def test_stream_session_windows_match_batch(spark):
+    """Streaming session windows (watermarked session_window agg),
+    driven to completion over a static parquet stream, equal the batch
+    session_window_agg on the same data — one sessionization code path
+    for both modes."""
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        session_window_agg,
+        stream_session_windows,
+    )
+
+    src = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{src}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(src)
+    )
+    stream = normalize_event_ts(stream)
+    q = (
+        stream_session_windows(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("sess_out")
+    batch = session_window_agg(
+        normalize_event_ts(spark.read.parquet(f"{src}/events.parquet"))
+    )
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0

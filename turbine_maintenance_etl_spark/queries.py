@@ -112,6 +112,9 @@ PRIORITY_ORDER: list[str] = [
     # -- entries that already earned a green CORRECTNESS_r01 row ---------
     "quality_lm_perplexity",
     "dedup_incremental_lsh",
+    "events_session_window",
+    "a_hll_partitioned_rollup",
+    "s_jsonl_roundtrip",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

@@ -937,3 +937,62 @@ def scd2_event_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").alias("valid_to_us"),
         "is_current",
     )
+
+
+@register(
+    "events_session_window",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM gaps)
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT)                AS session_start_us,
+           CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT)   AS session_end_us,
+           COUNT(*)                                         AS n_events,
+           ROUND(SUM(value), 4)                             AS total_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``): per-user sessions
+    with a 30-minute inactivity gap, session bounds = [first event,
+    last event + gap). The SAME plan fragment
+    (streaming/ingest.py:session_window_agg) runs on the live stream
+    with a watermark; this batch entry is its oracle-checked anchor.
+    Boundary semantics: a gap of exactly 30 min STARTS a new session
+    (exclusive window end) — the oracle's >= mirrors that, unlike
+    w_sessionization's > (both variants pinned on purpose)."""
+    from turbine_maintenance_etl_spark.streaming.ingest import session_window_agg
+
+    return session_window_agg(_t(spark, sf_dir, "events"))
+
+
+@register("a_hll_partitioned_rollup", None)  # sketch binaries are engine-specific -> rows-only
+def a_hll_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-sketch rollup (ops/sketch.py): sketch distinct users
+    per (event_type, hour-shard) at 'ingest', then answer the per-type
+    AND global distinct-user questions by MERGING the stored KB-sized
+    sketches — the raw events are scanned exactly once. Rows-only
+    (DataSketches binaries aren't SQL-portable); the merge==direct and
+    error-bound properties are pytest-pinned (tests/test_ops.py)."""
+    from turbine_maintenance_etl_spark.ops.sketch import merge_estimate, shard_sketches
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "shard", F.date_trunc("hour", F.col("ts"))
+    )
+    sketches = shard_sketches(e, ["event_type", "shard"], "user_id")
+    per_type = merge_estimate(sketches, ["event_type"]).select(
+        F.col("event_type").alias("grain"), "approx_distinct", "n_rows"
+    )
+    global_row = merge_estimate(sketches).select(
+        F.lit("ALL").alias("grain"), "approx_distinct", "n_rows"
+    )
+    return per_type.unionByName(global_row)

@@ -219,3 +219,43 @@ def ud_grouped_map_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(fit, _SLOPE_SCHEMA)
+
+
+@register(
+    "s_jsonl_roundtrip",
+    """
+    SELECT 'jsonl' AS source, COUNT(*) AS n,
+           SUM(doc_id) AS id_sum, SUM(length(text)) AS char_sum
+    FROM documents
+    UNION ALL
+    SELECT 'jsonl_inferred' AS source, COUNT(*) AS n,
+           SUM(doc_id) AS id_sum, SUM(length(text)) AS char_sum
+    FROM documents
+    """,
+)
+def s_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round trip — the interchange format every
+    LLM-data pipeline ingests from and exports to. Writes documents as
+    JSONL, re-reads them twice: once with an EXPLICIT schema (the scale
+    path — schema-on-read inference costs a full extra pass over 100 TB
+    and silently widens types), once inferred (the convenience path),
+    and proves both land byte-identical aggregates vs the source. JSON
+    string escaping round-trips embedded newlines/quotes in text — the
+    reason line-based CSV can't serve this role."""
+    tmp = (
+        f"/tmp/spark_jsonl_roundtrip/{os.getpid()}/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src.write.mode("overwrite").json(tmp)
+    explicit = spark.read.schema("doc_id long, text string").json(tmp)
+    inferred = spark.read.json(tmp).select("doc_id", "text")
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("char_sum"),
+        ).select(F.lit(tag).alias("source"), "n", "id_sum", "char_sum")
+
+    return summarize(explicit, "jsonl").unionByName(summarize(inferred, "jsonl_inferred"))

@@ -230,3 +230,47 @@ def stream_stream_interval_join(
         F.unix_micros("v_ts").alias("v_ts_us"),
         "view_value",
     )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session aggregation via ``F.session_window`` — works on
+    BOTH batch and streaming DataFrames (the same plan fragment), which
+    is the point: sessionization logic written once, verified in batch
+    against the DuckDB oracle, then run on the live stream.
+
+    Semantics: events whose gap to the previous event is < ``gap`` merge
+    into one session; a gap of exactly ``gap`` STARTS a new session
+    (window ends are exclusive: [first_ts, last_ts + gap)). This differs
+    from the batch ``w_sessionization`` island query, whose `> gap`
+    break keeps boundary-exact events together — both are pinned by
+    their own oracles.
+
+    Scale: one shuffle on user_id; per-key session merging is linear in
+    the key's events. In streaming, state per key is bounded by the
+    watermark horizon (sessions older than the watermark finalize and
+    evict)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked streaming session windows: the streaming twin of
+    ``session_window_agg``. The watermark bounds state — a session whose
+    close (last event + gap) falls behind the watermark can never absorb
+    more events, so it finalizes and its state evicts; without it,
+    per-user session state would grow with stream length."""
+    return session_window_agg(events.withWatermark("ts", watermark), gap)
