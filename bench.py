@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "text_tfidf_top_terms",
     "curation_temperature_mix",
+    "quality_lm_perplexity",
+    "dedup_incremental_lsh",
+    "events_session_window",
 ]
 
 

@@ -110,12 +110,22 @@ def random_hyperplanes(dim: int, num_planes: int = 8, seed: int = 42) -> list[li
 
 
 def srp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit i = (vec . plane_i) >= 0."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        bucket = bucket + F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    """Sign-random-projection bucket id: bit i = (vec . plane_i) >= 0.
+
+    The plane matrix embeds as ONE nested-array literal traversed with
+    an indexed ``transform`` — not one expression subtree per plane. A
+    per-plane literal forest (planes x dim Literal nodes) made Catalyst
+    analysis + codegen the dominant cost of every fresh query at small
+    scale; the single-literal form plans in milliseconds and executes
+    identically (still JVM-side, still a map-only pass)."""
+    lit_planes = F.lit([[float(v) for v in p] for p in planes])
+    contrib = F.transform(
+        lit_planes,
+        lambda p, i: F.when(
+            _dot(vec, p) >= 0, F.pow(F.lit(2.0), i).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v).cast("int")
 
 
 def lsh_bucketed_topk(
@@ -155,23 +165,25 @@ def lsh_bucketed_topk(
 
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     """array<struct<d,cid>> of squared-L2 distances to literal centroids
-    — pure column expressions, so assignment is a codegen map pass."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(v) for v in ctr]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
+    — pure column expressions, so assignment is a codegen map pass.
+
+    The centroid matrix is ONE nested-array literal walked by an indexed
+    ``transform`` (one small expression tree), not n_clusters separate
+    struct/aggregate subtrees each inlining dim Literal nodes — the
+    latter made Catalyst analysis + codegen compile time dominate every
+    fresh ANN query (~4 s at 16x64) while producing the identical
+    physical work."""
+    lit_centroids = F.lit([[float(v) for v in ctr] for ctr in centroids])
+    return F.transform(
+        lit_centroids,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
     )
 
 

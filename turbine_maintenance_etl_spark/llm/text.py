@@ -128,7 +128,9 @@ def tfidf_top_terms(
     100 TB prune the vocabulary first (min_df filter cuts the hapax
     mass, typically >40% of distinct terms). Ties break alphabetically
     for determinism."""
-    n_docs = df.count()
+    # N as a broadcast 1-row aggregate folded into the plan — a driver
+    # .count() here would cost a separate Spark job per invocation
+    n_docs = F.broadcast(df.agg(F.count("*").cast("double").alias("_n_docs")))
     terms = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     )
@@ -141,9 +143,11 @@ def tfidf_top_terms(
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * idf, 6)
+    idf = F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(n_docs)
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
