@@ -267,3 +267,26 @@ def test_incremental_lsh_index_bucket_cap(spark):
     assert capped.count() == 0  # the 29-doc boilerplate bucket is capped
     uncapped = D.incremental_lsh_candidates(new_batch, index, max_bucket_size=None)
     assert uncapped.count() == 29  # matches every boilerplate doc
+
+
+def test_semantic_dedup_crafted_clusters(spark):
+    """Three near-identical vectors (same direction, tiny jitter) plus
+    orthogonal singletons: the trio collapses to one survivor (min id),
+    singletons survive as their own clusters."""
+    from turbine_maintenance_etl_spark.llm.similarity import semantic_dedup
+
+    dim = 8
+    base = [1.0, 0.5, -0.3, 0.8, 0.1, -0.6, 0.4, 0.2]
+    jig = lambda eps: [v + eps for v in base]  # noqa: E731
+    rows = [
+        (1, jig(0.0)), (2, jig(0.01)), (3, jig(0.02)),  # near-dup trio
+        (10, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict() for r in semantic_dedup(emb, dim=dim, threshold=0.95).collect()}
+    assert out[1]["survivor"] and out[1]["cluster_id"] == 1
+    assert not out[2]["survivor"] and out[2]["cluster_id"] == 1
+    assert not out[3]["survivor"] and out[3]["cluster_id"] == 1
+    assert out[10]["survivor"] and out[10]["cluster_id"] == 10
+    assert out[11]["survivor"] and out[11]["cluster_id"] == 11

@@ -287,3 +287,67 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.45,
+    num_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication — the SemDeDup shape
+    (Abbas et al. 2023): bucket vectors with SRP-LSH, verify cosine only
+    between bucket-mates, resolve the >= threshold pairs into connected
+    components, and keep one survivor (min id) per component.
+
+    Output: (id, cluster_id, survivor) for EVERY input vector —
+    unclustered vectors are their own cluster. Downstream drops
+    ``survivor = false`` rows.
+
+    Scale shape: the bucket id is the only join key (no all-pairs
+    cross join) — O(sum of bucket^2) verification, controlled by
+    ``num_planes`` (2^planes expected buckets). Recall < 1 by
+    construction (true near-dups split across buckets are missed);
+    raise recall with fewer planes or multi-probe, trade verification
+    cost. SemDeDup's original formulation buckets by k-means cluster;
+    SRP buckets keep the operator deterministic, literal-seeded, and
+    exactly oracle-checkable in SQL, while ``ivf_topk``'s trained
+    quantizer remains the alternative bucketing for skewed corpora."""
+    from turbine_maintenance_etl_spark.llm.dedup import resolve_duplicate_clusters
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    base = ensure_parallelism(emb).select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    ).withColumn("_bucket", srp_bucket_expr(F.col("_v"), planes))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+    )
+    pairs = (
+        a.join(F.broadcast(b), "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = resolve_duplicate_clusters(pairs)
+    return (
+        emb.select(F.col(id_col))
+        .join(
+            clusters.select(
+                F.col("doc_id").alias(id_col), F.col("cluster_id").alias("_cl")
+            ),
+            [id_col],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("_cl", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("_cl", F.col(id_col)) == F.col(id_col)).alias("survivor"),
+        )
+    )

@@ -115,6 +115,7 @@ PRIORITY_ORDER: list[str] = [
     "events_session_window",
     "a_hll_partitioned_rollup",
     "s_jsonl_roundtrip",
+    "dedup_semantic_survivors",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

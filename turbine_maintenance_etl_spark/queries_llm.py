@@ -899,3 +899,45 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = docs.filter(F.col("doc_id") % 5 == 0)
     index = D.lsh_band_buckets(existing)
     return D.incremental_lsh_candidates(new_batch, index)
+
+
+def _semantic_dedup_oracle(
+    dim: int = 64, num_planes: int = 4, seed: int = 42, threshold: float = 0.45
+) -> str:
+    planes = S.random_hyperplanes(dim, num_planes, seed)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {plane!r}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
+    pairs AS (
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+        FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        WHERE ROUND({_COS.format(a="a.v", b="bb.v")}, 6) >= {threshold}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT ed.src, r.label
+        FROM edges ed JOIN reach r ON ed.dst = r.node),
+    clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(c.cluster_id, e.vec_id) = e.vec_id AS survivor
+    FROM e LEFT JOIN clusters c ON e.vec_id = c.node
+    """
+
+
+@register("dedup_semantic_survivors", _semantic_dedup_oracle())
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (llm/similarity.py:semantic_dedup):
+    SRP-bucket the embedding space, verify cosine >= 0.45 between
+    bucket-mates only, resolve pairs into connected components, keep the
+    min-id survivor per component. The whole chain — seeded literal
+    hyperplanes, in-bucket pairs, iterative component resolution — is
+    exactly mirrored by a recursive-CTE oracle."""
+    return S.semantic_dedup(_t(spark, sf_dir, "embeddings"), dim=64)
