@@ -116,6 +116,7 @@ PRIORITY_ORDER: list[str] = [
     "a_hll_partitioned_rollup",
     "s_jsonl_roundtrip",
     "dedup_semantic_survivors",
+    "text_bpe_trained_tokens",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

@@ -941,3 +941,20 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes, in-bucket pairs, iterative component resolution — is
     exactly mirrored by a recursive-CTE oracle."""
     return S.semantic_dedup(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register("text_bpe_trained_tokens", None)  # iterative merge learning -> rows-only
+def text_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL trained BPE token counts (llm/bpe.py): merges learned from
+    ONE word-frequency aggregation (vocabulary-sized collect, the same
+    bounded-sample posture as the IVF quantizer), applied distributed
+    via Arrow-batched mapInPandas with a per-batch word cache. The
+    regex estimate (text_bpe_token_count) stays as the zero-Python fast
+    path; this entry is the honest subword tokenizer. Rows-only (BPE's
+    merge loop isn't SQL-expressible); the pure-Python differential and
+    merge-learning hand checks live in tests/test_llm_bpe.py."""
+    from turbine_maintenance_etl_spark.llm.bpe import bpe_token_stats, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=150)
+    return bpe_token_stats(docs, merges)
