@@ -510,3 +510,43 @@ def test_stream_session_windows_match_batch(spark):
     )
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """New documents arriving as TWO stream files, probed per batch
+    against the static corpus LSH index, produce exactly the batch
+    incremental_lsh_candidates pair set for the same new docs."""
+    from turbine_maintenance_etl_spark.llm.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_buckets,
+    )
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 4 == 0)
+    index = lsh_band_buckets(existing)
+
+    in_dir, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    new_batch.filter(F.col("doc_id") % 8 == 0).write.parquet(f"{in_dir}/part1")
+    new_batch.filter(F.col("doc_id") % 8 != 0).write.parquet(f"{in_dir}/part2")
+
+    stream = (
+        spark.readStream.schema(new_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(in_dir)
+    )
+    stream_incremental_dedup(stream, index, out, ckpt)
+
+    got = {
+        (r["new_id"], r["existing_id"])
+        for r in spark.read.parquet(out).select("new_id", "existing_id").collect()
+    }
+    want = {
+        (r["new_id"], r["existing_id"])
+        for r in incremental_lsh_candidates(new_batch, index).collect()
+    }
+    assert got == want and len(want) > 0

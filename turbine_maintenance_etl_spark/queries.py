@@ -117,6 +117,8 @@ PRIORITY_ORDER: list[str] = [
     "s_jsonl_roundtrip",
     "dedup_semantic_survivors",
     "text_bpe_trained_tokens",
+    "s_orc_roundtrip",
+    "pipeline_curation_v2",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

@@ -958,3 +958,74 @@ def text_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=150)
     return bpe_token_stats(docs, merges)
+
+
+@register(
+    "pipeline_curation_v2",
+    rf"""
+    WITH q AS (
+        SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+    kept AS (
+        SELECT doc_id, text, toks FROM q
+        WHERE len(toks) >= 20
+          AND CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+              / NULLIF(CAST(len(toks) AS DOUBLE), 0) >= 0.05),
+    lmtoks AS (
+        SELECT doc_id,
+               list_prepend('<s>', list_filter(
+                   regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        FROM kept),
+    grams AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM lmtoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY 1, 2),
+    hist AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM big),
+    lp AS (
+        SELECT g.doc_id,
+               LN((COALESCE(b.c12, 0) + 0.5) / (h.c1 + 0.5 * vocab.v)) AS lp
+        FROM grams g
+        LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+        LEFT JOIN hist h ON g.w1 = h.w1
+        CROSS JOIN vocab),
+    ppl AS (
+        SELECT doc_id, ROUND(exp(-(SUM(lp) / COUNT(*))), 4) AS perplexity
+        FROM lp GROUP BY doc_id),
+    ranked AS (
+        SELECT k.doc_id, k.text, k.toks,
+               ROW_NUMBER() OVER (ORDER BY p.perplexity, k.doc_id) AS rn,
+               COUNT(*) OVER () AS n_total
+        FROM kept k JOIN ppl p USING (doc_id)),
+    gated AS (
+        SELECT doc_id, text, toks FROM ranked
+        WHERE rn <= FLOOR(0.9 * n_total)),
+    surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    docs2 AS (
+        SELECT g.doc_id, g.toks FROM gated g JOIN surv USING (doc_id)),
+    starts AS (
+        SELECT doc_id, toks,
+               UNNEST(list_filter(generate_series(1, len(toks), 56),
+                                  st -> st = 1 OR st + 8 <= len(toks))) AS st
+        FROM docs2 WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(LEAST(64, len(toks) - st + 1)) AS BIGINT) AS total_tokens
+    FROM starts GROUP BY doc_id
+    """,
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation chain, exactly oracle-checked END TO END:
+    heuristic quality gate → self-trained LM-perplexity gate (keep the
+    90% least-perplexed, exact rank) → exact dedup → 64/8 chunking,
+    reported as per-document chunk stats. Every stage is an operator
+    this engine already verifies in isolation; this entry pins the
+    COMPOSITION — the thing a production corpus run actually executes
+    (llm/curation.py:curate_corpus_v2)."""
+    from turbine_maintenance_etl_spark.llm.curation import curate_corpus_v2
+
+    chunks = curate_corpus_v2(_t(spark, sf_dir, "documents"))
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("total_tokens"),
+    )

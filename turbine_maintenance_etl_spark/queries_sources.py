@@ -259,3 +259,45 @@ def s_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("source"), "n", "id_sum", "char_sum")
 
     return summarize(explicit, "jsonl").unionByName(summarize(inferred, "jsonl_inferred"))
+
+
+@register(
+    "s_orc_roundtrip",
+    """
+    SELECT 'orc' AS source, COUNT(*) AS n,
+           SUM(o_orderkey) AS key_sum, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'orc_pruned' AS source, COUNT(*) AS n,
+           SUM(o_orderkey) AS key_sum, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip — the other columnar interchange
+    format (Hive/Trino ecosystems). Write orders as status-partitioned
+    ORC, re-read, and aggregate; the 'orc_pruned' row proves partition
+    pruning works identically to parquet (only the
+    o_orderstatus=F directory is scanned). Columnar stats, predicate
+    pushdown, and vectorized reads all apply to ORC in Spark the same
+    way — format choice is a config concern, not an engine rewrite."""
+    tmp = (
+        f"/tmp/spark_orc_roundtrip/{os.getpid()}/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").orc(tmp)
+    back = spark.read.orc(tmp)
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(tag).alias("source"), "n", "key_sum", "total")
+
+    return summarize(back, "orc").unionByName(
+        summarize(back.filter(F.col("o_orderstatus") == "F"), "orc_pruned")
+    )

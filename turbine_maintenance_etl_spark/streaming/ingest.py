@@ -274,3 +274,57 @@ def stream_session_windows(
     more events, so it finalizes and its state evicts; without it,
     per-user session state would grow with stream length."""
     return session_window_agg(events.withWatermark("ts", watermark), gap)
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    index: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> None:
+    """Streaming ingest dedup: each micro-batch of arriving documents is
+    MinHash-signed and probed against the STATIC corpus LSH index
+    (``llm.dedup.lsh_band_buckets`` output) via foreachBatch +
+    ``incremental_lsh_candidates`` — the streaming twin of the batch
+    ``dedup_incremental_lsh`` path, and the shape of a production
+    "reject near-dups at the door" gate.
+
+    Signature aggregation (groupBy(doc).min per permutation) can't run
+    as an open-ended stateful streaming agg (state would be keyed by
+    every doc forever); foreachBatch gives each micro-batch BATCH
+    semantics — signatures exist only within the batch, state stays
+    zero. The index side is a static DataFrame joined per batch
+    (broadcast or shuffle as Catalyst chooses).
+
+    Exactly-once: like ``stream_cmapss_ingest``, each batch dynamically
+    overwrites its own ``_epoch=epoch_id`` partition, so a replayed
+    batch rewrites instead of appending (foreachBatch is
+    at-least-once)."""
+    from turbine_maintenance_etl_spark.llm.dedup import incremental_lsh_candidates
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cands = incremental_lsh_candidates(
+            batch_df,
+            index,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket_size=max_bucket_size,
+        )
+        (
+            cands.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(output_path)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
