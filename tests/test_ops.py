@@ -396,3 +396,36 @@ def test_hll_sketch_merge_equals_direct_and_bounds_error(spark):
     for t, est in per_type.items():
         ex = e.filter(F.col("event_type") == t).select("user_id").distinct().count()
         assert abs(est - ex) / ex < 0.05
+
+
+def test_observe_metrics_and_quality_gate(spark):
+    """Observed metrics equal a direct aggregation (same scan, zero
+    extra jobs for the metrics), and the gate raises on violations."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.ops.observe import observe_metrics, quality_gate
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    observed, obs = observe_metrics(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "qty_sum": F.sum("l_quantity"),
+            "null_flags": F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)),
+        },
+    )
+    n = observed.count()
+    got = quality_gate(obs, min_rows=1)
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+    ).first()
+    assert got["n_rows"] == n == direct["n"]
+    assert got["qty_sum"] == direct["s"]
+    assert got["null_flags"] == 0
+
+    # violation path: impossible min_rows
+    observed2, obs2 = observe_metrics(li, {"n_rows": F.count(F.lit(1))}, name="g2")
+    observed2.count()
+    with pytest.raises(ValueError, match="n_rows"):
+        quality_gate(obs2, min_rows=10**12)

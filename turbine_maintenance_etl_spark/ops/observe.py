@@ -1,0 +1,54 @@
+"""Zero-extra-scan pipeline metrics via ``DataFrame.observe``.
+
+The 100 TB problem this solves: every data-quality gate phrased as
+"run an extra aggregation first" (row counts, null fractions, value
+checksums) costs a second full scan of the input. ``observe`` attaches
+accumulator-backed metrics to the EXISTING plan — they materialize as a
+side effect of whatever action the pipeline already runs (the sink
+write, the count), reading each row exactly once.
+
+Constraints inherited from Spark: observed expressions must be
+aggregates without distinct/filter clauses; metrics are only available
+AFTER an action completes. Streaming queries surface the same metrics
+per micro-batch through ``StreamingQueryListener`` /
+``lastProgress.observedMetrics``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+
+
+def observe_metrics(
+    df: DataFrame, metrics: dict[str, Column], name: str = "pipeline_metrics"
+) -> tuple[DataFrame, Observation]:
+    """Attach named aggregate metrics to ``df``'s plan. Returns the
+    observed frame (use it in place of ``df``) and the ``Observation``
+    — read ``obs.get`` after the first action on the observed frame."""
+    obs = Observation(name)
+    cols = [expr.alias(alias) for alias, expr in metrics.items()]
+    return df.observe(obs, *cols), obs
+
+
+def quality_gate(
+    obs: Observation,
+    min_rows: int | None = None,
+    max_null_fraction: tuple[str, str, float] | None = None,
+) -> dict:
+    """Assert basic health on collected metrics (call after the action).
+    ``max_null_fraction`` = (null_count_metric, row_count_metric, bound).
+    Returns the metric dict on success; raises ValueError on violation —
+    the caller decides whether that aborts the pipeline or quarantines
+    the batch."""
+    got = obs.get
+    if min_rows is not None and got.get("n_rows", 0) < min_rows:
+        raise ValueError(f"quality gate: n_rows {got.get('n_rows')} < {min_rows}")
+    if max_null_fraction is not None:
+        null_m, rows_m, bound = max_null_fraction
+        rows = got.get(rows_m) or 0
+        frac = (got.get(null_m) or 0) / rows if rows else 0.0
+        if frac > bound:
+            raise ValueError(
+                f"quality gate: null fraction {frac:.4f} of {null_m} > {bound}"
+            )
+    return got

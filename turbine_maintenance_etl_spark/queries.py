@@ -119,6 +119,7 @@ PRIORITY_ORDER: list[str] = [
     "text_bpe_trained_tokens",
     "s_orc_roundtrip",
     "pipeline_curation_v2",
+    "etl_observed_metrics",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

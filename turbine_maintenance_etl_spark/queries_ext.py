@@ -996,3 +996,52 @@ def a_hll_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("grain"), "approx_distinct", "n_rows"
     )
     return per_type.unionByName(global_row)
+
+
+@register(
+    "etl_observed_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT)                          AS n_rows,
+           ROUND(SUM(l_extendedprice), 2)                    AS price_sum,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS null_returnflags,
+           CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS negative_qty
+    FROM lineitem
+    """,
+)
+def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via ``observe`` (ops/observe.py): row count,
+    value checksum, null and range-violation counters ride the SAME scan
+    the pipeline action already performs — at 100 TB a metrics-first
+    pre-pass doubles input IO; observed metrics make the gate free. The
+    entry runs a representative action (count) on the observed frame and
+    returns the collected metrics; the oracle recomputes them as plain
+    aggregates."""
+    from turbine_maintenance_etl_spark.ops.observe import observe_metrics
+
+    li = _t(spark, sf_dir, "lineitem")
+    observed, obs = observe_metrics(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "price_sum": F.round(F.sum("l_extendedprice"), 2),
+            "null_returnflags": F.sum(
+                F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)
+            ),
+            "negative_qty": F.sum(F.when(F.col("l_quantity") < 0, 1).otherwise(0)),
+        },
+    )
+    observed.count()  # the pipeline's action; metrics piggyback on it
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["price_sum"]),
+                m["null_returnflags"],
+                m["negative_qty"],
+            )
+        ],
+        "n_rows long, price_sum double, null_returnflags long, negative_qty long",
+    )
