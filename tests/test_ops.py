@@ -429,3 +429,30 @@ def test_observe_metrics_and_quality_gate(spark):
     observed2.count()
     with pytest.raises(ValueError, match="n_rows"):
         quality_gate(obs2, min_rows=10**12)
+
+
+def test_mllib_scoring_survives_prior_observation(spark):
+    """Once DataFrame.observe materializes the session's lazy
+    ObservationManager (not Serializable), any MLlib model still
+    carrying its training summary fails to score: the summary holds the
+    SparkSession and rides into the scoring task closure.
+    strip_training_summary severs that chain — this pins the
+    interaction end to end: observe FIRST, train, then score."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.classify import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+    from turbine_maintenance_etl_spark.ops.observe import observe_metrics
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    observed, obs = observe_metrics(
+        docs, {"n_rows": F.count(F.lit(1))}, name="poison_check"
+    )
+    observed.count()  # materializes ObservationManager in this session
+
+    model = train_quality_classifier(weak_quality_labels(docs))
+    assert not model.stages[-1].hasSummary
+    assert score_quality(model, docs).count() == docs.count()

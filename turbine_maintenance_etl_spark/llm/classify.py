@@ -80,7 +80,13 @@ def train_quality_classifier(
     num_features: int = 1 << 18,
     reg_param: float = 0.01,
 ) -> PipelineModel:
-    return build_quality_classifier(text_col, num_features, reg_param).fit(labeled)
+    from turbine_maintenance_etl_spark.util import strip_training_summary
+
+    model = build_quality_classifier(text_col, num_features, reg_param).fit(labeled)
+    # sever the summary->SparkSession reference so scoring closures stay
+    # serializable even after DataFrame.observe has been used in the
+    # session (see util.strip_training_summary)
+    return strip_training_summary(model)
 
 
 def score_quality(

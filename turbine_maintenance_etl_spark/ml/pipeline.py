@@ -27,6 +27,8 @@ from pyspark.ml.regression import (
     RandomForestRegressor,
 )
 
+from turbine_maintenance_etl_spark.util import strip_training_summary
+
 NON_FEATURE_COLS = {"unit_nr", "time_cycles", "dataset", "rul", "rul_true"}
 
 MODEL_BUILDERS = {
@@ -180,7 +182,7 @@ def train_and_score(
     when given)."""
     feats = feature_columns(train_df)
     tr, val = train_df.randomSplit([0.8, 0.2], seed=42)
-    model = make_pipeline(feats, model_name).fit(tr)
+    model = strip_training_summary(make_pipeline(feats, model_name).fit(tr))
     val_pred = clamp_predictions(model.transform(val))
     metrics = evaluate(val_pred, label_col)
     scored = (
@@ -235,5 +237,6 @@ def train_with_cv(
         seed=42,
     )
     fitted = cv.fit(tr)
-    metrics = evaluate(clamp_predictions(fitted.bestModel.transform(val)), label_col)
-    return fitted.bestModel, metrics, float(min(fitted.avgMetrics))
+    best = strip_training_summary(fitted.bestModel)
+    metrics = evaluate(clamp_predictions(best.transform(val)), label_col)
+    return best, metrics, float(min(fitted.avgMetrics))

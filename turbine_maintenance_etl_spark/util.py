@@ -20,3 +20,28 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def strip_training_summary(model):
+    """Drop the training summary from a fitted MLlib model (or every
+    stage of a PipelineModel). Returns the model, mutated.
+
+    Why: {Logistic,Linear}Regression training summaries hold a
+    SparkSession reference, and MLlib serializes the model into scoring
+    task closures — summary included. The session serializes only while
+    its lazy ``observationManager`` field is uninitialized; the first
+    ``DataFrame.observe`` in the session materializes it (it is not
+    Serializable), after which any summary-carrying model FAILS to score
+    with "Task not serializable: ObservationManager". Stripping the
+    summary right after fit() severs the model→session reference, making
+    model scoring independent of session history. (Scala's
+    package-private setSummary is public in bytecode, hence callable
+    through the py4j handle.)"""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm  # noqa: SLF001
+    stages = getattr(model, "stages", [model])
+    for stage in stages:
+        if getattr(stage, "hasSummary", False):
+            stage._java_obj.setSummary(jvm.scala.Option.empty())  # noqa: SLF001
+    return model
