@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "quality_lm_perplexity",
     "dedup_incremental_lsh",
     "events_session_window",
+    "dedup_semantic_survivors",
+    "pipeline_curation_v2",
 ]
 
 

@@ -92,3 +92,30 @@ def test_quality_ordering_on_mixed_corpus(spark):
     fl = [r["perplexity"] for r in out if r["doc_id"] < 100]
     nz = [r["perplexity"] for r in out if r["doc_id"] >= 100]
     assert max(fl) < min(nz)
+
+
+def test_curation_v2_cutoff_variant_is_map_only_and_consistent(spark):
+    """The precomputed-cutoff gate (100 TB path) keeps exactly the docs
+    at or under the cutoff, and with cutoff = the rank variant's
+    boundary perplexity the two paths keep the same documents (modulo
+    boundary ties, which the fixture avoids)."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.curation import curate_corpus_v2
+    from turbine_maintenance_etl_spark.llm.lm import perplexity_scores
+    from turbine_maintenance_etl_spark.llm.text import add_quality_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    q = add_quality_signals(docs)
+    kept = q.filter((q.n_tokens >= 20) & (q.stopword_ratio >= 0.05)).select(
+        *docs.columns
+    )
+    ppl = perplexity_scores(kept)
+    vals = sorted(r["perplexity"] for r in ppl.collect())
+    cutoff = vals[int(0.9 * len(vals)) - 1]
+
+    by_rank = curate_corpus_v2(docs).select("doc_id").distinct()
+    by_cut = curate_corpus_v2(docs, ppl_cutoff=cutoff).select("doc_id").distinct()
+    assert by_rank.count() == by_cut.count()
+    assert by_rank.exceptAll(by_cut).count() == 0

@@ -48,6 +48,7 @@ def curate_corpus_v2(
     overlap: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ppl_cutoff: float | None = None,
 ) -> DataFrame:
     """The modern curation chain: heuristic quality gate → LM-perplexity
     gate → exact dedup → chunking (CCNet's ordering: cheap filters
@@ -75,14 +76,21 @@ def curate_corpus_v2(
 
     ppl = perplexity_scores(kept, text_col=text_col, id_col=id_col)
     scored = kept.join(ppl.select(id_col, "perplexity"), [id_col])
-    n_total = F.broadcast(scored.agg(F.count("*").alias("_n")))
-    w = Window.orderBy(F.asc("perplexity"), F.asc(id_col))
-    gated = (
-        scored.crossJoin(n_total)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.floor(F.lit(ppl_keep_frac) * F.col("_n")))
-        .select(*docs.columns)
-    )
+    if ppl_cutoff is not None:
+        # the 100 TB path: a precomputed cutoff (percentile sketch over a
+        # sample, computed once) gates map-only — no global window
+        gated = scored.filter(F.col("perplexity") <= F.lit(ppl_cutoff)).select(
+            *docs.columns
+        )
+    else:
+        n_total = F.broadcast(scored.agg(F.count("*").alias("_n")))
+        w = Window.orderBy(F.asc("perplexity"), F.asc(id_col))
+        gated = (
+            scored.crossJoin(n_total)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.floor(F.lit(ppl_keep_frac) * F.col("_n")))
+            .select(*docs.columns)
+        )
 
     survivors = exact_dedup(gated, text_col, id_col)
     return chunk_documents(survivors, chunk_tokens, overlap, text_col, id_col)

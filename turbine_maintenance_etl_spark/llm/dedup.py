@@ -428,17 +428,25 @@ def resolve_duplicate_clusters(
                 F.least(F.col("label"), F.coalesce("p_label", "label")).alias("new_label"),
             )
         )
+        # checkpoint FIRST: one materialization per round serves both the
+        # convergence count and the next iteration (or the caller). The
+        # old order returned the CONVERGING round's labels with their full
+        # lineage attached — every downstream action re-executed the whole
+        # candidate-pair pipeline (caught by the PLANS.md exchange count:
+        # 19 shuffles in the consumer's plan vs 0 from a checkpoint).
+        new_labels = jumped.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
         changed = (
-            labels.join(jumped, "node")
+            labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
             .filter(F.col("label") != F.col("new_label"))
             .count()
         )
-        labels = jumped.select("node", F.col("new_label").alias("label"))
+        labels = new_labels
         if changed == 0:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
-        labels = labels.localCheckpoint(eager=True)  # cut the lineage per round
     raise RuntimeError(
         f"connected components did not converge in {max_iter} rounds — "
         "component diameter > 2^max_iter is pathological for LSH duplicate "
