@@ -44,14 +44,30 @@ def test_distributed_apply_matches_pure_python(spark):
     merges = train_bpe(docs, num_merges=80)
     ranks = {p: i for i, p in enumerate(merges)}
 
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)  # same ASCII split as train AND apply
     got = {
         r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
         for r in bpe_token_stats(docs.repartition(7), merges).collect()
     }
     for row in docs.select("doc_id", "text").collect():
-        words = [w for w in (row["text"] or "").lower().split() if w]
+        words = [w for w in ws.split((row["text"] or "").lower()) if w]
         want = (len(words), sum(len(encode_word(w, ranks)) for w in words))
         assert got[row["doc_id"]] == want
+
+
+def test_apply_tokenization_matches_training_side(spark):
+    """A non-breaking space is NOT a word boundary for the Java-regex
+    training tokenizer — the apply side must agree, or apply-side words
+    desync from the trained frequency table."""
+    docs = spark.createDataFrame(
+        [(1, "foo bar baz")], "doc_id long, text string"
+    )
+    freqs = dict(word_frequencies(docs))
+    assert freqs == {"foo bar": 1, "baz": 1}
+    out = bpe_token_stats(docs, []).collect()[0]
+    assert out["n_words"] == 2  # foo\xa0bar + baz, matching training
 
 
 def test_more_merges_never_increase_tokens(spark):

@@ -456,3 +456,25 @@ def test_mllib_scoring_survives_prior_observation(spark):
     model = train_quality_classifier(weak_quality_labels(docs))
     assert not model.stages[-1].hasSummary
     assert score_quality(model, docs).count() == docs.count()
+
+
+def test_incremental_agg_file_uri_normalized(spark, tmp_path):
+    """A file:// state path is stripped to the raw POSIX path, so
+    recovery/ledger/replay checks actually see the files — previously
+    the URI bypassed every os.path check (replay protection silently
+    off) and crashed in the rename publish. Object-store URIs reject."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.ops.incremental import merge_incremental_agg
+
+    state = f"file://{tmp_path}/state"
+    b = spark.createDataFrame([("a", 1.0)], "event_type string, value double")
+    aggs = {"n": ("count", "value")}
+    merge_incremental_agg(spark, state, b, "b1", ["event_type"], aggs)
+    # replay of the same batch must no-op (ledger visible through the URI)
+    merged = merge_incremental_agg(spark, state, b, "b1", ["event_type"], aggs)
+    assert merged.agg(F.sum("n")).first()[0] == 1
+
+    with pytest.raises(ValueError, match="transactional"):
+        merge_incremental_agg(spark, "s3://bucket/state", b, "b2", ["event_type"], aggs)

@@ -550,3 +550,38 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
         for r in incremental_lsh_candidates(new_batch, index).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_session_window_boundary_exact_gap_merges(spark, tmp_path):
+    """Spark session_window semantics at the boundary, pinned
+    empirically: an event landing EXACTLY gap after the previous one
+    still merges (window extends to last + gap, boundary inclusive for
+    merging); only a strictly larger gap starts a new session. Guards
+    the events_session_window oracle's > break rule against data that
+    actually hits the boundary (the sf corpus never does)."""
+    import datetime as dt
+
+    from turbine_maintenance_etl_spark.streaming.ingest import session_window_agg
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        (10, 1, mk(0), 1.0),
+        (12, 1, mk(30), 2.0),   # exactly 30-min gap: merges
+        (11, 1, mk(30), 3.0),   # duplicate ts, reversed id order
+        (13, 1, mk(61), 4.0),   # 31 min after: new session
+        (20, 2, mk(0), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r["user_id"], r["session_start_us"]): r.asDict()
+        for r in session_window_agg(df).collect()
+    }
+    us = lambda m: int(mk(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+    s1 = out[(1, us(0))]
+    assert s1["n_events"] == 3 and s1["session_end_us"] == us(60)
+    s2 = out[(1, us(61))]
+    assert s2["n_events"] == 1 and s2["session_end_us"] == us(91)
+    assert out[(2, us(0))]["n_events"] == 1

@@ -134,12 +134,19 @@ def bpe_token_stats(
     schema = f"{id_col} long, n_words long, n_bpe_tokens long"
 
     def run(batches: Iterator) -> Iterator:
+        import re
+
         import pandas as pd
 
+        # ASCII \s+ to MATCH the training side's Java-regex tokens_expr
+        # split — Python str.split() breaks on Unicode whitespace
+        # (e.g.  ) that training treats as part of the word, which
+        # would desync apply-side words from the trained frequency table
+        ws = re.compile(r"\s+", re.ASCII)
         cache: dict[str, int] = {}
 
         def count_tokens(text: str) -> tuple[int, int]:
-            words = [w for w in (text or "").lower().split() if w]
+            words = [w for w in ws.split((text or "").lower()) if w]
             total = 0
             for w in words:
                 n = cache.get(w)

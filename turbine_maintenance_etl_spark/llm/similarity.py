@@ -328,8 +328,12 @@ def semantic_dedup(
     b = base.select(
         F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
     )
+    # NO broadcast hint: b is the FULL corpus (unlike the topk paths,
+    # where the broadcast side is a small query set) — the bucket
+    # equi-join shuffles both sides on the bucket key, which is the
+    # scale shape the docstring describes
     pairs = (
-        a.join(F.broadcast(b), "_bucket")
+        a.join(b, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_cos", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("_cos") >= threshold)

@@ -91,7 +91,13 @@ def merge_incremental_agg(
     where "rename" degrades to copy+delete and reopens the torn-publish
     window; deploy there behind a transactional table format (Delta/
     Iceberg commit protocol) instead of this path-rename publish."""
-    if "://" in state_path and not state_path.startswith("file://"):
+    # Accept file:// by normalizing to the raw POSIX path — the
+    # os.path/shutil recovery+publish machinery below operates on raw
+    # paths, so an un-stripped URI would silently skip recovery (the
+    # exists() checks never match) and then crash in shutil.move.
+    if state_path.startswith("file://"):
+        state_path = state_path[len("file://") :]
+    if "://" in state_path:
         raise ValueError(
             "merge_incremental_agg requires a local-POSIX state_path "
             "(atomic rename publish); object-store URIs need a "

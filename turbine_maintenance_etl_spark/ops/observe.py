@@ -34,15 +34,26 @@ def quality_gate(
     obs: Observation,
     min_rows: int | None = None,
     max_null_fraction: tuple[str, str, float] | None = None,
+    rows_metric: str = "n_rows",
 ) -> dict:
     """Assert basic health on collected metrics (call after the action).
+    ``min_rows`` checks the metric named ``rows_metric``;
     ``max_null_fraction`` = (null_count_metric, row_count_metric, bound).
     Returns the metric dict on success; raises ValueError on violation —
     the caller decides whether that aborts the pipeline or quarantines
-    the batch."""
+    the batch. Naming a metric that was never observed is an error, not
+    a silently-failing 0-default."""
     got = obs.get
-    if min_rows is not None and got.get("n_rows", 0) < min_rows:
-        raise ValueError(f"quality gate: n_rows {got.get('n_rows')} < {min_rows}")
+    if min_rows is not None:
+        if rows_metric not in got:
+            raise ValueError(
+                f"quality gate: metric {rows_metric!r} not observed "
+                f"(have {sorted(got)})"
+            )
+        if got[rows_metric] < min_rows:
+            raise ValueError(
+                f"quality gate: {rows_metric} {got[rows_metric]} < {min_rows}"
+            )
     if max_null_fraction is not None:
         null_m, rows_m, bound = max_null_fraction
         rows = got.get(rows_m) or 0

@@ -943,14 +943,14 @@ def scd2_event_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     """
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events),
     sess AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         FROM gaps)
     SELECT user_id,
@@ -967,9 +967,13 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     last event + gap). The SAME plan fragment
     (streaming/ingest.py:session_window_agg) runs on the live stream
     with a watermark; this batch entry is its oracle-checked anchor.
-    Boundary semantics: a gap of exactly 30 min STARTS a new session
-    (exclusive window end) — the oracle's >= mirrors that, unlike
-    w_sessionization's > (both variants pinned on purpose)."""
+    Boundary semantics (verified empirically with a crafted
+    boundary-exact fixture, tests/test_streaming_multimodal.py): a gap
+    of EXACTLY 30 min still MERGES — Spark extends a session to
+    last_event + gap and treats an event landing on that boundary as
+    inside it, so only a gap STRICTLY greater than 30 min starts a new
+    session. The oracle's > mirrors that (same break rule as
+    w_sessionization)."""
     from turbine_maintenance_etl_spark.streaming.ingest import session_window_agg
 
     return session_window_agg(_t(spark, sf_dir, "events"))

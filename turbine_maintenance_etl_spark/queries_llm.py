@@ -898,7 +898,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") % 5 != 0)
     new_batch = docs.filter(F.col("doc_id") % 5 == 0)
     index = D.lsh_band_buckets(existing)
-    return D.incremental_lsh_candidates(new_batch, index)
+    # uncapped to mirror the (uncapped) oracle exactly — a capped entry
+    # vs uncapped SQL would silently diverge the moment a data
+    # generation produces a >cap boilerplate bucket. The cap's behavior
+    # is pinned separately in tests/test_llm_ops.py.
+    return D.incremental_lsh_candidates(new_batch, index, max_bucket_size=None)
 
 
 def _semantic_dedup_oracle(

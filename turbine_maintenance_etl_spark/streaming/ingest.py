@@ -238,12 +238,12 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     is the point: sessionization logic written once, verified in batch
     against the DuckDB oracle, then run on the live stream.
 
-    Semantics: events whose gap to the previous event is < ``gap`` merge
-    into one session; a gap of exactly ``gap`` STARTS a new session
-    (window ends are exclusive: [first_ts, last_ts + gap)). This differs
-    from the batch ``w_sessionization`` island query, whose `> gap`
-    break keeps boundary-exact events together — both are pinned by
-    their own oracles.
+    Semantics (empirically pinned by a boundary-exact crafted fixture):
+    events whose gap to the previous event is <= ``gap`` merge into one
+    session — Spark extends the session window to last_event + gap and
+    an event landing exactly on that boundary still merges; only a
+    STRICTLY larger gap starts a new session. Same break rule as the
+    batch ``w_sessionization`` island query.
 
     Scale: one shuffle on user_id; per-key session merging is linear in
     the key's events. In streaming, state per key is bounded by the
