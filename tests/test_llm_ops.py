@@ -290,3 +290,62 @@ def test_semantic_dedup_crafted_clusters(spark):
     assert not out[3]["survivor"] and out[3]["cluster_id"] == 1
     assert out[10]["survivor"] and out[10]["cluster_id"] == 10
     assert out[11]["survivor"] and out[11]["cluster_id"] == 11
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe (own bucket + all Hamming-1 neighbors) must recover
+    at least every pair single-probe finds, and strictly improve recall
+    vs the brute-force ground truth on this corpus."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(emb, q, dim=64, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_multiprobe_topk(emb, q, dim=64, k=5).collect()
+    }
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    # multi-probe must dominate, and on this corpus it does so by a wide
+    # margin: neighbors here sit at cosine ~0.4 (angle ~66°), so each
+    # sign bit flips w.p. ~0.37 and P(hamming<=1) ~ 4x P(hamming=0) —
+    # multi-probe's whole point. (Deterministic: seeded planes + data.)
+    assert recall_multi >= recall_single
+    assert recall_multi >= 2 * recall_single
+    assert recall_multi > 0.2
+
+
+def test_containment_detects_excerpt_asymmetry(spark):
+    """A short excerpt inside a long document: containment of the
+    excerpt in the host is 1.0 while the reverse (and Jaccard) is low —
+    the asymmetric signal symmetric near-dup thresholds miss."""
+    from turbine_maintenance_etl_spark.llm.dedup import containment_scores
+
+    host_words = [f"w{i}" for i in range(60)]
+    excerpt_words = host_words[20:30]  # strict contiguous subset
+    docs = spark.createDataFrame(
+        [(1, " ".join(excerpt_words)), (2, " ".join(host_words))],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = containment_scores(docs, pairs).collect()[0]
+    # excerpt has 8 trigram shingles, all present in the host's 58
+    assert r["c_a_in_b"] == 1.0
+    assert r["c_b_in_a"] == round(8 / 58, 4)
+    assert r["jaccard"] == round(8 / 58, 4)

@@ -452,3 +452,41 @@ def resolve_duplicate_clusters(
         "component diameter > 2^max_iter is pathological for LSH duplicate "
         "graphs; raise max_iter"
     )
+
+
+def containment_scores(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment for candidate pairs: ``c_a_in_b`` =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — near 1.0 when A is an
+    EXCERPT of B even though their symmetric Jaccard is low (the case
+    near-dup thresholds miss: quotes, boilerplate-wrapped reposts,
+    chunked copies). Emits both directions plus Jaccard so one pass
+    classifies: high jaccard = near-dup, asymmetric high containment =
+    subset relationship.
+
+    Scale shape: like ``ngram_jaccard_pairs`` this is the per-pair
+    VERIFICATION kernel — linear in the candidate pair list (feed it
+    LSH candidates, never a cross join); two broadcast-or-shuffle hash
+    joins attach the shingle sets to the pairs."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.nullif(F.size("sh_a").cast("double"), F.lit(0.0)), 4).alias(
+            "c_a_in_b"
+        ),
+        F.round(inter / F.nullif(F.size("sh_b").cast("double"), F.lit(0.0)), 4).alias(
+            "c_b_in_a"
+        ),
+        F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
+    )

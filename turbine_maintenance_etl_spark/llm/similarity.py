@@ -355,3 +355,51 @@ def semantic_dedup(
             (F.coalesce("_cl", F.col(id_col)) == F.col(id_col)).alias("survivor"),
         )
     )
+
+
+def lsh_multiprobe_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe SRP top-k: each query probes its own bucket PLUS all
+    Hamming-distance-1 neighbors (one sign bit flipped) — the standard
+    multi-probe LSH recall lever (Lv et al. 2007). A near neighbor that
+    lands across one hyperplane from the query is recovered at the cost
+    of probing ``1 + num_planes`` buckets instead of one; candidate-side
+    hashing, storage, and the bucket equi-join shape are IDENTICAL to
+    single-probe (only the broadcast query side fans out), so recall
+    rises without touching the index. A pair reachable via several
+    probes is deduplicated before ranking."""
+    planes = random_hyperplanes(dim, num_planes, seed)
+    c = ensure_parallelism(candidates).select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
+    base_bucket = srp_bucket_expr(as_double_array(F.col(vec_col)), planes)
+    probes = F.array(
+        base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+        .select(query_id_col, "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

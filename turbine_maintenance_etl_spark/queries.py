@@ -120,6 +120,8 @@ PRIORITY_ORDER: list[str] = [
     "s_orc_roundtrip",
     "pipeline_curation_v2",
     "etl_observed_metrics",
+    "sim_multiprobe_topk",
+    "dedup_containment",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

@@ -1033,3 +1033,78 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("chunk_tokens").alias("total_tokens"),
     )
+
+
+def _multiprobe_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42, k: int = 5) -> str:
+    planes = S.random_hyperplanes(dim, num_planes, seed)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {plane!r}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(num_planes)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv,
+                 UNNEST([{probe_list}]) AS bucket
+          FROM b WHERE vec_id < 25),
+    scored AS (
+        SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qv", b="b.v")}, 6) AS cosine
+        FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("sim_multiprobe_topk", _multiprobe_oracle())
+def sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN (llm/similarity.py:lsh_multiprobe_topk): each
+    query probes its own bucket plus every Hamming-1 neighbor — the
+    recall lever that costs 1+H probe joins on the (broadcast) query
+    side while the candidate index stays untouched. Recall vs the
+    single-probe and brute-force baselines is pytest-asserted; the
+    bucket arithmetic is literal-seeded, so the whole probe set is
+    exactly oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_multiprobe_topk(emb, queries, dim=64, k=5)
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
+    joined AS (
+        SELECT p.id_a, p.id_b, a.s AS sa, b.s AS sb,
+               CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS inter
+        FROM pairs p
+        JOIN sh a ON p.id_a = a.doc_id
+        JOIN sh b ON p.id_b = b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(inter / NULLIF(CAST(len(sa) AS DOUBLE), 0), 4) AS c_a_in_b,
+           ROUND(inter / NULLIF(CAST(len(sb) AS DOUBLE), 0), 4) AS c_b_in_a,
+           ROUND(inter / NULLIF(CAST(len(sa) + len(sb) AS DOUBLE) - inter, 0), 4)
+               AS jaccard
+    FROM joined
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over LSH candidate pairs
+    (llm/dedup.py:containment_scores): |A∩B|/|A| vs |A∩B|/|B| — near-1
+    one-sided containment flags EXCERPT relationships (quotes,
+    boilerplate-wrapped reposts, chunked copies) that symmetric Jaccard
+    thresholds miss. Verification kernel fed by LSH candidates, never a
+    cross join; exactly oracle-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    return D.containment_scores(docs, pairs)
