@@ -231,3 +231,29 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     packed = spark.read.parquet(stats["packed_path"])
     assert chunks.count() == stats["curated_chunks"]
     assert packed.count() == chunks.count()  # same grain: one row per chunk
+
+
+def test_cli_curate_lm_gate_drops_tail(spark, tmp_path):
+    """--lm-gate (curation v2) produces strictly fewer-or-equal chunks
+    than the heuristic-only path: the perplexity gate drops the
+    most-perplexed tail of the quality-kept docs before chunking."""
+    import contextlib
+    import io
+    import json
+
+    from tests.conftest import SF_DIR
+    from turbine_maintenance_etl_spark.cli import main
+
+    def run(extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(
+                ["curate", "--input", f"{SF_DIR}/documents.parquet",
+                 "--output", str(tmp_path / ("v2" if extra else "v1"))] + extra
+            )
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    v1 = run([])
+    v2 = run(["--lm-gate", "--ppl-keep-frac", "0.8"])
+    assert 0 < v2["curated_chunks"] < v1["curated_chunks"]

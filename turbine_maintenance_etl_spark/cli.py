@@ -40,6 +40,18 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--overlap", type=int, default=8)
     p_cur.add_argument("--max-seq-tokens", type=int, default=256)
     p_cur.add_argument("--shard-col", default="source")
+    p_cur.add_argument(
+        "--lm-gate",
+        action="store_true",
+        help="add the LM-perplexity gate (curation v2): train a bigram "
+        "LM on the quality-kept docs and drop the most-perplexed tail",
+    )
+    p_cur.add_argument(
+        "--ppl-keep-frac",
+        type=float,
+        default=0.9,
+        help="fraction of least-perplexed docs the LM gate keeps",
+    )
 
     args = ap.parse_args(argv)
 
@@ -56,13 +68,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         from pyspark.sql import functions as F
 
-        from turbine_maintenance_etl_spark.llm.curation import curate_corpus
+        from turbine_maintenance_etl_spark.llm.curation import (
+            curate_corpus,
+            curate_corpus_v2,
+        )
         from turbine_maintenance_etl_spark.llm.pack import pack_sequences
 
         docs = spark.read.parquet(args.input)
-        chunks = curate_corpus(
-            docs, chunk_tokens=args.chunk_tokens, overlap=args.overlap
-        )
+        if args.lm_gate:
+            chunks = curate_corpus_v2(
+                docs,
+                ppl_keep_frac=args.ppl_keep_frac,
+                chunk_tokens=args.chunk_tokens,
+                overlap=args.overlap,
+            )
+        else:
+            chunks = curate_corpus(
+                docs, chunk_tokens=args.chunk_tokens, overlap=args.overlap
+            )
         if args.shard_col in docs.columns:
             chunks = chunks.join(
                 docs.select("doc_id", F.col(args.shard_col).alias("shard")), "doc_id"
