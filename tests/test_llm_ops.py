@@ -349,3 +349,24 @@ def test_containment_detects_excerpt_asymmetry(spark):
     assert r["c_a_in_b"] == 1.0
     assert r["c_b_in_a"] == round(8 / 58, 4)
     assert r["jaccard"] == round(8 / 58, 4)
+
+
+def test_semantic_dedup_bucket_cap_and_autosizing(spark):
+    """The mega-bucket cap drops saturated buckets (same doctrine as
+    LSH: mass exact duplication belongs to exact-dedup), and capped
+    docs still survive as their own clusters."""
+    from turbine_maintenance_etl_spark.llm.similarity import semantic_dedup
+
+    base = [1.0, 0.5, -0.3, 0.8, 0.1, -0.6, 0.4, 0.2]
+    clones = [(i, list(base)) for i in range(30)]          # one mega-bucket
+    solo = [(100, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(clones + solo, "vec_id long, embedding array<double>")
+
+    capped = semantic_dedup(emb, dim=8, num_planes=4, max_bucket_size=10)
+    rows = {r["vec_id"]: r.asDict() for r in capped.collect()}
+    assert len(rows) == 31                       # every vector still present
+    assert all(r["survivor"] for r in rows.values())  # no pairs -> all survive
+
+    uncapped = semantic_dedup(emb, dim=8, num_planes=4, threshold=0.99)
+    surv = uncapped.filter("survivor").count()
+    assert surv == 2  # 30 clones collapse to one survivor + the solo

@@ -944,7 +944,10 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id survivor per component. The whole chain — seeded literal
     hyperplanes, in-bucket pairs, iterative component resolution — is
     exactly mirrored by a recursive-CTE oracle."""
-    return S.semantic_dedup(_t(spark, sf_dir, "embeddings"), dim=64)
+    # num_planes pinned to 4: the oracle embeds these exact hyperplanes
+    # (auto-sizing would re-bucket when the table grows and break SQL
+    # parity; library callers get the auto default)
+    return S.semantic_dedup(_t(spark, sf_dir, "embeddings"), dim=64, num_planes=4)
 
 
 @register("text_bpe_trained_tokens", None)  # iterative merge learning -> rows-only
