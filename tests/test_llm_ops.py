@@ -200,6 +200,14 @@ def test_quadratic_kernels_guarded(spark):
     # forcing works
     assert brute_force_topk(emb, q.limit(3), max_queries=None).count() > 0
 
+    from turbine_maintenance_etl_spark.llm.dedup import containment_scores
+
+    pairs = docs.crossJoin(
+        docs.select(F.col("doc_id").alias("id_b"))
+    ).select(F.col("doc_id").alias("id_a"), "id_b")
+    with pytest.raises(ValueError, match="verification kernel"):
+        containment_scores(docs, pairs, max_pairs=100)
+
 
 def test_cluster_resolution_long_chain(spark):
     """A 30-node chain (diameter 29) must fully collapse to cluster 1 —
@@ -370,3 +378,19 @@ def test_semantic_dedup_bucket_cap_and_autosizing(spark):
     uncapped = semantic_dedup(emb, dim=8, num_planes=4, threshold=0.99)
     surv = uncapped.filter("survivor").count()
     assert surv == 2  # 30 clones collapse to one survivor + the solo
+
+
+def test_auto_num_planes_formula():
+    """The auto-sizing formula must GROW the bucket space with N — a
+    regression here silently reintroduces the measured 20x N^2/buckets
+    blowup (PLANS.md round-3 scale probe)."""
+    from turbine_maintenance_etl_spark.llm.similarity import auto_num_planes
+
+    assert auto_num_planes(500) == 4          # floor
+    assert auto_num_planes(2000) == 4         # 2000/500=4 -> log2=2 -> floor 4
+    assert auto_num_planes(16_000) == 5       # 32 buckets
+    assert auto_num_planes(1_000_000) == 11   # 2048 buckets
+    assert auto_num_planes(100_000_000) == 18
+    # monotone non-decreasing in N
+    vals = [auto_num_planes(n) for n in (1, 10**3, 10**5, 10**7, 10**9)]
+    assert vals == sorted(vals)

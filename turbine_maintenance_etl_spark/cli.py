@@ -49,11 +49,19 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument(
         "--ppl-keep-frac",
         type=float,
-        default=0.9,
-        help="fraction of least-perplexed docs the LM gate keeps",
+        default=None,
+        help="fraction of least-perplexed docs the LM gate keeps "
+        "(default 0.9; requires --lm-gate)",
     )
 
     args = ap.parse_args(argv)
+
+    if (
+        args.cmd == "curate"
+        and args.ppl_keep_frac is not None
+        and not args.lm_gate
+    ):
+        ap.error("--ppl-keep-frac requires --lm-gate (it would be silently ignored)")
 
     if args.cmd == "bench":
         import bench
@@ -78,7 +86,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.lm_gate:
             chunks = curate_corpus_v2(
                 docs,
-                ppl_keep_frac=args.ppl_keep_frac,
+                ppl_keep_frac=(
+                    0.9 if args.ppl_keep_frac is None else args.ppl_keep_frac
+                ),
                 chunk_tokens=args.chunk_tokens,
                 overlap=args.overlap,
             )

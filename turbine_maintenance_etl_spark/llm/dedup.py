@@ -460,6 +460,7 @@ def containment_scores(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_pairs: int = 10_000_000,
 ) -> DataFrame:
     """Asymmetric containment for candidate pairs: ``c_a_in_b`` =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| — near 1.0 when A is an
@@ -472,7 +473,18 @@ def containment_scores(
     Scale shape: like ``ngram_jaccard_pairs`` this is the per-pair
     VERIFICATION kernel — linear in the candidate pair list (feed it
     LSH candidates, never a cross join); two broadcast-or-shuffle hash
-    joins attach the shingle sets to the pairs."""
+    joins attach the shingle sets to the pairs. Guarded like the other
+    per-pair kernels: refuses a pair list beyond ``max_pairs`` (one
+    count job — catches a cross join passed by mistake); ``None`` to
+    force."""
+    if max_pairs is not None:
+        n_pairs = pairs.count()
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"containment_scores got {n_pairs} pairs (> {max_pairs}): "
+                "this is the per-pair verification kernel — feed it LSH "
+                "candidates, not a cross join, or pass max_pairs=None to force"
+            )
     sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

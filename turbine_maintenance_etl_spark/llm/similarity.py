@@ -289,6 +289,16 @@ def ivf_topk(
     )
 
 
+def auto_num_planes(n: int, target_bucket_size: int = 500) -> int:
+    """SRP plane count for an N-vector corpus: ceil(log2(N / target))
+    with a floor of 4 — bucket count must GROW with the corpus or
+    in-bucket verification degrades as N^2/buckets (measured 20x at
+    fixed planes in the 8x scale probe)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n / target_bucket_size, 2))))
+
+
 def semantic_dedup(
     emb: DataFrame,
     dim: int,
@@ -327,11 +337,8 @@ def semantic_dedup(
     literal-seeded, and exactly oracle-checkable in SQL, while
     ``ivf_topk``'s trained quantizer remains the alternative bucketing
     for skewed corpora."""
-    import math
-
     if num_planes is None:
-        n = emb.count()
-        num_planes = max(4, math.ceil(math.log2(max(n / target_bucket_size, 2))))
+        num_planes = auto_num_planes(emb.count(), target_bucket_size)
     from turbine_maintenance_etl_spark.llm.dedup import resolve_duplicate_clusters
 
     planes = random_hyperplanes(dim, num_planes, seed)
@@ -339,13 +346,16 @@ def semantic_dedup(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
     ).withColumn("_bucket", srp_bucket_expr(F.col("_v"), planes))
     if max_bucket_size is not None:
-        ok = (
-            base.groupBy("_bucket")
-            .agg(F.count("*").alias("_sz"))
+        # window count over _bucket reuses the bucket shuffle instead of
+        # a self-join against an aggregate of base, which would execute
+        # the scan + SRP hashing a second time (the run-once doctrine
+        # minhash_lsh_candidates documents)
+        w_sz = Window.partitionBy("_bucket")
+        base = (
+            base.withColumn("_sz", F.count("*").over(w_sz))
             .filter(F.col("_sz") <= max_bucket_size)
             .drop("_sz")
         )
-        base = base.join(ok, ["_bucket"], "left_semi")
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
     )
@@ -399,27 +409,41 @@ def lsh_multiprobe_topk(
     of probing ``1 + num_planes`` buckets instead of one; candidate-side
     hashing, storage, and the bucket equi-join shape are IDENTICAL to
     single-probe (only the broadcast query side fans out), so recall
-    rises without touching the index. A pair reachable via several
-    probes is deduplicated before ranking."""
+    rises without touching the index. No dedup pass is needed: each
+    candidate lives in exactly one bucket and a query's probe values
+    are pairwise-distinct integers, so every (query, candidate) pair
+    joins through at most one probe row by construction."""
     planes = random_hyperplanes(dim, num_planes, seed)
     c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
     ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
-    base_bucket = srp_bucket_expr(as_double_array(F.col(vec_col)), planes)
-    probes = F.array(
-        base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        as_double_array(F.col(vec_col)).alias("_qv"),
-        F.explode(probes).alias("bucket"),
+    # compute the base bucket ONCE per query row, then derive the probe
+    # set from the column reference — inlining the SRP expression into
+    # every array slot would pay (1+H) x H x dim multiplications per row
+    q = (
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        )
+        .withColumn("_b", srp_bucket_expr(F.col("_qv"), planes))
+        .select(
+            query_id_col,
+            "_qv",
+            F.explode(
+                F.array(
+                    F.col("_b"),
+                    *[
+                        F.col("_b").bitwiseXOR(F.lit(1 << i))
+                        for i in range(num_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
         .select(query_id_col, "neighbor_id", "cosine")
-        .distinct()
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
