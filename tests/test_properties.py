@@ -180,3 +180,72 @@ def test_repetition_signals_match_python_reference(spark, docs):
             )
         else:
             assert r["top_bigram_frac"] is None
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity: Spark pipeline == pure-Python reference on random corpora
+# ---------------------------------------------------------------------------
+
+def _ref_perplexity(texts: dict[int, str], k: float = 0.5):
+    """Pure-Python add-k bigram LM (train = score corpus), mirroring
+    llm/lm.py semantics: lowercase ASCII-ws split, <s> prefix, unseen
+    history -> uniform 1/V."""
+    import math
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    grams: dict[int, list[tuple[str, str]]] = {}
+    big: dict[tuple[str, str], int] = {}
+    hist: dict[str, int] = {}
+    for i, t in texts.items():
+        toks = ["<s>"] + [w for w in ws.split(t.lower()) if w]
+        gs = list(zip(toks, toks[1:]))
+        grams[i] = gs
+        for g in gs:
+            big[g] = big.get(g, 0) + 1
+            hist[g[0]] = hist.get(g[0], 0) + 1
+    v = len({w2 for _, w2 in big})
+    out = {}
+    for i, gs in grams.items():
+        if not gs:
+            out[i] = (0, None, None)
+            continue
+        lps = []
+        for g in gs:
+            c1 = hist.get(g[0])
+            if c1 is None:
+                lps.append(math.log(1.0 / v))
+            else:
+                lps.append(math.log((big.get(g, 0) + k) / (c1 + k * v)))
+        avg = sum(lps) / len(lps)
+        out[i] = (len(gs), round(avg, 4), round(math.exp(-avg), 4))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab cd\tx.",  # tiny alphabet -> heavy gram collisions
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_lm_perplexity_matches_reference(spark, texts):
+    from turbine_maintenance_etl_spark.llm.lm import perplexity_scores
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # degenerate corpus (zero bigrams anywhere) has no vocabulary; the
+    # operator contract starts at |V| >= 1
+    want = _ref_perplexity(dict(rows))
+    if all(n == 0 for n, _, _ in want.values()):
+        return
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+        for r in perplexity_scores(df).collect()
+    }
+    assert got == want
