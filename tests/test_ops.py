@@ -478,3 +478,31 @@ def test_incremental_agg_file_uri_normalized(spark, tmp_path):
 
     with pytest.raises(ValueError, match="transactional"):
         merge_incremental_agg(spark, "s3://bucket/state", b, "b2", ["event_type"], aggs)
+
+
+def test_psi_drift_detects_shift_and_is_stable_on_same_distribution(spark):
+    """PSI ~ 0 when both snapshots draw from the same distribution;
+    > 0.25 (the 'investigate' threshold) under a clear shift; per-bin
+    contributions localize it. Hand-check one smoothed contribution."""
+    import math
+
+    from turbine_maintenance_etl_spark.ops.drift import psi_report
+
+    edges = [0.0, 10.0, 20.0, 30.0]
+    base = [float(v) for v in range(0, 30)]             # uniform over 3 bins
+    shifted = [float(v) + 15.0 for v in range(0, 30)]   # mass moves up/overflow
+    e = spark.createDataFrame([(v,) for v in base], "value double")
+    same = psi_report(e, e, "value", edges).toPandas()
+    assert abs(same["psi_contribution"].sum()) < 1e-9   # identical snapshots
+
+    a = spark.createDataFrame([(v,) for v in shifted], "value double")
+    rep = psi_report(e, a, "value", edges).toPandas().set_index("bin")
+    assert rep["psi_contribution"].sum() > 0.25
+    # bin 0 ([0,10)): expected 10 of 30, actual 0 -> smoothed props
+    n_bins = len(edges) + 1
+    pe = (10 + 0.5) / (30 + 0.5 * n_bins)
+    pa = (0 + 0.5) / (30 + 0.5 * n_bins)
+    want = round((pa - pe) * math.log(pa / pe), 6)
+    assert rep.loc[0, "psi_contribution"] == want
+    # the overflow bin (values >= 30) gained mass
+    assert rep.loc[3, "n_actual"] > rep.loc[3, "n_expected"]

@@ -122,6 +122,7 @@ PRIORITY_ORDER: list[str] = [
     "etl_observed_metrics",
     "sim_multiprobe_topk",
     "dedup_containment",
+    "quality_psi_drift",
     "dedup_embedding_cosine",
     "sim_brute_force_topk",
     "sim_lsh_topk",

@@ -1049,3 +1049,50 @@ def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, price_sum double, null_returnflags long, negative_qty long",
     )
+
+
+@register(
+    "quality_psi_drift",
+    """
+    WITH binned AS (
+        SELECT event_id % 2 AS side,
+               CASE WHEN value < 0 THEN -1
+                    WHEN value < 50 THEN 0
+                    WHEN value < 100 THEN 1
+                    WHEN value < 200 THEN 2
+                    WHEN value < 400 THEN 3
+                    ELSE 4 END AS bin
+        FROM events WHERE value IS NOT NULL),
+    eb AS (SELECT bin, COUNT(*) AS n_e FROM binned WHERE side = 0 GROUP BY bin),
+    ab AS (SELECT bin, COUNT(*) AS n_a FROM binned WHERE side = 1 GROUP BY bin),
+    te AS (SELECT COUNT(*) AS t FROM binned WHERE side = 0),
+    ta AS (SELECT COUNT(*) AS t FROM binned WHERE side = 1)
+    SELECT CAST(COALESCE(eb.bin, ab.bin) AS BIGINT)        AS bin,
+           CAST(COALESCE(n_e, 0) AS BIGINT)                AS n_expected,
+           CAST(COALESCE(n_a, 0) AS BIGINT)                AS n_actual,
+           ROUND((COALESCE(n_e, 0) + 0.5) / (te.t + 3.0), 6) AS p_expected,
+           ROUND((COALESCE(n_a, 0) + 0.5) / (ta.t + 3.0), 6) AS p_actual,
+           ROUND(((COALESCE(n_a, 0) + 0.5) / (ta.t + 3.0)
+                  - (COALESCE(n_e, 0) + 0.5) / (te.t + 3.0))
+                 * LN(((COALESCE(n_a, 0) + 0.5) / (ta.t + 3.0))
+                      / ((COALESCE(n_e, 0) + 0.5) / (te.t + 3.0))), 6)
+               AS psi_contribution
+    FROM eb FULL OUTER JOIN ab ON eb.bin = ab.bin
+    CROSS JOIN te CROSS JOIN ta
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (ops/drift.py): PSI decomposition of
+    the events value distribution between two deterministic snapshot
+    halves (event_id parity), fixed literal bin edges [0,50,100,200,400]
+    with Laplace smoothing. Fixed edges are the production discipline —
+    freeze the binning at baseline time, monitor forever against it —
+    and what keeps the operator exactly oracle-checkable. Sum
+    psi_contribution for the headline PSI; per-bin rows say WHICH part
+    of the distribution moved."""
+    from turbine_maintenance_etl_spark.ops.drift import psi_report
+
+    e = _t(spark, sf_dir, "events")
+    expected = e.filter(F.col("event_id") % 2 == 0).select("value")
+    actual = e.filter(F.col("event_id") % 2 == 1).select("value")
+    return psi_report(expected, actual, "value", [0.0, 50.0, 100.0, 200.0, 400.0])
