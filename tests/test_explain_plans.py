@@ -168,6 +168,46 @@ def test_curation_pipeline_single_wide_stage(spark):
     assert n_exchanges(plan) == 1
 
 
+def test_exact_rank_paths_never_single_partition(spark):
+    """The exact-rank family (curation_v2 perplexity gate, weighted
+    sampling, temperature mixture) must plan ZERO SinglePartition
+    exchanges — the round-3 verdict's last scale-killer. The
+    quantile-bucketed rank cut ranks only the boundary bucket under a
+    declared partition key.
+
+    A SinglePartition exchange directly feeding a Sort or Window means
+    the whole input is sorted on one reducer — forbidden. The only
+    tolerated SinglePartition is the final merge of a scalar aggregate
+    over an already-aggregated (bounded) frame."""
+    import re
+
+    for name in (
+        "pipeline_curation_v2",
+        "sample_weighted_topk",
+        "curation_temperature_mix",
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(
+            r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition", plan
+        ), name
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            # parent = nearest earlier line at a shallower connector depth;
+            # it must be the final merge of a scalar aggregate
+            def depth(s: str) -> int:
+                m = re.search(r"[+:]-", s)
+                return m.start() if m else -1
+            d = depth(line)
+            parent = next(
+                (lines[j] for j in range(i - 1, -1, -1) if depth(lines[j]) < d),
+                "",
+            )
+            assert "HashAggregate" in parent, f"{name}: parent {parent!r}"
+
+
 def test_analytic_suite_single_exchange(spark):
     """The merged rank/offset/cumulative/boundary window suite: two
     orderings over ONE partition key -> exactly one Exchange and two

@@ -264,6 +264,59 @@ def test_weighted_sample_bias_and_plan(spark):
     assert {r["doc_id"] for r in weighted_sample(withzero, "w", 3, "doc_id").collect()} == {3}
 
 
+def test_distributed_rank_cut_exact(spark):
+    """keep_lowest_k / keep_lowest_frac select EXACTLY the set the
+    single-partition row_number cut would — verified against a pandas
+    sort on data with heavy ties — while the plan contains no
+    SinglePartition exchange (the 100 TB point of the operator)."""
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.ops.rank import (
+        keep_lowest_frac,
+        keep_lowest_k,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(500),
+            # heavy ties: only 17 distinct key values across 500 rows
+            "v": [float((i * 37) % 17) for i in range(500)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    expected_order = pdf.sort_values(["v", "id"])["id"].tolist()
+    for k in (0, 1, 7, 250, 499, 500, 1000):
+        got = {r["id"] for r in keep_lowest_k(df, F.col("v"), k, "id").collect()}
+        assert got == set(expected_order[:k]), f"k={k}"
+    for frac in (0.0, 0.1, 0.9, 1.0):
+        got = {
+            r["id"] for r in keep_lowest_frac(df, F.col("v"), frac, "id").collect()
+        }
+        assert got == set(expected_order[: int(frac * 500)]), f"frac={frac}"
+
+    cut = keep_lowest_frac(df, F.col("v"), 0.9, "id")
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    # NULL keys are excluded from ranking and from the total
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 1.0), (4, None)], "id int, v double"
+    )
+    got = {r["id"] for r in keep_lowest_frac(withnull, F.col("v"), 0.5, "id").collect()}
+    assert got == {3}  # floor(0.5 * 2 non-null) = 1 row
+
+
+def test_distributed_rank_cut_degenerate_single_value(spark):
+    """All-equal keys collapse every quantile edge: the cut degrades to
+    one ranked bucket but stays exact and deterministic via the id
+    tie-break."""
+    from turbine_maintenance_etl_spark.ops.rank import keep_lowest_k
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], "id int, v double")
+    got = sorted(r["id"] for r in keep_lowest_k(df, F.col("v"), 10, "id").collect())
+    assert got == list(range(10))
+
+
 def test_incremental_agg_matches_full_recompute(spark, tmp_path):
     """Two batches folded incrementally == one aggregation over all the
     data; replaying a batch_id is a no-op (ledger-idempotent)."""

@@ -56,18 +56,21 @@ def curate_corpus_v2(
 
     The perplexity gate keeps the ``ppl_keep_frac`` least-perplexed
     documents by EXACT rank (perplexity asc, id asc tie-break) — fully
-    deterministic and oracle-checkable. The global rank costs a
-    single-partition window at this stage; at 100 TB you'd compute an
-    approximate perplexity cutoff once (percentile sketch over a
-    sample), broadcast it, and gate map-only — the same exact/approx
-    dual the temperature-mixture sampler documents. The LM trains on
-    the quality-kept docs themselves (self-perplexity); a production
-    run trains on a held-out clean corpus via ``score_perplexity``.
+    deterministic and oracle-checkable — computed DISTRIBUTED via the
+    quantile-bucketed rank cut (``ops.rank.keep_lowest_frac``): only
+    the boundary bucket (~1/num_buckets of the survivors) is ever
+    ranked in one place, so the default path survives 100 TB. The
+    scored frame is persisted once so the cut's three passes don't
+    re-run the LM scoring chain. ``ppl_cutoff`` remains the zero-extra-
+    pass alternative: a precomputed broadcast cutoff gates map-only.
+    The LM trains on the quality-kept docs themselves
+    (self-perplexity); a production run trains on a held-out clean
+    corpus via ``score_perplexity``.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from turbine_maintenance_etl_spark.llm.lm import perplexity_scores
+    from turbine_maintenance_etl_spark.ops.rank import keep_lowest_frac
 
     q = add_quality_signals(docs, text_col)
     kept = q.filter(
@@ -77,20 +80,15 @@ def curate_corpus_v2(
     ppl = perplexity_scores(kept, text_col=text_col, id_col=id_col)
     scored = kept.join(ppl.select(id_col, "perplexity"), [id_col])
     if ppl_cutoff is not None:
-        # the 100 TB path: a precomputed cutoff (percentile sketch over a
-        # sample, computed once) gates map-only — no global window
+        # a precomputed cutoff (percentile sketch over a sample,
+        # computed once) gates map-only — no rank pass at all
         gated = scored.filter(F.col("perplexity") <= F.lit(ppl_cutoff)).select(
             *docs.columns
         )
     else:
-        n_total = F.broadcast(scored.agg(F.count("*").alias("_n")))
-        w = Window.orderBy(F.asc("perplexity"), F.asc(id_col))
-        gated = (
-            scored.crossJoin(n_total)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= F.floor(F.lit(ppl_keep_frac) * F.col("_n")))
-            .select(*docs.columns)
-        )
+        gated = keep_lowest_frac(
+            scored, F.col("perplexity"), ppl_keep_frac, id_col, persist=True
+        ).select(*docs.columns)
 
     survivors = exact_dedup(gated, text_col, id_col)
     return chunk_documents(survivors, chunk_tokens, overlap, text_col, id_col)
