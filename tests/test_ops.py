@@ -306,6 +306,26 @@ def test_distributed_rank_cut_exact(spark):
     assert got == {3}  # floor(0.5 * 2 non-null) = 1 row
 
 
+def test_weighted_sample_large_k_path_matches_topk_path(spark):
+    """The distributed-rank path (k above the driver-merge threshold)
+    selects exactly the same set as the TakeOrderedAndProject path —
+    the strategy switch must never change the sample."""
+    from turbine_maintenance_etl_spark.ops.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i % 13))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    via_topk = {
+        r["doc_id"] for r in weighted_sample(df, "w", 600, "doc_id").collect()
+    }
+    via_rank = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df, "w", 600, "doc_id", driver_merge_threshold=100
+        ).collect()
+    }
+    assert via_topk == via_rank and len(via_topk) == 600
+
+
 def test_distributed_rank_cut_degenerate_single_value(spark):
     """All-equal keys collapse every quantile edge: the cut degrades to
     one ranked bucket but stays exact and deterministic via the id

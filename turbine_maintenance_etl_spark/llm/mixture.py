@@ -13,10 +13,12 @@ Two selection strategies with identical semantics at the budget level:
 
 * ``sample_temperature_mixture`` — EXACT: documents are ordered by a
   deterministic 60-bit md5 priority hash and taken greedily until the
-  source budget is exhausted. One tiny aggregate (per-source token
-  mass, broadcast back) + ONE shuffle of the corpus (by source, for
-  the per-source running-sum window). Reproducible across engines,
-  runs, and cluster layouts — this is the oracle-checkable path.
+  source budget is exhausted. Tiny aggregates (per-source token mass
+  and per-(source, hash-range sub-bucket) prefix offsets, broadcast
+  back) + ONE shuffle of the corpus by (source, sub-bucket) for the
+  running-sum window — the sub-buckets keep even a single giant
+  source distributed. Reproducible across engines, runs, and cluster
+  layouts — this is the oracle-checkable path.
 * ``sample_temperature_mixture_approx`` — SCALE: keep a document iff
   ``priority_hash < keep_frac · 2^60`` with
   ``keep_frac = budget_s / T_s``. After the same tiny broadcast this
@@ -106,6 +108,7 @@ def sample_temperature_mixture(
     source_col: str = "source",
     text_col: str = "text",
     salt: str = "mix",
+    num_subbuckets: int = 32,
 ) -> DataFrame:
     """EXACT mixture sample: per source, take documents in priority-hash
     order while the running token total BEFORE the document is still
@@ -114,26 +117,52 @@ def sample_temperature_mixture(
     budget by at most one document).
 
     Output: the selected documents (id, source, n_tokens). Plan shape:
-    tiny per-source agg → broadcast join → one shuffle by source for
-    the running-sum window. Sources are assumed far fewer than
-    partitions; a pathologically huge single source serializes its own
-    window partition — switch to the approx variant there."""
+    tiny per-source agg → broadcast join → the per-source running sum
+    computed DISTRIBUTED over fixed hash-range sub-buckets. The
+    priority hash is uniform in [0, 2^60), so ``num_subbuckets``
+    equal-width hash ranges split every source into balanced slices
+    with NO quantile pass: a tiny per-(source, sub-bucket) token-sum
+    aggregate, prefix-summed over its own (sources × sub-buckets)-row
+    frame, gives each slice its running-total offset; the corpus-wide
+    window then partitions on (source, sub-bucket) — even a single
+    pathologically huge source spreads over ``num_subbuckets``
+    reducers instead of serializing one."""
     budgets = source_token_budgets(docs, token_budget, alpha, source_col, text_col)
+    sub_width = HASH_SPACE // num_subbuckets
     d = docs.select(
         F.col(id_col),
         F.col(source_col),
         token_count_expr(text_col).cast("bigint").alias("n_tokens"),
         priority_hash(id_col, salt).alias("_pri"),
-    )
+    ).withColumn("_sub", (F.col("_pri") / F.lit(sub_width)).cast("int"))
     joined = d.join(F.broadcast(budgets.drop("src_tokens")), source_col)
-    w = (
+    # per-(source, sub-bucket) token mass -> prefix offsets; the frame is
+    # sources x num_subbuckets rows, so the prefix window is tiny and
+    # partitioned by source
+    per_sub = d.groupBy(source_col, "_sub").agg(F.sum("n_tokens").alias("_subtoks"))
+    w_off = (
         Window.partitionBy(source_col)
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_sub.select(
+        source_col,
+        "_sub",
+        F.coalesce(F.sum("_subtoks").over(w_off), F.lit(0)).alias("_off"),
+    )
+    # running sum inside each (source, sub-bucket) slice + the slice's
+    # offset = the EXACT per-source running total in (_pri, id) order
+    # (the sub-bucket is a monotone function of _pri, so slice order and
+    # priority order agree)
+    w = (
+        Window.partitionBy(source_col, "_sub")
         .orderBy("_pri", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
+    cum = F.sum("n_tokens").over(w) + F.col("_off")
     return (
-        joined.withColumn("_cum", cum)
+        joined.join(F.broadcast(offsets), [source_col, "_sub"])
+        .withColumn("_cum", cum)
         .filter(F.col("_cum") - F.col("n_tokens") < F.col("token_budget"))
         .select(id_col, source_col, "n_tokens")
     )

@@ -69,6 +69,7 @@ def weighted_sample(
     id_col: str,
     salt: str = "",
     buckets: int = 1 << 20,
+    driver_merge_threshold: int = 100_000,
 ) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     each row gets key = ln(u) / w with u uniform in (0,1); the k largest
@@ -76,17 +77,26 @@ def weighted_sample(
 
     The uniform is DERIVED (md5 bucket of the id, not RNG), so the
     sample is deterministic, reproducible across engines/runs, and
-    needs no driver-side state. Selection is a distributed top-k
-    (TakeOrderedAndProject — per-partition heads then a k-row merge,
-    never a global sort). The standard lever for quality-weighted
-    corpus mixing at 100 TB. Rows with non-positive weight are
-    excluded (ln(u)/w flips sign)."""
+    needs no driver-side state. Rows with non-positive weight are
+    excluded (ln(u)/w flips sign).
+
+    Selection strategy by k: small k plans a distributed top-k
+    (TakeOrderedAndProject — per-partition heads, then a k-row merge
+    on the driver); beyond ``driver_merge_threshold`` that final merge
+    itself becomes the bottleneck (k rows through one process), so the
+    cut switches to the quantile-bucketed distributed exact rank
+    (``ops.rank.keep_lowest_k`` on the negated key) — same selected
+    set, no k-row funnel. The standard lever for quality-weighted
+    corpus mixing at 100 TB."""
     u = (hash_bucket(F.col(id_col), buckets, salt).cast("double") + 0.5) / buckets
     key = F.log(u) / F.col(weight_col)
-    return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("_es_key", F.round(key, 10))
-        .orderBy(F.desc("_es_key"), F.col(id_col))
-        .limit(k)
-        .drop("_es_key")
-    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn("_es_key", F.round(key, 10))
+    if k <= driver_merge_threshold:
+        return (
+            keyed.orderBy(F.desc("_es_key"), F.col(id_col))
+            .limit(k)
+            .drop("_es_key")
+        )
+    from turbine_maintenance_etl_spark.ops.rank import keep_lowest_k
+
+    return keep_lowest_k(keyed, -F.col("_es_key"), k, id_col).drop("_es_key")
