@@ -59,8 +59,12 @@ PRIORITY_ORDER: list[str] = [
     # -- first GRADE_WINDOW entries (merged suites cover multiple IDs;
     # -- COVERAGE.md maps ID -> entry) -----------------------------------
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
+    # round-4 rotation: the q3/q5 TPC-H demo composites duplicated §2
+    # operators already graded individually (J1 broadcast joins, A-family
+    # aggs, O2 top-k); their two window slots now carry independent
+    # driver evidence for the flagship LLM operators instead
+    "dedup_minhash_lsh",
+    "quality_lm_perplexity",
     "s1_s2_text_scan_suite",
     "s3_s5_catalog_introspection",
     "s_sink_roundtrip",
@@ -110,7 +114,6 @@ PRIORITY_ORDER: list[str] = [
     "dedup_neardup_survivors",
     # -- beyond the grade window: never-graded extensions first, then the
     # -- entries that already earned a green CORRECTNESS_r01 row ---------
-    "quality_lm_perplexity",
     "dedup_incremental_lsh",
     "events_session_window",
     "a_hll_partitioned_rollup",
@@ -145,13 +148,14 @@ PRIORITY_ORDER: list[str] = [
     "events_sliding_window",
     "dedup_exact_groups",
     "dedup_exact_survivors",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "text_token_stats",
     "text_quality_signals",
     "text_language_id",
     "text_fingerprint",
     # -- demo / breadth entries ------------------------------------------
+    "q3_shipping_priority",
+    "q5_regional_revenue",
     "j_asof_join",
     "j_range_join",
     "j_full_outer_join",
