@@ -70,6 +70,20 @@ def test_apply_tokenization_matches_training_side(spark):
     assert out["n_words"] == 2  # foo\xa0bar + baz, matching training
 
 
+def test_token_stats_preserves_string_doc_ids(spark):
+    """The mapInPandas output schema takes the id type from the input
+    schema — corpora keyed by string doc ids round-trip unchanged
+    instead of failing a hardcoded long coercion."""
+    docs = spark.createDataFrame(
+        [("doc-a", "hello world"), ("doc-b", "hello hello")],
+        "doc_id string, text string",
+    )
+    out = bpe_token_stats(docs, [])
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["n_words"] for r in out.collect()}
+    assert got == {"doc-a": 2, "doc-b": 2}
+
+
 def test_more_merges_never_increase_tokens(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     few = train_bpe(docs, num_merges=10)

@@ -503,6 +503,13 @@ def test_observe_metrics_and_quality_gate(spark):
     with pytest.raises(ValueError, match="n_rows"):
         quality_gate(obs2, min_rows=10**12)
 
+    # a typo'd / never-observed metric name is an ERROR on the
+    # null-fraction path too — not a vacuously-passing 0-default
+    with pytest.raises(ValueError, match="not observed"):
+        quality_gate(obs2, max_null_fraction=("null_typo", "n_rows", 0.1))
+    with pytest.raises(ValueError, match="not observed"):
+        quality_gate(obs2, max_null_fraction=("n_rows", "rows_typo", 0.1))
+
 
 def test_mllib_scoring_survives_prior_observation(spark):
     """Once DataFrame.observe materializes the session's lazy

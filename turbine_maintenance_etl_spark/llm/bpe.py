@@ -131,7 +131,11 @@ def bpe_token_stats(
     merges — ``mapInPandas`` with a per-batch word cache, Arrow-batched,
     deterministic on any partitioning."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+    # the id passes through untouched, so its output type is whatever
+    # the input schema says (string doc ids work too) — never a
+    # hardcoded long
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_words long, n_bpe_tokens long"
 
     def run(batches: Iterator) -> Iterator:
         import re

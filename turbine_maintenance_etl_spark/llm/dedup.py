@@ -476,8 +476,11 @@ def containment_scores(
     joins attach the shingle sets to the pairs. Guarded like the other
     per-pair kernels: refuses a pair list beyond ``max_pairs`` (one
     count job — catches a cross join passed by mistake); ``None`` to
-    force."""
+    force. The guard localCheckpoints the pair list first so the count
+    and the later join share ONE execution of the upstream candidate
+    pipeline instead of running LSH twice."""
     if max_pairs is not None:
+        pairs = pairs.localCheckpoint(eager=True)
         n_pairs = pairs.count()
         if n_pairs > max_pairs:
             raise ValueError(

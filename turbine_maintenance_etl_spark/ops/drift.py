@@ -37,20 +37,15 @@ def bin_expr(col: Column, edges: list[float]) -> Column:
     return F.when(col < F.lit(float(edges[0])), F.lit(-1)).otherwise(expr)
 
 
-def _bin_props(df: DataFrame, value_col: str, edges: list[float], side: str) -> DataFrame:
-    n_bins = len(edges) + 1  # underflow + inner bins + overflow
-    binned = df.filter(F.col(value_col).isNotNull()).select(
-        bin_expr(F.col(value_col), edges).alias("bin")
-    )
-    counts = binned.groupBy("bin").agg(F.count("*").alias(f"n_{side}"))
-    total = F.broadcast(binned.agg(F.count("*").alias(f"t_{side}")))
-    return counts.crossJoin(total).select(
-        "bin",
-        f"n_{side}",
-        (
-            (F.col(f"n_{side}") + F.lit(0.5))
-            / (F.col(f"t_{side}") + F.lit(0.5 * n_bins))
-        ).alias(f"p_{side}"),
+def _bin_counts(df: DataFrame, value_col: str, edges: list[float], side: str) -> DataFrame:
+    """ONE aggregation per input side: (bin, n_side) over the fixed
+    edges. Totals and proportions are derived downstream from this
+    bins-sized frame — the input is never re-scanned for them."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bin_expr(F.col(value_col), edges).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias(f"n_{side}"))
     )
 
 
@@ -67,26 +62,27 @@ def psi_report(
     contribute ~0 and are omitted), contributions rounded to 6 dp.
     Sum psi_contribution for the headline PSI; keep the decomposition —
     WHICH bins moved is the actionable part of a drift alert."""
-    e = _bin_props(expected, value_col, edges, "expected")
-    a = _bin_props(actual, value_col, edges, "actual")
+    e = _bin_counts(expected, value_col, edges, "expected")
+    a = _bin_counts(actual, value_col, edges, "actual")
     n_bins = len(edges) + 1
     joined = e.join(a, "bin", "full_outer")
-    # a side missing from a bin still has the smoothed floor proportion
-    def floor_p(t_side: Column) -> Column:
-        return F.lit(0.5) / (t_side + F.lit(0.5 * n_bins))
-
-    # totals travel on every row of their side; recover for missing rows
-    # via a broadcast of each side's total
+    # each side's total = sum over its OWN bins-sized counts frame (a
+    # tiny reused-exchange aggregate) — the inputs are scanned exactly
+    # once each, in _bin_counts
     te = F.broadcast(
-        expected.filter(F.col(value_col).isNotNull()).agg(
-            F.count("*").alias("_te")
+        e.agg(F.coalesce(F.sum("n_expected"), F.lit(0)).alias("_te"))
+    )
+    ta = F.broadcast(a.agg(F.coalesce(F.sum("n_actual"), F.lit(0)).alias("_ta")))
+    # Laplace smoothing: a side absent from a bin gets the floor
+    # (0 + 0.5) / (total + 0.5 * n_bins) via the same formula on the
+    # coalesced count
+    def smoothed(n_col: str, t_col: str) -> Column:
+        return (F.coalesce(F.col(n_col), F.lit(0)) + F.lit(0.5)) / (
+            F.col(t_col) + F.lit(0.5 * n_bins)
         )
-    )
-    ta = F.broadcast(
-        actual.filter(F.col(value_col).isNotNull()).agg(F.count("*").alias("_ta"))
-    )
-    pe = F.coalesce("p_expected", floor_p(F.col("_te")))
-    pa = F.coalesce("p_actual", floor_p(F.col("_ta")))
+
+    pe = smoothed("n_expected", "_te")
+    pa = smoothed("n_actual", "_ta")
     return (
         joined.crossJoin(te)
         .crossJoin(ta)

@@ -56,8 +56,14 @@ def quality_gate(
             )
     if max_null_fraction is not None:
         null_m, rows_m, bound = max_null_fraction
-        rows = got.get(rows_m) or 0
-        frac = (got.get(null_m) or 0) / rows if rows else 0.0
+        for m in (null_m, rows_m):
+            if m not in got:
+                raise ValueError(
+                    f"quality gate: metric {m!r} not observed "
+                    f"(have {sorted(got)})"
+                )
+        rows = got[rows_m] or 0
+        frac = (got[null_m] or 0) / rows if rows else 0.0
         if frac > bound:
             raise ValueError(
                 f"quality gate: null fraction {frac:.4f} of {null_m} > {bound}"
