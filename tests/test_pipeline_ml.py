@@ -109,6 +109,30 @@ def test_ml_models_tree(spark, etl_setup):
     assert metrics["r2"] > 0.3
 
 
+def test_rf_confidence_score_populated(spark, etl_setup):
+    """A RandomForest scorer attaches a REAL confidence_score (per-tree
+    disagreement mapped to (0, 1]) that flows into the canonical
+    predictions table and its grouped summary — replacing the NULL the
+    reference always writes (scripts/ml_pipeline_gpu.py:1016). Linear
+    models keep the NULL (no ensemble to disagree)."""
+    _, res = etl_setup
+    train = res.features.filter(F.col("dataset") == "FD001")
+    _, scored, _ = train_and_score(train, None, "random_forest")
+    conf = [r["confidence_score"] for r in scored.select("confidence_score").collect()]
+    assert all(c is not None and 0.0 < c <= 1.0 for c in conf)
+    assert len(set(conf)) > 1  # real per-row uncertainty, not a constant
+
+    table = predictions_table(scored, "random_forest", feature_columns(train))
+    summary = prediction_error_summary(table)
+    avg_conf = summary.collect()[0]["avg_confidence"]
+    assert avg_conf is not None and 0.0 < avg_conf <= 1.0
+
+    _, lin_scored, _ = train_and_score(train, None, "linear_regression")
+    assert (
+        lin_scored.filter(F.col("confidence_score").isNotNull()).count() == 0
+    )
+
+
 def test_model_persistence_roundtrip(spark, etl_setup, tmp_path):
     """UD4: save → load → transform-equality (reference persists fitted
     models + scalers with joblib, scripts/ml_pipeline.py:600-630; the

@@ -124,6 +124,49 @@ def clamp_predictions(predictions: DataFrame) -> DataFrame:
     )
 
 
+def ensemble_confidence(
+    model: PipelineModel, scored: DataFrame, scale: float = 10.0
+) -> DataFrame:
+    """Attach ``confidence_score`` from ensemble disagreement: for a
+    RandomForestRegressor final stage, score every tree (narrow
+    JVM-side transforms over the already-assembled feature vector — no
+    extra shuffle, no Python), take the population stddev of the
+    per-tree predictions, and map it to (0, 1] via
+    ``1 / (1 + std / scale)`` (``scale`` = the RUL-cycles spread at
+    which confidence halves). Unanimous trees → 1.0; wide disagreement
+    → toward 0.
+
+    The reference stores a confidence_score column but always writes
+    NULL into it (scripts/ml_pipeline_gpu.py:733, :1016); this engine
+    populates it with a real uncertainty. Non-ensemble models pass
+    through with a NULL confidence (nothing principled to report)."""
+    from pyspark.ml.regression import RandomForestRegressionModel
+
+    reg = model.stages[-1]
+    # GBT also exposes .trees, but those are staged residual fits whose
+    # spread is not a disagreement measure — bagged forests only
+    if not isinstance(reg, RandomForestRegressionModel):
+        return scored.withColumn(
+            "confidence_score", F.lit(None).cast("double")
+        )
+    trees = reg.trees
+    out = scored
+    cols = []
+    for i, tree in enumerate(trees):
+        name = f"_tree_{i}"
+        out = tree.transform(out, {tree.predictionCol: name})
+        cols.append(name)
+    arr = F.array(*[F.col(c) for c in cols])
+    n = F.lit(float(len(cols)))
+    mean = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n
+    mean_sq = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x) / n
+    # population variance via E[x^2] - E[x]^2; clamp tiny negative
+    # float residue before the sqrt
+    var = F.greatest(mean_sq - mean * mean, F.lit(0.0))
+    conf = F.lit(1.0) / (F.lit(1.0) + F.sqrt(var) / F.lit(float(scale)))
+    return out.withColumn("confidence_score", F.round(conf, 6)).drop(*cols)
+
+
 def predictions_table(
     scored: DataFrame,
     model_name: str,
@@ -137,7 +180,15 @@ def predictions_table(
     prediction_date, model_version, confidence_score, features_used,
     created_at. ``features_used`` is a proper array<string> instead of
     the reference's comma-joined string; the [:10] truncation mirrors
-    the reference writer (scripts/ml_pipeline_gpu.py:1017)."""
+    the reference writer (scripts/ml_pipeline_gpu.py:1017).
+    ``confidence_score`` passes through when the scorer attached one
+    (``ensemble_confidence``); otherwise NULL — which is all the
+    reference ever writes (scripts/ml_pipeline_gpu.py:1016)."""
+    conf = (
+        F.col("confidence_score").cast("double")
+        if "confidence_score" in scored.columns
+        else F.lit(None).cast("double")
+    )
     return scored.select(
         F.monotonically_increasing_id().alias("id"),
         F.col("unit_nr").cast("int").alias("unit_nr"),
@@ -148,7 +199,7 @@ def predictions_table(
         F.col(label_col).cast("double").alias("actual_rul"),
         F.current_timestamp().alias("prediction_date"),
         F.lit(model_version).alias("model_version"),
-        F.lit(None).cast("double").alias("confidence_score"),
+        conf.alias("confidence_score"),
         F.array(*[F.lit(c) for c in feature_cols[:10]]).alias("features_used"),
         F.current_timestamp().alias("created_at"),
     )
@@ -188,6 +239,7 @@ def train_and_score(
     scored = (
         clamp_predictions(model.transform(test_df)) if test_df is not None else val_pred
     )
+    scored = ensemble_confidence(model, scored)
     return model, scored, metrics
 
 
