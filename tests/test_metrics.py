@@ -47,3 +47,23 @@ def test_sensor_histogram_bins(features):
     rows = hist.collect()
     assert sum(r["n"] for r in rows) == features.count()
     assert all(0 <= r["bucket"] <= 9 for r in rows)
+
+
+def test_sensor_histogram_shared_bounds_single_stats_pass(features):
+    """One sensor_bounds pass feeds N histograms: identical counts to
+    the self-computed-bounds path, and the bounds-fed histogram plan
+    contains no extra aggregate of the input (single scan)."""
+    from turbine_maintenance_etl_spark.metrics.dashboard import sensor_bounds
+
+    bounds = sensor_bounds(features, ["sensor2", "sensor3"])
+    for col in ("sensor2", "sensor3"):
+        with_bounds = sensor_histogram(features, col, bins=10, bounds=bounds[col])
+        self_computed = sensor_histogram(features, col, bins=10)
+        assert sorted(map(tuple, with_bounds.collect())) == sorted(
+            map(tuple, self_computed.collect())
+        )
+    # the bounds-fed plan is ONE aggregation over the scan (the bucket
+    # count) — no second min/max aggregate anywhere
+    plan = sensor_histogram(features, "sensor2", bins=10, bounds=bounds["sensor2"])
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert s.count("HashAggregate") <= 2  # partial + final of the count

@@ -62,11 +62,33 @@ def rul_distribution(features: DataFrame, bin_width: int = 25) -> DataFrame:
     )
 
 
-def sensor_histogram(features: DataFrame, col: str, bins: int = 30) -> DataFrame:
+def sensor_bounds(features: DataFrame, cols: list[str]) -> dict[str, tuple]:
+    """(min, max) for MANY sensor columns in ONE aggregation pass —
+    compute this once per dashboard render (or once per session and
+    cache the dict) and feed each histogram its ``bounds``, so N
+    histograms cost one stats scan instead of N."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = features.agg(*aggs).collect()[0]
+    return {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+
+
+def sensor_histogram(
+    features: DataFrame,
+    col: str,
+    bins: int = 30,
+    bounds: tuple | None = None,
+) -> DataFrame:
     """30-bin histogram of a sensor column with data-driven range
-    (scripts/streamlit_dashboard.py:155-170) — two passes: min/max agg,
-    then bucketed count."""
-    lo, hi = features.agg(F.min(col), F.max(col)).collect()[0]
+    (scripts/streamlit_dashboard.py:155-170). Pass ``bounds`` (lo, hi)
+    — e.g. from one ``sensor_bounds`` pass over all rendered sensors —
+    to make this a single scan; with ``bounds=None`` it falls back to
+    its own bounded min/max stats fetch (one extra scan per render,
+    the reference's two-pass behavior)."""
+    lo, hi = bounds if bounds is not None else features.agg(
+        F.min(col), F.max(col)
+    ).collect()[0]
     width = (hi - lo) / bins if hi > lo else 1.0
     bucket = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
     return (
