@@ -178,6 +178,59 @@ def test_lsh_bucket_cap_and_stats(spark):
     assert pairs_uncapped.count() >= 40 * 39 // 2
 
 
+def test_lsh_recall_floor_survives_mega_bucket_cap(spark):
+    """Adversarial skew: a boilerplate cluster big enough to trip the
+    mega-bucket cap must NOT drag down candidate recall for the genuine
+    near-duplicate pairs elsewhere in the corpus.
+
+    Construction (seeded, deterministic): 25 near-dup pairs with
+    disjoint vocabularies (tail-block edits keep trigram Jaccard ~0.75,
+    above the 8x4 banding threshold ~0.6), plus 60 identical
+    boilerplate docs that form a capped mega-bucket. Ground truth =
+    brute-force n-gram Jaccard >= 0.6 restricted to the non-boilerplate
+    docs; recall of LSH candidates over that truth must hold >= 0.8
+    WHILE the stats operator reports the cap engaged — the accounting
+    makes the floor assertable."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.dedup import (
+        minhash_lsh_bucket_stats,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for p in range(25):
+        base = [f"p{p}w{rng.randrange(10_000)}" for _ in range(60)]
+        variant = base[:-6] + [f"p{p}v{rng.randrange(10_000)}" for _ in range(6)]
+        rows.append((2 * p, " ".join(base)))
+        rows.append((2 * p + 1, " ".join(variant)))
+    boiler = "standard legal disclaimer boilerplate text repeated verbatim " * 5
+    rows += [(1000 + i, boiler) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    cap = 50  # below the 60-doc boilerplate cluster
+    stats = minhash_lsh_bucket_stats(docs, max_bucket_size=cap).collect()
+    assert all(r["n_capped_buckets"] >= 1 for r in stats), "cap never engaged"
+    assert all(r["n_docs_in_capped"] == 60 for r in stats)
+
+    truth_df = ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 1000), threshold=0.6, max_rows=None
+    )
+    truth = {(r["id_a"], r["id_b"]) for r in truth_df.collect()}
+    assert len(truth) >= 20  # the construction really makes near-dups
+
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, max_bucket_size=cap).collect()
+    }
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.8, f"recall {recall:.2f} under mega-bucket cap"
+
+
 def test_quadratic_kernels_guarded(spark):
     """The O(n^2) operators refuse full-scale inputs unless forced."""
     import pytest
