@@ -87,7 +87,16 @@ def upsert_by_key(
     rewritten — cost is proportional to touched partitions, not table
     size. The window dedup shuffles on the key columns once. For true
     row-level merge without rewrite, layer Delta/Iceberg on the same
-    call signature."""
+    call signature.
+
+    CONCURRENCY CAVEAT: plain parquet has no transaction log, so this
+    merge is read-modify-write — two writers upserting the same
+    partition concurrently can silently lose one writer's rows (the
+    reference's SQLite ``INSERT OR REPLACE`` gave real row-level
+    transactions here, sql/sqlite_ddl.sql). Serialize upserts per
+    table (one writer job / an external lock), or use a
+    transactional table format (Delta/Iceberg, not installable in this
+    environment) when multiple concurrent writers are a requirement."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
