@@ -447,3 +447,41 @@ def test_auto_num_planes_formula():
     # monotone non-decreasing in N
     vals = [auto_num_planes(n) for n in (1, 10**3, 10**5, 10**7, 10**9)]
     assert vals == sorted(vals)
+
+
+def test_duplicated_span_stats_hand_computed(spark):
+    """Exact substring-span dedup on a crafted corpus: doc 1 and doc 2
+    share one 10-token boilerplate block (docs differ elsewhere), doc 3
+    repeats its own 8-token span, doc 4 is unique, doc 5 is too short to
+    hold any 8-gram."""
+    from turbine_maintenance_etl_spark.llm.dedup import duplicated_span_stats
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, "intro words here " + boiler),
+        (3, "one two three four five six seven eight one two three four five six seven eight"),
+        (4, "totally unique content with no repeated spans anywhere in this corpus at all"),
+        (5, "way too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in duplicated_span_stats(df, n=8).collect()}
+
+    # docs 1+2: the shared 10-token block holds three 8-gram positions
+    # each; all 10 boilerplate tokens are covered, nothing else.
+    for d, n_tok in ((1, 13), (2, 13)):
+        assert got[d]["n_tokens"] == n_tok
+        assert got[d]["n_dup_spans"] == 3
+        assert got[d]["n_dup_tokens"] == 10
+        assert abs(got[d]["dup_frac"] - 10 / 13) < 1e-6
+    # doc 3: 16 tokens = the same 8-token phrase twice; positions 1 and 9
+    # hold identical 8-grams (plus the wrap-around grams are unique), so
+    # 2 dup spans covering all 16 tokens.
+    assert got[3]["n_dup_spans"] == 2
+    assert got[3]["n_dup_tokens"] == 16
+    assert got[3]["dup_frac"] == 1.0
+    # unique and too-short docs: zero coverage, still present in output.
+    for d in (4, 5):
+        assert got[d]["n_dup_spans"] == 0
+        assert got[d]["n_dup_tokens"] == 0
+        assert got[d]["dup_frac"] == 0.0

@@ -18,6 +18,7 @@ from turbine_maintenance_etl_spark.llm.dedup import (  # noqa: F401
     exact_dedup_groups,
     minhash_signatures,
     minhash_lsh_candidates,
+    duplicated_span_stats,
     ngram_jaccard_pairs,
     shingles,
     simhash,

@@ -505,3 +505,93 @@ def containment_scores(
         ),
         F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level dedup signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" / ExactSubstr
+    shape, on word n-grams instead of a suffix array): every n-token span
+    whose content occurs >= ``min_count`` times ANYWHERE in the corpus is
+    a duplicated span; per document report the span count and the
+    fraction of tokens covered by at least one duplicated span — the
+    curation gate signal (docs above a coverage threshold get trimmed or
+    dropped).
+
+    Replaces the reference-free suffix-array pass with pure DataFrame
+    algebra, all JVM-side:
+
+    1. tokenize once per row (``tokens_expr``);
+    2. enumerate positional n-grams via ``transform`` over an index
+       ``sequence`` + ``slice`` (guarded for short docs — Spark's
+       ``sequence(1, 0)`` counts DOWN, so the span list is built only
+       when ``len >= n``), hashing each span to a portable 60-bit int
+       (``md5_hash64`` — an 8-byte shuffle key, not the 32-char hex
+       digest and never the raw span text);
+    3. one hash-shuffle counts span occurrences; spans with
+       ``count >= min_count`` survive;
+    4. an equi-join on the span hash marks duplicated positions, and the
+       exact union-of-intervals coverage comes from exploding each hit to
+       its n covered token indices and counting DISTINCT (doc, index) —
+       interval union without any per-doc sort.
+
+    Scale shape: everything is linear in corpus token count; shuffles key
+    on 8-byte hashes; no window, no driver collect, no quadratic pair
+    stage (unlike Jaccard verification this needs no candidate cap). The
+    false-positive rate of a 60-bit hash over realistic corpora (< 2^30
+    distinct spans) is negligible (~2^-60 per pair).
+    """
+    from turbine_maintenance_etl_spark.llm.text import tokens_expr
+
+    toks = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens")
+    )
+    span_structs = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_hash64(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    grams = toks.select(
+        id_col, F.explode(span_structs).alias("s")
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+
+    dup_spans = grams.groupBy("g").count().filter(F.col("count") >= min_count).select("g")
+    hits = grams.join(dup_spans, "g")
+
+    per_doc_spans = hits.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
+    covered = (
+        hits.select(
+            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(per_doc_spans, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -57,17 +57,68 @@ GRADE_WINDOW = 50
 PRIORITY_ORDER: list[str] = [
     # -- SURVEY §2 core: EVERY §2 operator family has a graded row in the
     # -- first GRADE_WINDOW entries (merged suites cover multiple IDs;
-    # -- COVERAGE.md maps ID -> entry) -----------------------------------
+    # -- COVERAGE.md maps ID -> entry). Round-4 compaction: operator
+    # -- families that previously spent one slot each (P-family, J2/
+    # -- outer/semi/anti, A1/A9/A10/A16, W1..W6, O1/O2) are graded via
+    # -- consolidated tagged-union suites (queries_suites.py); the freed
+    # -- slots carry independent driver evidence for the flagship
+    # -- LLM-pipeline operators that were previously selfcheck-only.
+    # -- The original single-operator entries remain registered BELOW the
+    # -- window (still selfchecked + pytest-oracle-checked every round).
     "q1_pricing_summary",
-    # round-4 rotation: the q3/q5 TPC-H demo composites duplicated §2
-    # operators already graded individually (J1 broadcast joins, A-family
-    # aggs, O2 top-k); their two window slots now carry independent
-    # driver evidence for the flagship LLM operators instead
-    "dedup_minhash_lsh",
-    "quality_lm_perplexity",
     "s1_s2_text_scan_suite",
     "s3_s5_catalog_introspection",
     "s_sink_roundtrip",
+    "p_projection_cast_suite",     # P1 P2 P5 P6 P7 P8 P10 P11 P12
+    "p_schema_pruning_suite",      # P3 P4
+    "j1_broadcast_equijoin",       # J1
+    "j_join_suite",                # J2 + left/semi/anti
+    "a_grouped_agg_suite",         # A1 A9 A10 A16
+    "a5_a7_distinct_global_stats",
+    "a11_grouped_error_metrics",
+    "a12_a14_quantile_corr",
+    "a13_a15_histogram_binning",
+    "agg_rollup_cube",
+    "agg_pivot",
+    "w_core_suite",                # W1 W2 W3 W4 W5 W6/A4
+    "w_analytic_suite",
+    "w_range_time_frame",
+    "w_sessionization",
+    "cmapss_feature_engine",
+    "o_order_limit_suite",         # O1 O2 O3 O4
+    "u1_set_ops_suite",
+    "f_scalar_datetime_suite",
+    "f_null_handling",
+    "f_json_extract",
+    "events_tumbling_window",
+    "ud_grouped_map_slope",
+    "dedup_cluster_resolution",
+    "dedup_simhash_oracle",
+    "dedup_neardup_survivors",
+    # -- flagship LLM-pipeline operators inside the graded window -------
+    "dedup_minhash_lsh",
+    "quality_lm_perplexity",
+    "dedup_incremental_lsh",
+    "dedup_semantic_survivors",
+    "pipeline_curation_v2",
+    "sim_lsh_topk",
+    "sim_multiprobe_topk",
+    "sim_brute_force_topk",
+    "dedup_containment",
+    "quality_psi_drift",
+    "text_tfidf_top_terms",
+    "curation_temperature_mix",
+    "scd2_event_tier_history",
+    "pipeline_sequence_packing",
+    "text_chunking",
+    "text_decontamination",
+    "text_pii_redaction",
+    "export_hash_shards",
+    "events_session_window",
+    "dedup_span_coverage",
+    # -- beyond the grade window: the original single-operator §2
+    # -- entries (suite-graded above, still selfchecked here), then
+    # -- never-graded extensions ----------------------------------------
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",
@@ -78,80 +129,41 @@ PRIORITY_ORDER: list[str] = [
     "p10_rename_projection",
     "p11_literal_tag",
     "p12_regex_column_select",
-    "j1_broadcast_equijoin",
     "j2_rownumber_keygen",
     "j_left_outer_join",
     "j_semi_anti_join",
     "a1_grouped_minmax",
-    "a5_a7_distinct_global_stats",
     "a9_two_level_agg",
     "a10_conditional_share",
-    "a11_grouped_error_metrics",
-    "a12_a14_quantile_corr",
-    "a13_a15_histogram_binning",
     "a16_summary_stats",
-    "agg_rollup_cube",
-    "agg_pivot",
     "w1_partition_max",
     "w2_w3_rolling_means",
     "w4_lag_diff",
     "w5_group_zscore",
     "w6_last_per_group",
-    "w_analytic_suite",
-    "w_range_time_frame",
-    "w_sessionization",
-    "cmapss_feature_engine",
     "o1_composite_sort",
     "o2_topk_recent",
-    "u1_set_ops_suite",
-    "f_scalar_datetime_suite",
-    "f_null_handling",
-    "f_json_extract",
-    "events_tumbling_window",
-    "ud_grouped_map_slope",
-    "dedup_cluster_resolution",
-    "dedup_simhash_oracle",
-    "dedup_neardup_survivors",
-    # -- beyond the grade window: never-graded extensions first, then the
-    # -- entries that already earned a green CORRECTNESS_r01 row ---------
-    "dedup_incremental_lsh",
-    "events_session_window",
     "a_hll_partitioned_rollup",
     "s_jsonl_roundtrip",
-    "dedup_semantic_survivors",
     "text_bpe_trained_tokens",
     "s_orc_roundtrip",
-    "pipeline_curation_v2",
     "etl_observed_metrics",
-    "sim_multiprobe_topk",
-    "dedup_containment",
-    "quality_psi_drift",
     "dedup_embedding_cosine",
-    "sim_brute_force_topk",
-    "sim_lsh_topk",
     "sim_ivf_topk",
     "text_bpe_token_count",
-    "text_tfidf_top_terms",
-    "text_chunking",
     "text_repetition_signals",
-    "text_decontamination",
-    "text_pii_redaction",
     "pipeline_corpus_curation",
     "pipeline_chunk_embed_ann",
-    "pipeline_sequence_packing",
     "curation_source_mix",
-    "curation_temperature_mix",
-    "export_hash_shards",
     "quality_classifier_filter",
-    "scd2_event_tier_history",
     "streaming_tumbling_window",
     "events_sliding_window",
     "dedup_exact_groups",
     "dedup_exact_survivors",
     "dedup_ngram_jaccard",
+    "text_language_id",
     "text_token_stats",
     "text_quality_signals",
-    "text_language_id",
     "text_fingerprint",
     # -- demo / breadth entries ------------------------------------------
     "q3_shipping_priority",

@@ -1111,3 +1111,49 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(docs)
     return D.containment_scores(docs, pairs)
+
+
+_DUCK_SPAN_HASH = (
+    "list_reduce(list_transform(string_split(substr(md5("
+    "array_to_string(t[i:i+7], ' ')), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "dedup_span_coverage",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+    grams AS (
+        SELECT doc_id, i AS pos, {_DUCK_SPAN_HASH} AS g
+        FROM base, UNNEST(generate_series(1, n_tokens - 7)) AS u(i)
+        WHERE n_tokens >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT gr.* FROM grams gr JOIN dup USING (g)),
+    spans AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM hits GROUP BY doc_id),
+    cov AS (
+        SELECT doc_id, COUNT(*) AS n_dup_tokens FROM (
+            SELECT DISTINCT h.doc_id, idx
+            FROM hits h, UNNEST(generate_series(h.pos, h.pos + 7)) AS v(idx))
+        GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           ROUND(COALESCE(c.n_dup_tokens, 0)
+                 / NULLIF(CAST(b.n_tokens AS DOUBLE), 0), 6) AS dup_frac
+    FROM base b LEFT JOIN spans s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr shape on
+    word 8-grams): per-document duplicated-span count + exact fraction of
+    tokens covered by any corpus-duplicated span. The whole chain —
+    positional n-gram hashing, corpus-wide occurrence counts, interval-
+    union coverage — is hash-exact across engines (portable md5-fold
+    60-bit span keys), so the driver's DuckDB twin checks it value-for-
+    value. See ``llm/dedup.py:duplicated_span_stats`` for the 100 TB
+    shape argument (linear, 8-byte shuffle keys, no window/collect)."""
+    return D.duplicated_span_stats(_t(spark, sf_dir, "documents"), n=8, min_count=2)
