@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_session_window",
     "dedup_semantic_survivors",
     "pipeline_curation_v2",
+    "dedup_span_coverage",
 ]
 
 
