@@ -131,3 +131,58 @@ def test_redact_pii_hand_computed(spark):
     assert got[1]["redacted"] == "mail <EMAIL> and call <PHONE> or <PHONE>"
     assert got[2]["n_emails"] == 0 and got[2]["redacted"] == "no pii here"
     assert got[3]["n_emails"] == 2 and got[3]["redacted"] == "double <EMAIL> <EMAIL>"
+
+
+def test_segment_repetition_hand_computed(spark):
+    """Gopher duplicate-line metrics on a crafted doc set: repeated
+    lines, all-unique lines, empty text, and Gopher's all-copies (not
+    extras-only) char-mass rule."""
+    from turbine_maintenance_etl_spark.llm.quality import segment_repetition_signals
+
+    rows = [
+        # 4 lines: "abc" twice (3 chars each), "x" once, "long line!" once
+        (1, "abc\nx\nabc\nlong line!"),
+        # all unique
+        (2, "alpha\nbeta\ngamma"),
+        # triple repeat: "zz" x3 (2 chars) + "q" -> dup mass 6 of 7
+        (3, "zz\nzz\nzz\nq"),
+        # empty / whitespace-only -> 0 segments, NULL fracs
+        (4, "   \n  \n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in segment_repetition_signals(df).collect()}
+
+    assert got[1]["n_segments"] == 4
+    assert got[1]["n_dup_segments"] == 1          # one extra occurrence
+    assert got[1]["dup_seg_frac"] == 0.25
+    # char mass counts BOTH "abc" copies: 6 / (3+1+3+10) = 6/17
+    assert abs(got[1]["dup_seg_char_frac"] - 6 / 17) < 1e-4
+
+    assert got[2]["n_dup_segments"] == 0
+    assert got[2]["dup_seg_frac"] == 0.0
+    assert got[2]["dup_seg_char_frac"] == 0.0
+
+    assert got[3]["n_segments"] == 4
+    assert got[3]["n_dup_segments"] == 2
+    assert abs(got[3]["dup_seg_char_frac"] - 6 / 7) < 1e-4
+
+    assert got[4]["n_segments"] == 0
+    assert got[4]["dup_seg_frac"] is None
+    assert got[4]["dup_seg_char_frac"] is None
+
+
+def test_segment_repetition_paragraph_boundary(spark):
+    """The boundary regex is a real parameter: the same text yields
+    different segmentations for line vs paragraph splitting."""
+    from turbine_maintenance_etl_spark.llm.quality import segment_repetition_signals
+
+    text = "para one\nsame para\n\npara one\nsame para"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    by_line = segment_repetition_signals(df).collect()[0]
+    by_para = segment_repetition_signals(df, sep_regex=r"\n\n+").collect()[0]
+    # line grain: 4 lines, each appearing twice -> 2 extras
+    assert by_line["n_segments"] == 4 and by_line["n_dup_segments"] == 2
+    assert by_line["dup_seg_char_frac"] == 1.0
+    # paragraph grain: 2 identical multi-line paragraphs
+    assert by_para["n_segments"] == 2 and by_para["n_dup_segments"] == 1
+    assert by_para["dup_seg_char_frac"] == 1.0

@@ -23,6 +23,12 @@ from turbine_maintenance_etl_spark.llm.dedup import (  # noqa: F401
     shingles,
     simhash,
 )
+from turbine_maintenance_etl_spark.llm.quality import (  # noqa: F401
+    decontamination_scores,
+    redact_pii,
+    repetition_signals,
+    segment_repetition_signals,
+)
 from turbine_maintenance_etl_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_expr,

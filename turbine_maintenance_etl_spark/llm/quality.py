@@ -187,3 +187,74 @@ def redact_pii(
             F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
         ),
     )
+
+
+def segment_repetition_signals(
+    df: DataFrame,
+    sep_regex: str = r"\n+",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level Gopher repetition filters (Rae et al. 2021:
+    duplicate line / paragraph fraction and the char-mass variants),
+    with the segment boundary as a parameter (``\\n+`` lines by
+    default; ``\\n\\n+`` paragraphs; ``\\.\\s+`` sentence-ish).
+
+    Per document, over trimmed non-empty segments:
+
+    - n_segments
+    - dup_seg_frac       = (occurrences - distinct segments) / occurrences
+    - dup_seg_char_frac  = chars in EVERY occurrence of a repeated
+                           segment / total segment chars (Gopher counts
+                           all copies of a duplicated line, not just the
+                           extras)
+
+    Zero-shuffle like the word/bigram signals: the repeated-segment char
+    mass comes from one ``aggregate`` pass over the SORTED segment array
+    tracking (prev, run length, duplicated char mass) — when a run
+    reaches length 2 the accumulator adds both occurrences, then one per
+    further repeat. Linear per row, no explode, no join-back.
+    """
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(num / F.when(den > 0, den), 4)
+
+    def stats(segs: Column) -> Column:
+        n_segs = F.size(segs)
+        total_chars = F.aggregate(
+            segs, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        )
+        srt = F.array_sort(segs)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("dup"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            is_rep = x.eqNullSafe(acc["prev"])
+            run = F.when(is_rep, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+            add = F.when(
+                is_rep & (acc["run"] == 1), F.length(x).cast("bigint") * 2
+            ).when(is_rep, F.length(x).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            return F.struct(
+                x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup")
+            )
+
+        dup_chars = F.aggregate(srt, init, step, lambda acc: acc["dup"])
+        n_dup = n_segs - F.size(F.array_distinct(segs))
+        return F.struct(
+            n_segs.cast("bigint").alias("n_segments"),
+            n_dup.cast("bigint").alias("n_dup_segments"),
+            frac(n_dup, n_segs).alias("dup_seg_frac"),
+            frac(dup_chars, total_chars).alias("dup_seg_char_frac"),
+        )
+
+    segs_expr = F.filter(
+        F.transform(F.split(F.col(text_col), sep_regex), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    s = bind_once(segs_expr, stats)
+    return df.select(F.col(id_col), s.alias("_s")).select(id_col, "_s.*")
