@@ -254,3 +254,54 @@ def test_lm_perplexity_matches_reference(spark, texts):
         for r in perplexity_scores(df).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "d"]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(2, 4),
+)
+def test_duplicated_span_stats_match_python_reference(spark, docs, n):
+    """Differential property test: the distributed span-dedup pipeline
+    (positional n-gram hash -> per-key count -> interval-union coverage)
+    equals a direct Python computation on arbitrary small corpora, for
+    every n. Tiny alphabet so cross-document span collisions actually
+    happen."""
+    from collections import Counter
+
+    from turbine_maintenance_etl_spark.llm.dedup import duplicated_span_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_span_stats(df, n=n, min_count=2).collect()
+    }
+
+    # pure-Python reference
+    grams: Counter = Counter()
+    positions: dict[int, list[tuple[int, str]]] = {}
+    for i, toks in enumerate(docs):
+        spans = [
+            (p, " ".join(toks[p : p + n])) for p in range(len(toks) - n + 1)
+        ]
+        positions[i] = spans
+        grams.update(g for _, g in spans)
+
+    for i, toks in enumerate(docs):
+        dup = [(p, g) for p, g in positions[i] if grams[g] >= 2]
+        covered = set()
+        for p, _ in dup:
+            covered.update(range(p, p + n))
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_dup_spans"] == len(dup)
+        assert r["n_dup_tokens"] == len(covered)
+        if len(toks):
+            assert abs(r["dup_frac"] - round(len(covered) / len(toks), 6)) < 1e-9
+        else:
+            assert r["dup_frac"] is None
