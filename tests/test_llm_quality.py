@@ -186,3 +186,74 @@ def test_segment_repetition_paragraph_boundary(spark):
     # paragraph grain: 2 identical multi-line paragraphs
     assert by_para["n_segments"] == 2 and by_para["n_dup_segments"] == 1
     assert by_para["dup_seg_char_frac"] == 1.0
+
+
+def test_bloom_decontamination_exact_differential(spark):
+    """bloom_decontamination(exact_verify=True) must EQUAL
+    decontamination_scores row-for-row (the bloom is a prefilter; the
+    verify join removes its false positives), on a corpus large enough
+    that false positives actually occur before verification."""
+    from turbine_maintenance_etl_spark.llm.quality import bloom_decontamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    cands = docs.filter(F.col("source") != "src0")
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in decontamination_scores(cands, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r.asDict()
+        # high fpp so the verify join has real false positives to kill
+        for r in bloom_decontamination(cands, bench, fpp=0.2).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_decontamination_upper_bound_and_fpr(spark):
+    """exact_verify=False: no false negatives ever (per-doc
+    n_contaminated >= exact), and the observed false-positive rate on
+    clean shingles stays near the configured fpp."""
+    from turbine_maintenance_etl_spark.llm.quality import bloom_decontamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    cands = docs.filter(F.col("source") != "src0")
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in decontamination_scores(cands, bench).collect()
+    }
+    ub = {
+        r["doc_id"]: r.asDict()
+        for r in bloom_decontamination(
+            cands, bench, fpp=0.01, exact_verify=False
+        ).collect()
+    }
+    assert set(ub) == set(exact)
+    extra = clean = 0
+    for doc_id, e in exact.items():
+        u = ub[doc_id]
+        assert u["n_shingles"] == e["n_shingles"]
+        assert u["n_contaminated"] >= e["n_contaminated"], doc_id  # no false negs
+        extra += u["n_contaminated"] - e["n_contaminated"]
+        clean += e["n_shingles"] - e["n_contaminated"]
+    assert clean > 1000  # the corpus exercises the filter meaningfully
+    assert extra / clean < 0.03  # ~3x slack over fpp=0.01
+
+
+def test_bloom_decontamination_empty_and_degenerate(spark):
+    """Empty benchmark -> nothing contaminated; candidates shorter than
+    the shingle width survive with n_shingles=0 / NULL contamination."""
+    from turbine_maintenance_etl_spark.llm.quality import bloom_decontamination
+
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in bloom_decontamination(cands, bench).collect()}
+    assert out[1]["n_shingles"] == 2 and out[1]["n_contaminated"] == 0
+    assert out[2] == {
+        "doc_id": 2, "n_shingles": 0, "n_contaminated": 0,
+        "contamination": None, "flagged": 0,
+    }

@@ -258,3 +258,175 @@ def segment_repetition_signals(
     )
     s = bind_once(segs_expr, stats)
     return df.select(F.col(id_col), s.alias("_s")).select(id_col, "_s.*")
+
+
+# --- Bloom-filter decontamination -----------------------------------------
+#
+# decontamination_scores broadcasts the benchmark's EXACT distinct-shingle
+# set. That is the right plan while the set fits comfortably in a broadcast
+# (eval suites: MBs). When the "benchmark" side is itself large — e.g.
+# held-out validation shards, a whole eval UNION, or cross-corpus
+# contamination checks — the exact set stops broadcasting and the join
+# degrades to shuffling EVERY corpus shingle. The bloom path compresses the
+# benchmark set into a fixed-size bit array (~10 bits/element at 1% FPR:
+# a 100M-shingle benchmark becomes a ~120 MB broadcast instead of multi-GB),
+# tests corpus shingles MAP-SIDE against it, and only the surviving ~1%
+# enter the exact verification join — so the candidate-side shuffle (or
+# broadcast-probe work) shrinks by ~100x while the final answer stays EXACT
+# (blooms have no false negatives; false positives are removed by the
+# verify join).
+
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard bloom sizing: m = -n ln p / (ln 2)^2 bits, k = m/n ln 2."""
+    import math
+
+    n = max(1, expected_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole 64-bit words
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(col: Column, m: int, k: int) -> Column:
+    """The k bit positions of a value: pmod(xxhash64(value, seed_i), m).
+    Computed JVM-side (codegen) so build and probe sides agree by
+    construction."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).alias(f"h{i}") for i in range(k)]
+    )
+
+
+def build_shingle_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+):
+    """Distributed bloom-filter build over the benchmark's shingle set.
+
+    Returns ``(bitmap, m, k)`` where ``bitmap`` is a numpy uint64 array of
+    ``m/64`` words. The build is one explode + one groupBy(word_idx) with
+    ``bit_or`` partial aggregation (map-side combine collapses each
+    partition to <= m/64 rows before the shuffle), then a driver collect
+    of the set words — bounded by the FILTER size (m/64 words), which is
+    sized from the benchmark, never from the corpus. No distinct pass is
+    needed: duplicate shingles set the same bits.
+
+    ``expected_items``: upper bound on distinct benchmark shingles; if
+    None, one count job measures it (exact count of distinct shingles is
+    not needed — total shingle occurrences is a safe upper bound and
+    avoids a distinct shuffle).
+    """
+    import numpy as np
+
+    sh = benchmark.select(F.explode(shingles(text_col, n)).alias("sh"))
+    if expected_items is None:
+        expected_items = sh.count()
+    m, kk = _bloom_params(expected_items, fpp)
+    words = (
+        sh.select(F.explode(_bloom_positions(F.col("sh"), m, kk)).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("bigint").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitmap = np.zeros(m // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap, m, kk
+
+
+def bloom_decontamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_threshold: float = 0.5,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Decontamination with a bloom prefilter — same semantics and output
+    schema as ``decontamination_scores`` when ``exact_verify=True``
+    (differential-tested equal), but the candidate side only joins the
+    shingles the bloom could not rule out.
+
+    Plan shape at 100 TB:
+      1. build: benchmark explode → bit_or agg → driver bitmap (bounded
+         by filter size), broadcast via SparkContext (torrent, once per
+         executor — NOT a plan literal, so the plan stays small).
+      2. probe: corpus shingles explode map-side; k xxhash64 positions
+         (codegen); one vectorized Arrow-batched pandas UDF tests the
+         bits (numpy gather, no Python loop). ~99% of shingles drop
+         here without touching a join or shuffle.
+      3. verify (exact_verify=True): survivors join the exact benchmark
+         shingle set — now a small fraction of the corpus, so this join
+         broadcasts or shuffles cheaply either way. False positives die
+         here; the result is EXACTLY ``decontamination_scores``.
+         With exact_verify=False the result is the bloom upper bound
+         (n_contaminated may overcount by ~fpp x n_shingles; flagged is
+         a superset) and the benchmark set is never materialized on the
+         probe path at all.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = candidates.sparkSession
+    bitmap, m, kk = build_shingle_bloom(
+        benchmark, text_col=text_col, n=n, expected_items=expected_items, fpp=fpp
+    )
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    def _maybe(positions: pd.Series) -> pd.Series:
+        bm = bc.value
+        if len(positions) == 0:
+            return pd.Series([], dtype=bool)
+        P = np.stack(positions.to_numpy())  # (batch, k) int64 >= 0
+        words = bm[P >> 6]
+        bits = (words >> (P & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    # explicit annotations (evaluated objects, not strings) so pandas_udf
+    # infers the scalar eval type under `from __future__ import annotations`
+    _maybe.__annotations__ = {"positions": pd.Series, "return": pd.Series}
+    maybe_in_bloom = pandas_udf("boolean")(_maybe)
+
+    cand = candidates.select(
+        F.col(id_col), F.explode_outer(shingles(text_col, n)).alias("sh")
+    )
+    totals = cand.groupBy(id_col).agg(F.count("sh").alias("n_shingles"))
+    probed = cand.where(F.col("sh").isNotNull()).where(
+        maybe_in_bloom(_bloom_positions(F.col("sh"), m, kk))
+    )
+    if exact_verify:
+        bench_sh = benchmark.select(
+            F.explode(shingles(text_col, n)).alias("sh")
+        ).distinct()
+        probed = probed.join(F.broadcast(bench_sh), "sh", "inner")
+    hits = probed.groupBy(id_col).agg(
+        F.count("sh").cast("bigint").alias("n_contaminated")
+    )
+    scored = totals.join(hits, id_col, "left").withColumn(
+        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint")
+    )
+    contamination = F.round(
+        F.col("n_contaminated") / F.when(F.col("n_shingles") > 0, F.col("n_shingles")),
+        4,
+    )
+    return scored.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        contamination.alias("contamination"),
+        F.when(contamination > flag_threshold, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("flagged"),
+    )

@@ -119,6 +119,7 @@ PRIORITY_ORDER: list[str] = [
     # -- beyond the grade window: the original single-operator §2
     # -- entries (suite-graded above, still selfchecked here), then
     # -- never-graded extensions ----------------------------------------
+    "text_decontamination_bloom",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from turbine_maintenance_etl_spark.llm import dedup as D
 from turbine_maintenance_etl_spark.llm import similarity as S
 from turbine_maintenance_etl_spark.llm import text as TX
-from turbine_maintenance_etl_spark.queries import _t, register
+from turbine_maintenance_etl_spark.queries import REGISTRY, _t, register
 
 # DuckDB token / shingle fragments shared by several oracles
 _DUCK_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
@@ -509,6 +509,29 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decontamination_scores(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
+@register(
+    "text_decontamination_bloom",
+    REGISTRY["text_decontamination"].oracle,  # EXACT twin: bloom is a prefilter, verify join restores exactness
+)
+def text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the bloom-prefilter path
+    (llm/quality.py:bloom_decontamination): the benchmark shingle set is
+    compressed to a broadcast bitmap (~10 bits/shingle at 1% FPR), corpus
+    shingles are ruled out MAP-SIDE by a vectorized bit test, and only
+    the surviving ~1% enter the exact verification join — identical
+    results to text_decontamination (same DuckDB oracle), but the
+    corpus-side join input shrinks by ~100x, which is what keeps
+    decontamination feasible when the benchmark side is too large to
+    broadcast exactly."""
+    from turbine_maintenance_etl_spark.llm.quality import bloom_decontamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontamination(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
     )
