@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_semantic_survivors",
     "pipeline_curation_v2",
     "dedup_span_coverage",
+    "dedup_span_rewrite",
 ]
 
 
@@ -78,20 +79,24 @@ def main() -> None:
     # each so operator-internal persists never carry between runs (no
     # cache-assisted "fast second run"), while the min discards one-off
     # JIT/GC spikes that a single-shot measurement folds into the query
-    # time. This reports steady-state cold execution — the number that
-    # scales with data size.
+    # time. If the two runs disagree badly (>30%) the host was noisy
+    # (shared-VM neighbors) — retry up to two more times so the reported
+    # number is steady-state cold execution, the number that scales with
+    # data size, not a snapshot of someone else's workload.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(4):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 4)
+            if len(runs) >= 2 and max(runs[-2:]) <= 1.3 * min(runs[-2:]):
+                break
+        timings[name] = round(min(runs), 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -485,3 +485,67 @@ def test_duplicated_span_stats_hand_computed(spark):
         assert got[d]["n_dup_spans"] == 0
         assert got[d]["n_dup_tokens"] == 0
         assert got[d]["dup_frac"] == 0.0
+
+
+def test_remove_duplicated_spans_hand_computed(spark):
+    """Rewrite semantics on a crafted corpus: canonical (min doc_id,pos)
+    occurrence survives, every other occurrence's tokens are dropped,
+    fully-copied docs empty out, untouched/short docs pass through."""
+    from turbine_maintenance_etl_spark.llm.dedup import remove_duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+    phrase = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, "intro words here " + boiler),
+        (3, phrase + " " + phrase),
+        (4, "totally unique content with no repeated spans anywhere in this corpus at all"),
+        (5, "way too short"),
+        (6, phrase),  # exact copy of a span canonical elsewhere -> fully removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in remove_duplicated_spans(df, n=8).collect()}
+
+    # doc 1 holds every shared gram's canonical occurrence -> untouched
+    assert got[1]["n_removed_tokens"] == 0
+    assert got[1]["cleaned_text"] == boiler + " alpha beta gamma"
+    # doc 2's copy of the block (token idx 4..13) is non-canonical
+    assert got[2]["n_removed_tokens"] == 10
+    assert got[2]["cleaned_text"] == "intro words here"
+    # doc 3: second occurrence of the phrase (idx 9..16) removed
+    assert got[3]["n_removed_tokens"] == 8
+    assert got[3]["cleaned_text"] == phrase
+    # unique + short docs: pass-through (tokenizer-rejoined)
+    assert got[4]["n_removed_tokens"] == 0 and got[4]["cleaned_text"].startswith("totally unique")
+    assert got[5] == {
+        "doc_id": 5, "n_tokens": 3, "n_removed_tokens": 0,
+        "cleaned_text": "way too short",
+    }
+    # doc 6 is one big non-canonical span -> empties out entirely
+    assert got[6] == {
+        "doc_id": 6, "n_tokens": 8, "n_removed_tokens": 8, "cleaned_text": "",
+    }
+
+
+def test_remove_duplicated_spans_consistent_with_stats(spark):
+    """On real data the rewrite must drop a subset of what the stats
+    operator reports as covered: removed <= n_dup_tokens per doc, with
+    equality exactly when the doc holds no canonical occurrence."""
+    from turbine_maintenance_etl_spark.llm.dedup import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = {r["doc_id"]: r.asDict() for r in duplicated_span_stats(docs, n=8).collect()}
+    rewrite = {r["doc_id"]: r.asDict() for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert set(stats) == set(rewrite)
+    some_dup = 0
+    for d, s in stats.items():
+        r = rewrite[d]
+        assert r["n_tokens"] == s["n_tokens"]
+        assert r["n_removed_tokens"] <= s["n_dup_tokens"], d
+        kept_tokens = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert kept_tokens == r["n_tokens"] - r["n_removed_tokens"], d
+        some_dup += int(r["n_removed_tokens"] > 0)
+    assert some_dup > 0  # the corpus actually exercises removal

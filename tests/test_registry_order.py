@@ -59,8 +59,12 @@ def test_survey_s2_inside_grade_window():
         "sim_brute_force_topk", "dedup_containment", "quality_psi_drift",
         "text_tfidf_top_terms", "curation_temperature_mix",
         "scd2_event_tier_history", "pipeline_sequence_packing",
-        "text_chunking", "text_decontamination", "text_pii_redaction",
-        "export_hash_shards", "events_session_window", "dedup_span_coverage",
+        # round-4 superset swaps: the bloom-prefiltered decontamination
+        # and the span REWRITE are graded (same oracle family, strictly
+        # more machinery); the exact twin / stats twin sit at slots
+        # 51-52, still selfchecked every round.
+        "text_chunking", "text_decontamination_bloom", "text_pii_redaction",
+        "export_hash_shards", "events_session_window", "dedup_span_rewrite",
     }
     assert must_grade <= graded, f"outside grade window: {must_grade - graded}"
 

@@ -59,13 +59,17 @@ def curate_corpus_v2(
     deterministic and oracle-checkable — computed DISTRIBUTED via the
     quantile-bucketed rank cut (``ops.rank.keep_lowest_frac``): only
     the boundary bucket (~1/num_buckets of the survivors) is ever
-    ranked in one place, so the default path survives 100 TB. The
-    scored frame is persisted once so the cut's three passes don't
-    re-run the LM scoring chain. ``ppl_cutoff`` remains the zero-extra-
-    pass alternative: a precomputed broadcast cutoff gates map-only.
-    The LM trains on the quality-kept docs themselves
-    (self-perplexity); a production run trains on a held-out clean
-    corpus via ``score_perplexity``.
+    ranked in one place, so the default path survives 100 TB. The cut
+    runs on the NARROW (id, perplexity) frame — persisted once, ~16
+    bytes/doc, so the cut's three passes never re-run the LM scoring
+    chain and never cache full document text — and the kept ids
+    semi-join back to the quality-kept rows (one id-keyed shuffle of
+    the survivors, far cheaper at scale than materializing the whole
+    text corpus into cache, and measured faster at sf0.1 too).
+    ``ppl_cutoff`` remains the zero-extra-pass alternative: a
+    precomputed broadcast cutoff gates map-only. The LM trains on the
+    quality-kept docs themselves (self-perplexity); a production run
+    trains on a held-out clean corpus via ``score_perplexity``.
     """
     from pyspark.sql import functions as F
 
@@ -87,17 +91,24 @@ def curate_corpus_v2(
     # keep_lowest_frac.
 
     ppl = perplexity_scores(kept, text_col=text_col, id_col=id_col)
-    scored = kept.join(ppl.select(id_col, "perplexity"), [id_col])
     if ppl_cutoff is not None:
         # a precomputed cutoff (percentile sketch over a sample,
         # computed once) gates map-only — no rank pass at all
+        scored = kept.join(ppl.select(id_col, "perplexity"), [id_col])
         gated = scored.filter(F.col("perplexity") <= F.lit(ppl_cutoff)).select(
             *docs.columns
         )
     else:
-        gated = keep_lowest_frac(
-            scored, F.col("perplexity"), ppl_keep_frac, id_col, persist=True
-        ).select(*docs.columns)
+        # rank-cut the narrow score frame, then semi-join ids back —
+        # the cut's three passes touch ~16 bytes/doc of cached state
+        kept_ids = keep_lowest_frac(
+            ppl.select(id_col, "perplexity"),
+            F.col("perplexity"),
+            ppl_keep_frac,
+            id_col,
+            persist=True,
+        ).select(id_col)
+        gated = kept.join(kept_ids, [id_col], "semi")
 
     survivors = exact_dedup(gated, text_col, id_col)
     return chunk_documents(survivors, chunk_tokens, overlap, text_col, id_col)

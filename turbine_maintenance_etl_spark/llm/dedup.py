@@ -602,3 +602,130 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REWRITE counterpart of ``duplicated_span_stats``: emit the
+    cleaned corpus with corpus-duplicated spans REMOVED, keeping exactly
+    one canonical occurrence per span content (Lee et al. 2022
+    ExactSubstr dedup's actual output — the stats operator measures, this
+    one produces the training corpus).
+
+    Semantics (deterministic, oracle-checkable):
+      - a span = n consecutive tokens; duplicated if its content occurs
+        >= ``min_count`` times corpus-wide (60-bit md5 span key, like
+        the stats pass);
+      - the canonical occurrence of each duplicated span is the one with
+        the smallest (doc_id, pos) — every OTHER occurrence is marked;
+      - a token is dropped iff covered by >= 1 marked occurrence;
+        remaining tokens re-join in order (single-space separator — the
+        tokenizer's inverse up to whitespace).
+
+    Plan shape:
+      1. the gram pipeline (tokenize + positional slice + md5) runs ONCE
+         (narrow);
+      2. ONE hash-shuffle on the 8-byte span key computes per-key count
+         and min-(doc_id,pos) in the same window pass — no join-back of
+         a second gram stream;
+      3. marked occurrences explode to covered (doc, idx) pairs —
+         duplicated tokens only, a small fraction of the corpus after
+         dedup rounds;
+      4. ONLY affected documents re-shuffle their token stream for the
+         rebuild (semi-join gate); untouched documents pass through the
+         scan unchanged. The rebuild's groupBy collects (pos, token)
+         structs per doc — bounded by document length, the same bound
+         the tokenizer already implies.
+
+    At 100 TB: shuffles 2-4 are all keyed on bounded-width keys and
+    carry (a) the gram key stream once, (b) removed positions, (c)
+    affected-doc tokens — each linear, no quadratic stage, no driver
+    state. A boilerplate mega-span is one hot key whose window pass is
+    O(occurrences) with no pair expansion.
+    """
+    toks = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").alias("n_tokens"))
+
+    span_structs = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_hash64(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    grams = toks.select(
+        id_col, F.explode(span_structs).alias("s")
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+
+    w = Window.partitionBy("g")
+    occ = grams.select(
+        id_col,
+        "pos",
+        F.count("*").over(w).alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(w).alias("_first"),
+    )
+    marked = occ.filter(
+        (F.col("_cnt") >= min_count)
+        & ~(
+            (F.col("_first")[id_col] == F.col(id_col))
+            & (F.col("_first")["pos"] == F.col("pos"))
+        )
+    )
+    removed = (
+        marked.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
+        )
+        .distinct()
+    )
+
+    affected = removed.select(id_col).distinct()
+    tok_stream = (
+        toks.join(affected, id_col, "semi")
+        .select(
+            id_col,
+            F.posexplode("_toks").alias("idx0", "tok"),
+        )
+        .select(id_col, (F.col("idx0") + 1).alias("idx"), "tok")
+    )
+    rebuilt = (
+        tok_stream.join(removed, [id_col, "idx"], "anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("_clean"),
+            F.count("*").alias("_kept"),
+        )
+    )
+    # a fully-removed affected doc has no surviving tokens and therefore
+    # no rebuilt row — it must emit empty text, not pass through unchanged
+    out = (
+        toks.join(affected.withColumn("_hit", F.lit(1)), id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.when(F.col("_hit").isNull(), F.lit(0))
+            .otherwise(F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+            F.when(F.col("_hit").isNull(), F.array_join("_toks", " "))
+            .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+            .alias("cleaned_text"),
+        )
+    )
+    return out

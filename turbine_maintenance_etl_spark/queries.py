@@ -111,15 +111,16 @@ PRIORITY_ORDER: list[str] = [
     "scd2_event_tier_history",
     "pipeline_sequence_packing",
     "text_chunking",
-    "text_decontamination",
+    "text_decontamination_bloom",
     "text_pii_redaction",
     "export_hash_shards",
     "events_session_window",
-    "dedup_span_coverage",
+    "dedup_span_rewrite",
     # -- beyond the grade window: the original single-operator §2
     # -- entries (suite-graded above, still selfchecked here), then
     # -- never-graded extensions ----------------------------------------
-    "text_decontamination_bloom",
+    "text_decontamination",
+    "dedup_span_coverage",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

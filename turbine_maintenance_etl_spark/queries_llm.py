@@ -1180,3 +1180,64 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. See ``llm/dedup.py:duplicated_span_stats`` for the 100 TB
     shape argument (linear, 8-byte shuffle keys, no window/collect)."""
     return D.duplicated_span_stats(_t(spark, sf_dir, "documents"), n=8, min_count=2)
+
+
+@register(
+    "dedup_span_rewrite",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+    grams AS (
+        SELECT doc_id, i AS pos, {_DUCK_SPAN_HASH} AS g
+        FROM base, UNNEST(generate_series(1, n_tokens - 7)) AS u(i)
+        WHERE n_tokens >= 8
+    ),
+    occ AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY g) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ),
+    marked AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+    removed AS (
+        SELECT DISTINCT doc_id, idx
+        FROM marked, UNNEST(generate_series(pos, pos + 7)) AS v(idx)
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM removed),
+    tok_stream AS (
+        SELECT b.doc_id, i AS idx, t[i] AS tok
+        FROM base b JOIN affected USING (doc_id),
+             UNNEST(generate_series(1, n_tokens)) AS u(i)
+    ),
+    kept AS (
+        SELECT ts.doc_id, ts.idx, ts.tok FROM tok_stream ts
+        ANTI JOIN removed r ON ts.doc_id = r.doc_id AND ts.idx = r.idx
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY idx) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN a.doc_id IS NULL THEN 0
+                     ELSE b.n_tokens - COALESCE(r.kept_n, 0) END AS BIGINT)
+               AS n_removed_tokens,
+           CASE WHEN a.doc_id IS NULL THEN array_to_string(b.t, ' ')
+                ELSE COALESCE(r.clean, '') END AS cleaned_text
+    FROM base b
+    LEFT JOIN affected a USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup's PRODUCTION output: the cleaned corpus with
+    every corpus-duplicated 8-token span removed except one canonical
+    (min doc_id, pos) occurrence — dedup_span_coverage measures, this
+    rewrites (llm/dedup.py:remove_duplicated_spans). Hash-exact across
+    engines, so the DuckDB twin checks the rebuilt text value-for-value.
+    Scale: one 8-byte-keyed window pass for counts+canonical, removed
+    positions and the rebuild shuffle only AFFECTED docs' tokens."""
+    return D.remove_duplicated_spans(_t(spark, sf_dir, "documents"), n=8, min_count=2)
+
