@@ -586,3 +586,45 @@ def test_psi_drift_detects_shift_and_is_stable_on_same_distribution(spark):
     assert rep.loc[0, "psi_contribution"] == want
     # the overflow bin (values >= 30) gained mass
     assert rep.loc[3, "n_actual"] > rep.loc[3, "n_expected"]
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """Distributed exact ordinals == the naive global-window ordinals,
+    including ties on the key (id tie-break) and NULL-key exclusion."""
+    from pyspark.sql import Window
+
+    from turbine_maintenance_etl_spark.ops.rank import global_row_number
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 3, 3, 8, 1, 3, 8, 0, 9, 2] * 50)]
+    rows += [(9999, None)]  # NULL key must be excluded
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    got = {
+        r["id"]: r["row_idx"]
+        for r in global_row_number(df, F.col("v"), "id", num_buckets=4).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.filter(F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .collect()
+    }
+    assert got == want
+    assert 9999 not in got
+
+
+def test_global_row_number_no_single_partition_exchange(spark):
+    """The plan must hash-partition on the bucket id — never move the
+    whole input to one partition (the J2-at-scale guarantee)."""
+    from turbine_maintenance_etl_spark.ops.rank import global_row_number
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = (
+        global_row_number(df, F.col("v"), "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan

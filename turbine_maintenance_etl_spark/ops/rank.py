@@ -141,3 +141,45 @@ def _cut_at(
         .filter(F.col("_rn") <= F.lit(k - below_n))
     )
     return kept_below.unionByName(kept_boundary.drop("_rn")).select(*out_cols)
+
+
+def global_row_number(
+    df: DataFrame,
+    key: Column,
+    id_col: str,
+    out_col: str = "row_idx",
+    num_buckets: int = 64,
+    persist: bool = False,
+) -> DataFrame:
+    """EXACT global 1-based row numbering by ``(key asc, id_col asc)`` —
+    the distributed twin of ``row_number() OVER (ORDER BY key, id)``
+    (and of the reference's positional key-gen, which is correct with a
+    single-partition window only because its input is one small file —
+    ``io/cmapss.py`` J2 guard). Rows with a NULL key are excluded.
+
+    Same quantile-bucket machinery as the rank cuts, one step further:
+    every bucket (not just a boundary one) gets a window PARTITIONED on
+    the bucket id (hash exchange, never SinglePartition), and each
+    bucket's rows add the broadcast prefix count of all lower buckets —
+    exact contiguous ordinals, max co-located slice ~n/num_buckets.
+    This is the production shape for assigning stable ordinal ids to a
+    corpus (training-order assignment, stable integer doc ids)."""
+    t = _bucketed(df, key, num_buckets, persist)
+    counts = sorted(
+        (r[_BKT], r["n"])
+        for r in t.groupBy(_BKT).agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, f"{_BKT} int, _offset bigint")
+    )
+    w = Window.partitionBy(_BKT).orderBy(F.asc(_RK), F.asc(id_col))
+    return (
+        t.join(off, _BKT)
+        .withColumn(out_col, (F.row_number().over(w) + F.col("_offset")).cast("bigint"))
+        .drop(_RK, _BKT, "_offset")
+    )

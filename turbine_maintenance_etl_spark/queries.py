@@ -121,6 +121,7 @@ PRIORITY_ORDER: list[str] = [
     # -- never-graded extensions ----------------------------------------
     "text_decontamination",
     "dedup_span_coverage",
+    "gen_global_row_index",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

@@ -672,6 +672,31 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8)
 
 
+@register(
+    "gen_global_row_index",
+    """
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS row_idx
+    FROM documents WHERE n_chars IS NOT NULL
+    """,
+)
+def gen_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global ordinal assignment (row_number over the whole
+    corpus) WITHOUT a single-partition window —
+    ops/rank.py:global_row_number: quantile buckets -> per-bucket
+    hash-partitioned row_number + broadcast prefix offsets. The
+    distributed twin of the reference's positional key-gen (J2), which
+    is single-partition-safe only because its input is one small file;
+    this is the shape for stable corpus ordinals at 100 TB."""
+    from turbine_maintenance_etl_spark.ops.rank import global_row_number
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return global_row_number(d, F.col("n_chars"), "doc_id").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "row_idx"
+    )
+
+
 @register("a_approx_sketches", None)  # sketch internals differ per engine -> rows-only
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact distinct
