@@ -52,3 +52,67 @@ def test_pipeline_chunk_embed_ann_runs_and_is_deterministic(spark):
     a = out1[key].sort_values(key).reset_index(drop=True)
     b = out2[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b), "pipeline not deterministic across runs"
+
+
+def test_l2_normalize_unit_norms_and_zero_passthrough(spark):
+    from turbine_maintenance_etl_spark.llm.embed import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, -1.0])],
+        "id long, embedding array<double>",
+    )
+    out = {r["id"]: r["embedding"] for r in l2_normalize(df).collect()}
+    assert abs(out[1][0] - 0.6) < 1e-12 and abs(out[1][1] - 0.8) < 1e-12
+    assert out[2] == [0.0, 0.0]  # zero vector: unchanged, no NaN
+    n3 = sum(x * x for x in out[3]) ** 0.5
+    assert abs(n3 - 1.0) < 1e-12
+
+
+def test_pca_project_matches_numpy_and_whitens(spark):
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.embed import fit_pca, pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comp, var = fit_pca(emb, k=8)
+    C = np.array(comp)
+    # orthonormal axes
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-8)
+    # variances sorted descending
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
+
+    rows = emb.orderBy("vec_id").limit(200).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = (X - np.array(mean)) @ C.T
+    got_rows = (
+        pca_project(emb, mean, comp, var, round_to=None)
+        .orderBy("vec_id")
+        .limit(200)
+        .collect()
+    )
+    got = np.array([r["pca"] for r in got_rows])
+    assert np.allclose(got, want, atol=1e-8)
+
+    # whitened training-sample coordinates have ~unit variance per axis
+    wh = (
+        pca_project(emb, mean, comp, var, whiten=True, round_to=None)
+        .select("pca")
+        .collect()
+    )
+    W = np.array([r["pca"] for r in wh])
+    v = W.var(axis=0, ddof=1)
+    assert np.allclose(v, 1.0, atol=1e-6)
+
+
+def test_pca_project_is_narrow(spark):
+    from turbine_maintenance_etl_spark.llm.embed import fit_pca, pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comp, var = fit_pca(emb, k=4)
+    plan = (
+        pca_project(emb, mean, comp, var)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

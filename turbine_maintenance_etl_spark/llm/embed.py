@@ -64,3 +64,106 @@ def embed_text(
                 )
 
     return src.mapInPandas(encode_batches, schema)
+
+
+# --- Embedding post-processing --------------------------------------------
+#
+# Production embedding pipelines rarely ship raw encoder output: vectors
+# get L2-normalized (so dot == cosine and ANN bucketing behaves), and
+# often PCA-reduced/whitened (smaller index, isotropic space — the
+# "all-but-the-top" / whitening trick that measurably improves retrieval
+# on anisotropic encoder outputs). Both are implemented JVM-side: the
+# fitted model (mean vector + component matrix) embeds as ONE nested
+# array literal, exactly like the IVF centroid codegen — planning cost
+# O(model), execution is codegen'd higher-order functions, no Python in
+# the per-row path.
+
+
+def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str | None = None) -> DataFrame:
+    """L2-normalize an array<float|double> column (zero vectors pass
+    through unchanged rather than dividing by 0). Pure narrow map."""
+    from pyspark.sql import functions as F
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    normed = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    return df.withColumn(out_col or vec_col, normed)
+
+
+def fit_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    max_train_vectors: int = 100_000,
+):
+    """Fit a PCA model on a BOUNDED, DETERMINISTIC sample of the vector
+    column (lowest ``max_train_vectors`` ids — deterministic so refits
+    reproduce; driver memory is capped at sample x dim doubles, the same
+    contract as the IVF trainer). Returns ``(mean, components,
+    explained_var)`` as plain Python lists: mean is dim-long, components
+    is k x dim (rows = principal axes, orthonormal, sign-canonicalized
+    so the largest-|coordinate| entry is positive), explained_var the
+    per-axis sample variances."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_train_vectors)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    # economy SVD: components = right singular vectors
+    _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+    comp = vt[:k]
+    # canonical sign: make each axis's largest-|coord| positive
+    flip = np.sign(comp[np.arange(len(comp)), np.abs(comp).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comp = comp * flip[:, None]
+    var = (s[:k] ** 2) / max(1, len(X) - 1)
+    return mean.tolist(), comp.tolist(), var.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    explained_var: list[float] | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Project vectors onto fitted principal axes, optionally whitening
+    (divide each coordinate by sqrt(explained variance) -> unit-variance
+    isotropic output). JVM-literal matmul: one nested-array literal for
+    the component matrix, ``aggregate`` dot products per axis — no UDF,
+    no shuffle, O(k x dim) per row."""
+    from pyspark.sql import functions as F
+
+    if whiten and explained_var is None:
+        raise ValueError("whiten=True requires explained_var from fit_pca")
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        mean_lit,
+        lambda x, m: x - m,
+    )
+
+    def axis_expr(j: int):
+        c = F.array(*[F.lit(float(v)) for v in components[j]])
+        dot = F.aggregate(
+            F.zip_with(centered, c, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        if whiten:
+            sd = float(explained_var[j]) ** 0.5
+            dot = dot / F.lit(sd if sd > 0 else 1.0)
+        return F.round(dot, round_to) if round_to is not None else dot
+
+    proj = F.array(*[axis_expr(j) for j in range(len(components))])
+    return df.withColumn(out_col, proj)

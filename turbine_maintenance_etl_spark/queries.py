@@ -122,6 +122,7 @@ PRIORITY_ORDER: list[str] = [
     "text_decontamination",
     "dedup_span_coverage",
     "gen_global_row_index",
+    "embed_pca_whiten",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

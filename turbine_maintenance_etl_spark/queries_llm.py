@@ -537,6 +537,24 @@ def text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embed_pca_whiten", None)  # SVD fit: rows-only check (pytest pins vs numpy)
+def embed_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding post-processing chain (llm/embed.py): L2-normalize ->
+    PCA-whiten to 16 isotropic dims (the retrieval-quality trick for
+    anisotropic encoder outputs, and a 4x index-size cut). Fit is a
+    bounded deterministic driver sample; projection is a JVM-literal
+    matmul — narrow, zero shuffle, no UDF (plan-pinned in pytest)."""
+    from turbine_maintenance_etl_spark.llm.embed import (
+        fit_pca,
+        l2_normalize,
+        pca_project,
+    )
+
+    emb = l2_normalize(_t(spark, sf_dir, "embeddings"))
+    mean, comp, var = fit_pca(emb, k=16)
+    return pca_project(emb, mean, comp, var, whiten=True).select("vec_id", "pca")
+
+
 @register("pipeline_chunk_embed_ann", None)  # mapInPandas encoder: rows-only check
 def pipeline_chunk_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed RAG indexing flow: chunk documents (zero-shuffle
