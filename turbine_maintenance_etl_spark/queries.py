@@ -123,6 +123,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_span_coverage",
     "gen_global_row_index",
     "embed_pca_whiten",
+    "f_variant_semistructured",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

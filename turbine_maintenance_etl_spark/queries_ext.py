@@ -763,6 +763,34 @@ def f_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_variant_semistructured",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_field,
+           CAST(json_valid(props) AS BIGINT) AS is_valid
+    FROM events
+    """,
+)
+def f_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured querying via Spark 4's VARIANT type:
+    ``parse_json`` ingests once into the binary variant encoding,
+    ``variant_get`` path-extracts with a target type — the
+    schema-on-read path for JSON columns whose shape isn't known at
+    write time (vs f_json_struct_parse's fixed-schema from_json).
+    ``try_parse_json`` makes malformed rows NULL instead of erroring;
+    missing paths surface as typed NULLs."""
+    e = _t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
+        v.isNotNull().cast("bigint").alias("is_valid"),
+    )
+
+
+@register(
     "gen_calendar_dim",
     """
     SELECT CAST(d AS TIMESTAMP) AS cal_date,
