@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR, make_cmapss_pdf, write_cmapss_txt
@@ -585,3 +586,72 @@ def test_session_window_boundary_exact_gap_merges(spark, tmp_path):
     s2 = out[(1, us(61))]
     assert s2["n_events"] == 1 and s2["session_end_us"] == us(91)
     assert out[(2, us(0))]["n_events"] == 1
+
+
+def test_stream_user_totals_v2_matches_v1_and_batch(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas) twin: after draining
+    the same two-batch stream, final per-user totals equal both the v1
+    operator's and the plain batch aggregate. Requires protobuf (the
+    v2 state-server wire protocol) and the RocksDB provider."""
+    pytest.importorskip("google.protobuf")
+    import shutil
+
+    from turbine_maintenance_etl_spark.streaming.ingest import stream_user_totals_v2
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = raw.select("user_id", "value")
+    in_dir, ckpt, out_dir = str(tmp_path / "in"), str(tmp_path / "ckpt"), tmp_path / "out"
+    half1 = raw.filter(F.col("event_id") % 2 == 0).select("user_id", "value")
+    half2 = raw.filter(F.col("event_id") % 2 == 1).select("user_id", "value")
+    half1.write.mode("overwrite").parquet(in_dir)
+
+    def drain(run):
+        stream = spark.readStream.schema(events.schema).parquet(in_dir)
+        q = (
+            stream_user_totals_v2(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _e: bdf.write.mode("append").parquet(str(out_dir / run))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("run1")
+    half2.write.mode("append").parquet(in_dir)
+    drain("run2")  # state must survive the restart for run2 to be right
+    out = spark.read.parquet(str(out_dir / "run2")).toPandas()
+
+    expected = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .toPandas()
+    )
+    merged = out.merge(expected, on="user_id", suffixes=("_got", "_exp"))
+    assert len(merged) == len(out) and len(out) > 0
+    assert (merged["n_events_got"] == merged["n_events_exp"]).all()
+    assert (abs(merged["total_value_got"] - merged["total_value_exp"]) < 1e-6).all()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_user_totals_v2_plans_without_protobuf(spark):
+    """Even without protobuf (needed only by the v2 state server at
+    RUNTIME), the transformWithStateInPandas operator must build and
+    carry the declared output schema."""
+    stream = (
+        spark.readStream.format("rate")
+        .load()
+        .selectExpr("value as user_id", "CAST(value AS DOUBLE) as value")
+    )
+    from turbine_maintenance_etl_spark.streaming.ingest import stream_user_totals_v2
+
+    out = stream_user_totals_v2(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "total_value",
+    ]
