@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def _encode(texts: pd.Series, dim: int) -> np.ndarray:
@@ -81,13 +81,27 @@ def embed_text(
 
 def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str | None = None) -> DataFrame:
     """L2-normalize an array<float|double> column (zero vectors pass
-    through unchanged rather than dividing by 0). Pure narrow map."""
+    through unchanged rather than dividing by 0). Pure narrow map.
+
+    Both the cast vector and its norm are lambda-bound (``bind_once``)
+    — Spark doesn't CSE inside higher-order functions, so inlining the
+    norm aggregate in the per-element division would recompute the
+    O(dim) sum once per element (O(dim²)/row)."""
     from pyspark.sql import functions as F
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    normed = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
-    return df.withColumn(out_col or vec_col, normed)
+    from turbine_maintenance_etl_spark.llm.text import bind_once
+
+    def with_vec(v: Column) -> Column:
+        norm_expr = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return bind_once(
+            norm_expr,
+            lambda norm: F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(
+                v
+            ),
+        )
+
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col or vec_col, bind_once(cast_vec, with_vec))
 
 
 def fit_pca(
@@ -146,14 +160,16 @@ def pca_project(
 
     if whiten and explained_var is None:
         raise ValueError("whiten=True requires explained_var from fit_pca")
+    from turbine_maintenance_etl_spark.llm.text import bind_once
+
     mean_lit = F.array(*[F.lit(float(m)) for m in mean])
-    centered = F.zip_with(
+    centered_expr = F.zip_with(
         F.transform(F.col(vec_col), lambda x: x.cast("double")),
         mean_lit,
         lambda x, m: x - m,
     )
 
-    def axis_expr(j: int):
+    def axis_expr(centered: Column, j: int) -> Column:
         c = F.array(*[F.lit(float(v)) for v in components[j]])
         dot = F.aggregate(
             F.zip_with(centered, c, lambda x, w: x * w),
@@ -165,5 +181,12 @@ def pca_project(
             dot = dot / F.lit(sd if sd > 0 else 1.0)
         return F.round(dot, round_to) if round_to is not None else dot
 
-    proj = F.array(*[axis_expr(j) for j in range(len(components))])
+    # centering is lambda-bound so the k axis dot products share ONE
+    # evaluation of (v - mean) instead of re-subtracting per axis
+    proj = bind_once(
+        centered_expr,
+        lambda centered: F.array(
+            *[axis_expr(centered, j) for j in range(len(components))]
+        ),
+    )
     return df.withColumn(out_col, proj)

@@ -406,10 +406,16 @@ def bloom_decontamination(
         maybe_in_bloom(_bloom_positions(F.col("sh"), m, kk))
     )
     if exact_verify:
+        # NO broadcast hint: small benchmarks broadcast via AQE/threshold
+        # anyway, and the large-benchmark case this operator exists for
+        # must be free to shuffle-join (a forced hint would rebuild the
+        # exact multi-GB set on the driver — the cliff the bloom avoids).
+        # The shuffle's left side is only the bloom survivors (~fpp of
+        # clean shingles + true hits), which is the point.
         bench_sh = benchmark.select(
             F.explode(shingles(text_col, n)).alias("sh")
         ).distinct()
-        probed = probed.join(F.broadcast(bench_sh), "sh", "inner")
+        probed = probed.join(bench_sh, "sh", "inner")
     hits = probed.groupBy(id_col).agg(
         F.count("sh").cast("bigint").alias("n_contaminated")
     )

@@ -54,9 +54,13 @@ class NumpyMLPRegressor:
     def fit(
         self, df: DataFrame, feature_cols: list[str], label_col: str = "rul"
     ) -> "NumpyMLPRegressor":
+        # deterministic bounded sample: content-ordered before the cut
+        # (LIMIT alone returns whichever partitions answer first, which
+        # would break the bit-for-bit refit guarantee past the cap)
         rows = (
             df.select(*feature_cols, label_col)
             .dropna()
+            .orderBy(*feature_cols, label_col)
             .limit(self.max_train_rows)
             .collect()
         )
@@ -157,6 +161,9 @@ class NumpyMLPRegressor:
             if len(feats) == 0:
                 return pd.Series([], dtype=float)
             X = np.stack(feats.to_numpy()).astype(np.float64)
+            # NaN doubles (coalesce only catches SQL NULLs) impute to
+            # the training mean, matching _forward exactly
+            X = np.where(np.isnan(X), mean, X)
             Z = (X - mean) / scale
             for i in range(hidden_n - 1):
                 Z = np.maximum(Z @ W[i] + b[i], 0.0)
