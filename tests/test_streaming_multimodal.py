@@ -655,3 +655,66 @@ def test_stream_user_totals_v2_plans_without_protobuf(spark):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "total_value",
     ]
+
+
+def test_encode_png_round_trips_exactly():
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in ((5, 8, 1), (6, 4, 2), (12, 9, 3), (3, 3, 4)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png_pixels(encode_png(px)), px)
+
+
+def test_resize_nearest_semantics():
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import resize_nearest
+
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    # identity
+    assert np.array_equal(resize_nearest(px, 4, 4), px)
+    # 2x2 downsample picks pixel centers (rows/cols 1 and 3)
+    small = resize_nearest(px, 2, 2)
+    assert small[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # upsample replicates
+    big = resize_nearest(px, 8, 8)
+    assert big.shape == (8, 8, 1)
+    assert np.array_equal(resize_nearest(big, 4, 4), px)
+
+
+def test_resize_images_distributed_with_poison_pill(spark):
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        decode_png_pixels,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    px1 = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    px2 = rng.integers(0, 256, (7, 7, 1), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_encode_png(px1))),
+        (2, bytearray(_encode_png(px2))),
+        (3, bytearray(b"not a png at all")),  # poison pill
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    for d, src in ((1, px1), (2, px2)):
+        r = out[d]
+        assert r["err"] is None and (r["out_width"], r["out_height"]) == (8, 8)
+        got = decode_png_pixels(bytes(r["resized"]))
+        assert got.shape == (8, 8, src.shape[2])
+        # spot-check top-left pixel against the direct resample
+        from turbine_maintenance_etl_spark.llm.multimodal import resize_nearest
+
+        assert np.array_equal(got, resize_nearest(src, 8, 8))
+    for d in (3, 4):  # bad rows survive with err set, job completes
+        assert out[d]["resized"] is None and out[d]["err"] is not None

@@ -265,3 +265,104 @@ def extract_audio_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+
+
+# --- Image resize: REAL on the PNG path (numpy nearest-neighbor +
+# --- stdlib re-encode), the preprocessing step a vision-training
+# --- pipeline runs on every image before the encoder sees it ---------------
+
+_PNG_COLOR_BY_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(px: np.ndarray, compress_level: int = 6) -> bytes:
+    """Minimal PNG encoder for (h, w, c) uint8 pixels: 8-bit, filter 0
+    per scanline, one zlib IDAT. Round-trips exactly through
+    ``decode_png_pixels`` (test-pinned)."""
+    if px.ndim != 3 or px.dtype != np.uint8 or px.shape[2] not in _PNG_COLOR_BY_CHANNELS:
+        raise ValueError(f"expected (h, w, c<=4) uint8 pixels, got {px.shape} {px.dtype}")
+    h, w, c = px.shape
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_BY_CHANNELS[c], 0, 0, 0)
+    # filter byte 0 per scanline, then one deflate stream
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, compress_level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample (pixel-center mapping,
+    the same grid torchvision's NEAREST uses) — pure numpy fancy
+    indexing, no loops."""
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    use_fake_decoder: bool = False,
+) -> DataFrame:
+    """Batch image resize: decode PNG -> nearest-neighbor resample ->
+    re-encode PNG, as Arrow-batched ``mapInPandas`` (decode parallelism
+    == partition count, like every decode operator here). Non-PNG /
+    corrupt payloads survive as NULL ``resized`` with an error tag
+    (poison-pill doctrine — one bad image must not kill a 100 TB job).
+
+    With ``use_fake_decoder=True`` the pixel stage is skipped and a
+    deterministic fake payload flows through — the plumbing-only mode
+    for environments without even zlib-decodable fixtures."""
+    schema = (
+        f"{id_col} bigint, resized binary, out_width int, out_height int, "
+        "channels int, err string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                try:
+                    if use_fake_decoder:
+                        meta = _fake_decode(data)
+                        out, ch, err = data, meta["channels"], None
+                    else:
+                        px = decode_png_pixels(data)
+                        out = encode_png(resize_nearest(px, out_w, out_h))
+                        ch, err = int(px.shape[2]), None
+                except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
+                    out, ch, err = None, None, f"{type(e).__name__}: {e}"
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "resized": out,
+                        "out_width": out_w if out is not None else None,
+                        "out_height": out_h if out is not None else None,
+                        "channels": ch,
+                        "err": err,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "resized", "out_width", "out_height", "channels", "err"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
