@@ -202,3 +202,29 @@ def test_reference_grids_resolve_on_mllib_estimators():
     for values in REFERENCE_GRIDS["gbt"].values():
         combos *= len(values)
     assert combos == 32
+
+
+def test_cli_train_mlp(spark, etl_setup, tmp_path):
+    """`train --model mlp` runs the numpy 4th-model analog through the
+    same ETL config surface and prints the metric JSON line."""
+    import contextlib
+    import io
+    import json
+
+    from turbine_maintenance_etl_spark.cli import main
+
+    cfg, _ = etl_setup
+    y = tmp_path / "etl.yaml"
+    y.write_text(
+        "datasets:\n"
+        + "".join(f"  - code: {d.code}\n    train: {d.train}\n" for d in cfg.datasets)
+        + f"output_path: {tmp_path}/out\n"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["train", "--config", str(y), "--model", "mlp"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["model"] == "mlp"
+    assert set(out["metrics"]) == {"rmse", "mae", "r2"}
+    assert out["metrics"]["rmse"] > 0

@@ -25,7 +25,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p_train = sub.add_parser("train", help="ETL (in-memory) + train + score")
     p_train.add_argument("--config", required=True)
-    p_train.add_argument("--model", default="linear_regression")
+    p_train.add_argument(
+        "--model",
+        default="linear_regression",
+        help="linear_regression | random_forest | gbt | mlp (numpy 4th-model analog)",
+    )
     p_train.add_argument("--predictions-out", default=None)
 
     sub.add_parser("bench", help="run the benchmark suite")
@@ -153,7 +157,13 @@ def main(argv: list[str] | None = None) -> int:
             test = prepare_test_features(spark, cfg, res.kept_sensors, cfg.windows)
             if "rul_true" in test.columns:
                 test = test.withColumnRenamed("rul_true", "rul")
-        model, scored, metrics = train_and_score(res.features, test, args.model)
+        if args.model == "mlp":
+            # 4th-model analog (numpy MLP, ml/mlp.py) — same split/metrics
+            from turbine_maintenance_etl_spark.ml.mlp import train_and_score_mlp
+
+            model, scored, metrics = train_and_score_mlp(res.features)
+        else:
+            model, scored, metrics = train_and_score(res.features, test, args.model)
         out = {"model": args.model, "metrics": {k: round(v, 4) for k, v in metrics.items()}}
         if args.predictions_out:
             table = predictions_table(scored, args.model, feature_columns(res.features))
