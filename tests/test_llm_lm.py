@@ -119,3 +119,99 @@ def test_curation_v2_cutoff_variant_is_map_only_and_consistent(spark):
     by_cut = curate_corpus_v2(docs, ppl_cutoff=cutoff).select("doc_id").distinct()
     assert by_rank.count() == by_cut.count()
     assert by_rank.exceptAll(by_cut).count() == 0
+
+
+def _py_sb3_scores(texts: dict) -> dict:
+    """Pure-Python stupid-backoff reference (Brants et al. 2007,
+    alpha=0.4, uniform OOV floor) for the differential test."""
+    import math
+    from collections import Counter
+
+    tris = Counter()
+    for t in texts.values():
+        toks = ["<s>", "<s>"] + t.lower().split()
+        for i in range(2, len(toks)):
+            tris[(toks[i - 2], toks[i - 1], toks[i])] += 1
+    hist2, pair2 = Counter(), Counter()
+    for (a, b, c), n in tris.items():
+        hist2[(a, b)] += n
+        pair2[(b, c)] += n
+    hist1, uni = Counter(), Counter()
+    for (a, b), n in pair2.items():
+        hist1[a] += n
+        uni[b] += n
+    N, V = sum(uni.values()), len(uni)
+
+    out = {}
+    for doc_id, t in texts.items():
+        toks = ["<s>", "<s>"] + t.lower().split()
+        logs = []
+        for i in range(2, len(toks)):
+            w1, w2, w3 = toks[i - 2], toks[i - 1], toks[i]
+            if tris[(w1, w2, w3)]:
+                s = tris[(w1, w2, w3)] / hist2[(w1, w2)]
+            elif pair2[(w2, w3)]:
+                s = 0.4 * pair2[(w2, w3)] / hist1[w2]
+            elif uni[w3]:
+                s = 0.16 * uni[w3] / N
+            else:
+                s = 0.16 / (V + 1)
+            logs.append(math.log(s))
+        if logs:
+            avg = sum(logs) / len(logs)
+            out[doc_id] = (len(logs), round(avg, 4), round(math.exp(-avg), 4))
+        else:
+            out[doc_id] = (0, None, None)
+    return out
+
+
+def test_sb3_differential_vs_pure_python(spark):
+    """Spark stupid-backoff trigram scores == the pure-Python reference
+    on a mixed corpus (repeats, unseen-in-isolation orderings, empty and
+    single-token docs)."""
+    from turbine_maintenance_etl_spark.llm.lm import sb3_perplexity_scores
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox sleeps",
+        3: "quick brown the the the",
+        4: "completely novel wording here",
+        5: "",
+        6: "single",
+        7: "the quick brown fox jumps over the lazy dog",  # exact repeat
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logscore"], r["perplexity"])
+        for r in sb3_perplexity_scores(df).collect()
+    }
+    want = _py_sb3_scores(texts)
+    assert got == want
+
+
+def test_sb3_orders_fluent_below_noise(spark):
+    """Train on fluent text; a scrambled/noise doc must score strictly
+    higher perplexity than an in-domain doc (the gate property)."""
+    from turbine_maintenance_etl_spark.llm.lm import (
+        score_sb3_perplexity,
+        train_sb3_counts,
+    )
+
+    fluent = [
+        (i, "the turbine engine runs at steady load and temperature " * 3)
+        for i in range(20)
+    ]
+    train = spark.createDataFrame(fluent, "doc_id long, text string")
+    model = train_sb3_counts(train)
+    cands = spark.createDataFrame(
+        [
+            (100, "the turbine engine runs at steady load"),
+            (101, "zzq qqz load the at engine xxy turbine"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["perplexity"]
+        for r in score_sb3_perplexity(cands, *model).collect()
+    }
+    assert scores[100] < scores[101]

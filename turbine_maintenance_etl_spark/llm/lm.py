@@ -160,3 +160,183 @@ def perplexity_scores(
     bigrams, histories = train_bigram_counts(df, text_col, id_col)
     v = vocab_size(bigrams)
     return score_perplexity(df, bigrams, histories, v, k, text_col, id_col)
+
+
+# --- Stupid-backoff trigram LM --------------------------------------------
+#
+# The production CCNet gate is a 5-gram KenLM (modified Kneser-Ney);
+# Kneser-Ney's discount arithmetic is messy to reproduce exactly
+# cross-engine, but Brants et al. 2007's STUPID BACKOFF ("Large Language
+# Models in Machine Translation") is the published at-scale alternative
+# KenLM itself benchmarks against: pure count ratios with a fixed 0.4
+# backoff factor, no discounting — designed precisely for distributed
+# count-based training. That makes it both a real quality upgrade over
+# the add-k bigram (longer context) and exactly DuckDB-oracle-checkable.
+#
+# S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)        if c(w1w2w3) > 0
+#               = 0.4 * c(w2w3)/c(w2)      elif c(w2w3) > 0
+#               = 0.4^2 * c(w3)/N          elif c(w3) > 0
+#               = 0.4^2 / (V+1)            else (OOV floor — SB leaves
+#                                          OOV undefined; uniform keeps
+#                                          log finite and deterministic)
+# Scores are not probabilities (SB is a ranking score); "perplexity" is
+# exp(-mean ln S), monotone in the mean score — exactly what a gate cuts
+# on.
+
+SB_ALPHA = 0.4
+
+
+def doc_trigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2, w3) trigram rows per document, lowercase, padded
+    with TWO BOS tokens so every real token is predicted exactly once
+    (position i's trigram ends at token i). Narrow explode, same shape
+    as doc_bigrams."""
+    toks = F.concat(
+        F.array(F.lit(BOS), F.lit(BOS)), tokens_expr(F.lower(F.col(text_col)))
+    )
+    starts = F.when(
+        F.size(toks) > 2, F.sequence(F.lit(1), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+            F.element_at(toks, i + 2).alias("w3"),
+        ),
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(
+            F.col(id_col),
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+    )
+
+
+def train_sb3_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Train the stupid-backoff trigram model: ONE corpus explode, then
+    vocabulary-sized reaggregations off the trigram table (each with
+    map-side partial aggregation — the shuffle carries distinct-gram
+    rows, not token occurrences). Returns
+    ``(tri, hist2, pair2, hist1, uni, n_tokens, v)``:
+
+    - ``tri``   (w1, w2, w3, c3): trigram counts;
+    - ``hist2`` (w1, w2, ch2): trigram-history counts Σ_w3 c3 — this
+      INCLUDES the (BOS, BOS) context (deriving histories from bigram
+      pairs would miss it and NULL-poison every first-token score);
+    - ``pair2`` (wa, wb, cb2): bigram counts — every padded bigram ends
+      exactly one trigram, so (w2, w3) occurrences ARE the bigram
+      occurrences;
+    - ``hist1`` (w, ch1): bigram-history counts Σ_wb cb2 (includes BOS);
+    - ``uni``   (w, cu): unigram counts of predicted (real) tokens;
+    - ``n_tokens``: corpus size N = Σ cu; ``v``: |vocabulary| for the
+      OOV floor (one tiny job for both).
+    """
+    tri = (
+        doc_trigrams(df, text_col, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    hist2 = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("ch2"))
+    pair2 = (
+        tri.groupBy(F.col("w2").alias("wa"), F.col("w3").alias("wb"))
+        .agg(F.sum("c3").alias("cb2"))
+    )
+    hist1 = pair2.groupBy(F.col("wa").alias("w")).agg(F.sum("cb2").alias("ch1"))
+    uni = pair2.groupBy(F.col("wb").alias("w")).agg(F.sum("cb2").alias("cu"))
+    totals = uni.agg(F.sum("cu").alias("n"), F.count("*").alias("v")).collect()[0]
+    return tri, hist2, pair2, hist1, uni, int(totals["n"] or 0), int(totals["v"] or 0)
+
+
+def score_sb3_perplexity(
+    docs: DataFrame,
+    tri: DataFrame,
+    hist2: DataFrame,
+    pair2: DataFrame,
+    hist1: DataFrame,
+    uni: DataFrame,
+    n_tokens: int,
+    v: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document stupid-backoff score: the candidate gram stream
+    takes five vocabulary-sized lookup joins (trigram, trigram history,
+    backoff bigram, backoff history, final unigram) — all
+    broadcast-hinted like the bigram scorer, every fact row matching at
+    most one model row — then one per-doc aggregate.
+
+    Output: (id, n_trigrams, avg_logscore, perplexity) — same shape as
+    the bigram scorer so gates swap models without schema churn."""
+    a = F.lit(SB_ALPHA)
+    grams = doc_trigrams(docs, text_col, id_col)
+    scored = (
+        grams.join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(hist2), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                pair2.select(
+                    F.col("wa").alias("w2"), F.col("wb").alias("w3"),
+                    F.col("cb2").alias("_cb2"),
+                )
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            F.broadcast(hist1.select(F.col("w").alias("w2"), F.col("ch1").alias("_ch1"))),
+            ["w2"],
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w3"), F.col("cu").alias("_cu"))),
+            ["w3"],
+            "left",
+        )
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("ch2"))
+        .when(
+            F.col("_cb2").isNotNull() & F.col("_ch1").isNotNull(),
+            a * F.col("_cb2") / F.col("_ch1"),
+        )
+        .when(
+            F.col("_cu").isNotNull(),
+            a * a * F.col("_cu") / F.lit(float(max(n_tokens, 1))),
+        )
+        .otherwise(a * a / F.lit(float(v + 1)))
+    )
+    per_doc = scored.withColumn("_ls", F.log(s)).groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"), F.sum("_ls").alias("_sum_ls")
+    )
+    avg_ls = F.col("_sum_ls") / F.col("n_trigrams")
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.round(avg_ls, 4).alias("avg_logscore"),
+            F.round(F.exp(-avg_ls), 4).alias("perplexity"),
+        )
+    )
+
+
+def sb3_perplexity_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-scored stupid-backoff trigram perplexity (train on ``df``,
+    score ``df``) — the drop-in longer-context upgrade of
+    ``perplexity_scores``."""
+    tri, hist2, pair2, hist1, uni, n, v = train_sb3_counts(df, text_col, id_col)
+    return score_sb3_perplexity(
+        df, tri, hist2, pair2, hist1, uni, n, v, text_col, id_col
+    )

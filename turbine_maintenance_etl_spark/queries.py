@@ -124,6 +124,7 @@ PRIORITY_ORDER: list[str] = [
     "gen_global_row_index",
     "embed_pca_whiten",
     "f_variant_semistructured",
+    "quality_sb3_perplexity",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

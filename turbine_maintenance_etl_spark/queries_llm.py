@@ -890,6 +890,68 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "quality_sb3_perplexity",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_prepend('<s>', list_prepend('<s>', list_filter(
+                   regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) > 2
+    ),
+    tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM grams GROUP BY 1, 2, 3),
+    hist2 AS (SELECT w1, w2, SUM(c3) AS ch2 FROM tri GROUP BY 1, 2),
+    pair2 AS (SELECT w2 AS wa, w3 AS wb, SUM(c3) AS cb2 FROM tri GROUP BY 1, 2),
+    hist1 AS (SELECT wa AS w, SUM(cb2) AS ch1 FROM pair2 GROUP BY 1),
+    uni AS (SELECT wb AS w, SUM(cb2) AS cu FROM pair2 GROUP BY 1),
+    tot AS (SELECT SUM(cu) AS n, COUNT(*) AS v FROM uni),
+    scored AS (
+        SELECT g.doc_id,
+               ln(CASE
+                    WHEN t3.c3 IS NOT NULL THEN t3.c3 / h2.ch2
+                    WHEN p2.cb2 IS NOT NULL AND h1.ch1 IS NOT NULL
+                        THEN 0.4 * p2.cb2 / h1.ch1
+                    WHEN u.cu IS NOT NULL THEN 0.16 * u.cu / tot.n
+                    ELSE 0.16 / (tot.v + 1)
+                  END) AS ls
+        FROM grams g
+        LEFT JOIN tri t3 ON g.w1 = t3.w1 AND g.w2 = t3.w2 AND g.w3 = t3.w3
+        LEFT JOIN hist2 h2 ON g.w1 = h2.w1 AND g.w2 = h2.w2
+        LEFT JOIN pair2 p2 ON g.w2 = p2.wa AND g.w3 = p2.wb
+        LEFT JOIN hist1 h1 ON g.w2 = h1.w
+        LEFT JOIN uni u ON g.w3 = u.w
+        CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_trigrams, SUM(ls) AS sls
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_trigrams, 0) AS BIGINT)  AS n_trigrams,
+           ROUND(p.sls / p.n_trigrams, 4)             AS avg_logscore,
+           ROUND(exp(-(p.sls / p.n_trigrams)), 4)     AS perplexity
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def quality_sb3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff TRIGRAM LM gate (Brants et al. 2007 — the
+    published at-scale alternative to Kneser-Ney that KenLM benchmarks
+    against; llm/lm.py): longer context than the add-k bigram entry,
+    trained from ONE corpus explode with vocabulary-sized
+    reaggregations, scored by five broadcast lookup joins. Pure count
+    ratios with a fixed 0.4 backoff -> exactly DuckDB-oracle-checkable;
+    differential-tested against a pure-Python reference."""
+    from turbine_maintenance_etl_spark.llm.lm import sb3_perplexity_scores
+
+    return sb3_perplexity_scores(_t(spark, sf_dir, "documents"))
+
+
+
 def _incremental_lsh_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
     # Mirrors _minhash_oracle's signature pipeline, then probes the
     # "existing" partition's buckets with the "new" partition's buckets
