@@ -215,3 +215,14 @@ def test_sb3_orders_fluent_below_noise(spark):
         for r in score_sb3_perplexity(cands, *model).collect()
     }
     assert scores[100] < scores[101]
+
+
+def test_curation_v2_sb3_gate(spark):
+    """curate_corpus_v2(lm_model='sb3') runs the whole chain with the
+    trigram gate and keeps a strict subset of the quality-kept docs."""
+    from turbine_maintenance_etl_spark.llm.curation import curate_corpus_v2
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = curate_corpus_v2(docs, ppl_keep_frac=0.5, lm_model="sb3")
+    n_docs = chunks.select("doc_id").distinct().count()
+    assert 0 < n_docs < docs.count()

