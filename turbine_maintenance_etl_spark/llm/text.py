@@ -198,3 +198,50 @@ def chunk_documents(
         "chunk_text",
         token_count_expr(F.col("chunk_text")).alias("chunk_tokens"),
     )
+
+
+def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The corpus DATA CARD: the one-table statistics artifact a
+    training-data release ships (docs, token mass, emptiness, exact
+    duplication, source/language diversity, quality-gate pass rate,
+    mean quality signals) in long (metric, value) format so downstream
+    dashboards/drift monitors consume it uniformly.
+
+    ONE aggregation job: every metric is an aggregate over the same
+    quality-signal projection (count-distincts ride the same shuffle as
+    partial aggregates), then a ``stack`` melt of the single result row
+    — no per-metric scans. All metrics are exact (no sketches), so the
+    DuckDB oracle checks them value-for-value."""
+    q = add_quality_signals(df, text_col).withColumn(
+        "_h", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    agg = q.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n_empty_docs"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.avg("n_tokens").alias("mean_tokens_per_doc"),
+        F.countDistinct("_h").cast("double").alias("n_distinct_texts"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.avg("stopword_ratio").alias("mean_stopword_ratio"),
+        F.avg("punct_ratio").alias("mean_punct_ratio"),
+        F.avg(
+            F.when(
+                (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.05), 1.0
+            ).otherwise(0.0)
+        ).alias("quality_pass_frac"),
+    ).withColumn(
+        "exact_dup_frac",
+        F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"),
+    )
+    metrics = [
+        "n_docs", "n_empty_docs", "total_tokens", "mean_tokens_per_doc",
+        "n_distinct_texts", "exact_dup_frac", "n_sources", "n_langs",
+        "mean_stopword_ratio", "mean_punct_ratio", "quality_pass_frac",
+    ]
+    stack_args = ", ".join(f"'{m}', ROUND({m}, 4)" for m in metrics)
+    return agg.selectExpr(
+        f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
+    )

@@ -125,6 +125,7 @@ PRIORITY_ORDER: list[str] = [
     "embed_pca_whiten",
     "f_variant_semistructured",
     "quality_sb3_perplexity",
+    "corpus_datacard",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

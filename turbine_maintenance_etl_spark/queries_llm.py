@@ -537,6 +537,75 @@ def text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_datacard",
+    """
+    WITH q AS (
+        SELECT doc_id, source, lang,
+               md5(COALESCE(text, '')) AS h,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                   AS n_tokens,
+               text
+        FROM documents
+    ),
+    q2 AS (
+        SELECT *,
+               CASE WHEN n_tokens > 0 THEN
+                   ROUND(len(list_filter(
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                       x -> list_contains(
+                           ['the','a','of','and','to','in','is','that','it','for'], x)
+                   )) / CAST(n_tokens AS DOUBLE), 4)
+               END AS stopword_ratio,
+               CASE WHEN length(text) > 0 THEN
+                   ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE), 4)
+               END AS punct_ratio
+        FROM q
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n_empty_docs,
+               CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+               AVG(n_tokens) AS mean_tokens_per_doc,
+               CAST(COUNT(DISTINCT h) AS DOUBLE) AS n_distinct_texts,
+               CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+               AVG(stopword_ratio) AS mean_stopword_ratio,
+               AVG(punct_ratio) AS mean_punct_ratio,
+               AVG(CASE WHEN n_tokens >= 20 AND stopword_ratio >= 0.05
+                        THEN 1.0 ELSE 0.0 END) AS quality_pass_frac
+        FROM q2
+    )
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, ROUND(n_docs, 4) AS value FROM agg
+        UNION ALL SELECT 'n_empty_docs', ROUND(n_empty_docs, 4) FROM agg
+        UNION ALL SELECT 'total_tokens', ROUND(total_tokens, 4) FROM agg
+        UNION ALL SELECT 'mean_tokens_per_doc', ROUND(mean_tokens_per_doc, 4) FROM agg
+        UNION ALL SELECT 'n_distinct_texts', ROUND(n_distinct_texts, 4) FROM agg
+        UNION ALL SELECT 'exact_dup_frac',
+                         ROUND(1.0 - n_distinct_texts / n_docs, 4) FROM agg
+        UNION ALL SELECT 'n_sources', ROUND(n_sources, 4) FROM agg
+        UNION ALL SELECT 'n_langs', ROUND(n_langs, 4) FROM agg
+        UNION ALL SELECT 'mean_stopword_ratio', ROUND(mean_stopword_ratio, 4) FROM agg
+        UNION ALL SELECT 'mean_punct_ratio', ROUND(mean_punct_ratio, 4) FROM agg
+        UNION ALL SELECT 'quality_pass_frac', ROUND(quality_pass_frac, 4) FROM agg
+    )
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card (llm/text.py:corpus_report): the release
+    statistics artifact for a training corpus — doc/token mass,
+    emptiness, EXACT duplication rate, source/language diversity, mean
+    quality signals, quality-gate pass rate — computed in ONE
+    aggregation job and melted to long (metric, value) rows. All exact,
+    so the oracle checks every number."""
+    from turbine_maintenance_etl_spark.llm.text import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 @register("embed_pca_whiten", None)  # SVD fit: rows-only check (pytest pins vs numpy)
 def embed_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding post-processing chain (llm/embed.py): L2-normalize ->
