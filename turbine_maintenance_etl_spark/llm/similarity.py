@@ -451,3 +451,137 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+# --- Product quantization (FAISS PQ shape) ---------------------------------
+
+
+def fit_pq(
+    candidates: DataFrame,
+    dim: int,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    max_iter: int = 8,
+    max_train_vectors: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (FAISS PQ): split the vector
+    into ``m`` subspaces of dim/m and run seeded in-memory k-means with
+    2^nbits centroids PER SUBSPACE on a bounded deterministic sample
+    (same driver-memory contract as the IVF trainer). Returns
+    ``codebooks[m][2^nbits][dim/m]``.
+
+    Why PQ at 100 TB: an fp32 index is 4*dim bytes/vector (256 B at
+    dim=64); PQ codes are m*nbits bits (4 B here) — a 64x memory cut
+    that turns a cluster-wide ANN index into something one executor
+    core's cache can scan. The codebooks themselves are tiny
+    (m * 2^nbits * dim/m floats) and embed as plan literals."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub, ksub = dim // m, 1 << nbits
+    rows = (
+        ensure_parallelism(candidates)
+        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+        .orderBy(id_col)
+        .limit(max_train_vectors)
+        .select("_v")
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    books = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        centers = _kmeans_lloyd(sub, ksub, max_iter, seed + s)
+        books.append([[float(x) for x in c] for c in centers])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, argmin distance to that
+    subspace's literal codebook — a map-only codegen pass (the exact
+    shape of the IVF assign step, m times on slices). Output column is
+    ``array<int>`` of length m; at rest it stores as m small ints —
+    the compressed index."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = as_double_array(F.col(vec_col))
+    codes = F.array(
+        *[
+            F.sort_array(
+                _centroid_dists(F.slice(v, s * dsub + 1, dsub), codebooks[s])
+            )[0]["cid"]
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias(code_col))
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k over the COMPRESSED index: asymmetric distance
+    (query vs reconstructed candidate) — the candidate side never
+    touches its original vector after encoding, only the m-byte code;
+    the reconstruction happens JVM-side from the literal codebooks.
+
+    Scale shape: queries broadcast (small by construction, like
+    brute_force_topk); the candidate side is a map over codes + a
+    per-query top-k window — same plan as brute force but scanning a
+    ~64x smaller index. Recall < 1 from quantization error; raise
+    m/nbits for recall, lower for compression. Deterministic; rows-only
+    registry check (iterative k-means), recall pinned in pytest."""
+    if codebooks is None:
+        codebooks = fit_pq(
+            candidates, dim, m=m, nbits=nbits, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(candidates, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    # reconstructed candidate: concat of looked-up subspace centroids
+    books_lit = F.lit(
+        [[[float(x) for x in c] for c in book] for book in codebooks]
+    )
+    recon = F.flatten(
+        F.transform(
+            F.col("pq_code"),
+            lambda code, s: F.element_at(F.element_at(books_lit, s + 1), code + 1),
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("_rv", recon)
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

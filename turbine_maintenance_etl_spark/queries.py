@@ -126,6 +126,7 @@ PRIORITY_ORDER: list[str] = [
     "f_variant_semistructured",
     "quality_sb3_perplexity",
     "corpus_datacard",
+    "sim_pq_topk",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

@@ -606,6 +606,21 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_t(spark, sf_dir, "documents"))
 
 
+@register("sim_pq_topk", None)  # iterative k-means codebooks: rows-only check
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS PQ shape, llm/similarity.py):
+    per-subspace codebooks trained on a bounded deterministic sample,
+    map-only codegen encoding to 16-byte codes (16x smaller index than
+    fp32), asymmetric-distance top-k against JVM-reconstructed
+    centroids — the compressed-index scale path next to IVF's
+    partition-pruning path. Recall floor vs brute force pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(emb, queries, dim=64, k=5, m=16, nbits=8)
+
+
 @register("embed_pca_whiten", None)  # SVD fit: rows-only check (pytest pins vs numpy)
 def embed_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding post-processing chain (llm/embed.py): L2-normalize ->
