@@ -589,3 +589,34 @@ def test_pq_topk_recall_floor_vs_brute_force(spark):
         for r in pq_topk(emb, queries, dim=64, k=5, m=16, nbits=8).collect()
     }
     assert len(pq & bf) / len(bf) >= 0.6
+
+
+def test_pq_decode_matches_codebook_lookup(spark):
+    """pq_decode(pq_encode(x)) reconstructs exactly the argmin centroid
+    per subspace (the quantized vector), verified against numpy."""
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.similarity import (
+        fit_pq,
+        pq_decode,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = fit_pq(emb, dim=64, m=16, nbits=8)
+    got = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in pq_decode(pq_encode(emb, books), books).limit(50).collect()
+    }
+    B = np.array(books)
+    src = {r["vec_id"]: np.array(r["embedding"]) for r in emb.limit(500).collect()}
+    checked = 0
+    for vid, rec in got.items():
+        if vid not in src:
+            continue
+        x = src[vid].reshape(16, 4)
+        codes = ((x[:, None, :] - B) ** 2).sum(-1).argmin(1)
+        want = B[np.arange(16), codes].reshape(64)
+        assert np.allclose(rec, want, atol=1e-9), vid
+        checked += 1
+    assert checked > 10
