@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "pipeline_curation_v2",
     "dedup_span_coverage",
     "dedup_span_rewrite",
+    "quality_sb3_perplexity",
+    "corpus_datacard",
 ]
 
 

@@ -20,10 +20,12 @@ from turbine_maintenance_etl_spark.llm.dedup import (  # noqa: F401
     minhash_lsh_candidates,
     duplicated_span_stats,
     ngram_jaccard_pairs,
+    remove_duplicated_spans,
     shingles,
     simhash,
 )
 from turbine_maintenance_etl_spark.llm.quality import (  # noqa: F401
+    bloom_decontamination,
     decontamination_scores,
     redact_pii,
     repetition_signals,
@@ -32,6 +34,22 @@ from turbine_maintenance_etl_spark.llm.quality import (  # noqa: F401
 from turbine_maintenance_etl_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_expr,
+    fit_pq,
     lsh_bucketed_topk,
+    pq_decode,
+    pq_encode,
+    pq_topk,
     random_hyperplanes,
+    semantic_dedup,
 )
+from turbine_maintenance_etl_spark.llm.embed import (  # noqa: F401
+    embed_text,
+    fit_pca,
+    l2_normalize,
+    pca_project,
+)
+from turbine_maintenance_etl_spark.llm.lm import (  # noqa: F401
+    perplexity_scores,
+    sb3_perplexity_scores,
+)
+from turbine_maintenance_etl_spark.llm.text import corpus_report  # noqa: F401
