@@ -257,3 +257,23 @@ def test_bloom_decontamination_empty_and_degenerate(spark):
         "doc_id": 2, "n_shingles": 0, "n_contaminated": 0,
         "contamination": None, "flagged": 0,
     }
+
+
+def test_normalized_dedup_collapses_variants(spark):
+    from turbine_maintenance_etl_spark.llm.text import normalized_dedup
+
+    rows = [
+        (1, "Hello, World! Item 42"),
+        (2, "hello world item 99"),        # same class: case/punct/digits
+        (3, "hello   WORLD... item 57!"),  # same class: whitespace/punct
+        (4, "hello world item 0"),         # different: digit RUN length
+        (5, "totally different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in normalized_dedup(df).collect()}
+    assert out[1]["survivor"] is True
+    assert out[2]["survivor"] is False and out[3]["survivor"] is False
+    assert out[2]["norm_hash"] == out[1]["norm_hash"] == out[3]["norm_hash"]
+    # per-digit zeroing is faithful CCNet: "42" -> "00" != "0"
+    assert out[4]["survivor"] is True and out[4]["norm_hash"] != out[1]["norm_hash"]
+    assert out[5]["survivor"] is True

@@ -245,3 +245,41 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return agg.selectExpr(
         f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
     )
+
+
+def normalize_text_expr(col: Column | str) -> Column:
+    """CCNet-style dedup normalization (Wenzek et al.: lowercase, strip
+    punctuation, map digits to zero, collapse whitespace) as one chain
+    of codegen'd regexp/string expressions — the canonical form two
+    near-identical documents (case, numbering, punctuation variants)
+    collapse to before EXACT dedup. Portable Java-regex/RE2 classes
+    only, so the DuckDB oracle applies the identical normalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[0-9]", "0")
+    c = F.regexp_replace(c, r"[^a-z0 ]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED text (the CCNet paragraph-dedup
+    key, at document grain): every doc maps to its normalization-class
+    md5; min-id per class survives. Catches the case/digit/punctuation
+    variants plain exact dedup misses, at exactly the same cost — one
+    shuffle keyed on the 16-byte digest; the normalization itself is a
+    narrow codegen map. Output: (id, norm_hash, survivor) for every
+    input row (survivor = false rows are the drop set)."""
+    h = F.md5(normalize_text_expr(text_col)).alias("norm_hash")
+    w = Window.partitionBy("norm_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("_min", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "norm_hash",
+            (F.col(id_col) == F.col("_min")).alias("survivor"),
+        )
+    )

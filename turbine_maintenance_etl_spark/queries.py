@@ -127,6 +127,7 @@ PRIORITY_ORDER: list[str] = [
     "quality_sb3_perplexity",
     "corpus_datacard",
     "sim_pq_topk",
+    "dedup_normalized_exact",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

@@ -606,6 +606,35 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_normalized_exact",
+    """
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                       '[^a-z0 ]', ' ', 'g'),
+                   '\\s+', ' ', 'g'))) AS norm_hash
+        FROM documents
+    )
+    SELECT doc_id, norm_hash,
+           doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS survivor
+    FROM n
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-normalization exact dedup (llm/text.py:normalized_dedup):
+    lowercase + digit->0 + punctuation strip + whitespace collapse,
+    then min-id survivor per normalization class — catches the
+    case/number/punct near-variants plain exact dedup misses, at the
+    same one-digest-shuffle cost. Oracle applies the identical regex
+    normalization in DuckDB."""
+    from turbine_maintenance_etl_spark.llm.text import normalized_dedup
+
+    return normalized_dedup(_t(spark, sf_dir, "documents"))
+
+
 @register("sim_pq_topk", None)  # iterative k-means codebooks: rows-only check
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (FAISS PQ shape, llm/similarity.py):
