@@ -654,3 +654,113 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 6,
+    seed: int = 42,
+    max_iter: int = 6,
+    max_train_vectors: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN index (FAISS IVFPQ) —
+    IVF's coarse quantizer prunes WHICH candidates get scored
+    (only ``n_probe``/``n_clusters`` of the corpus per query), PQ
+    compresses WHAT is stored per candidate (RESIDUAL vectors against
+    the assigned centroid, quantized to m codes). The two levers
+    compose: compute drops by n_probe/n_clusters, memory by
+    ~4*dim/(m*nbits/8).
+
+    Residual encoding is the load-bearing detail: residuals
+    (vector - assigned centroid) are centered near zero across every
+    cluster, so ONE shared codebook set quantizes them far better than
+    raw vectors at the same bit budget — the reason IVFPQ's recall
+    beats flat PQ at equal code size.
+
+    Train (driver, bounded sample): coarse k-means, then PQ codebooks
+    on the sample's residuals. Assign + encode: one Arrow-batched
+    numpy pass per candidate (cluster argmin, residual, per-subspace
+    argmin). Probe: queries broadcast to their n_probe nearest
+    clusters; candidates reconstruct (centroid + decoded residual)
+    once per row, exact cosine inside probed clusters only, per-query
+    top-k window. Deterministic; rows-only registry check with a
+    pytest recall floor."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub, ksub = dim // m, 1 << nbits
+
+    c = ensure_parallelism(candidates).select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    )
+    sample_rows = c.orderBy("neighbor_id").limit(max_train_vectors).select("_cv").collect()
+    X = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
+    centers = _kmeans_lloyd(X, n_clusters, max_iter, seed)  # (C, dim)
+    assign = (
+        ((X[:, None, :] - centers[None]) ** 2).sum(-1).argmin(1)
+    )
+    resid = X - centers[assign]
+    books = np.stack(
+        [
+            _kmeans_lloyd(resid[:, s * dsub : (s + 1) * dsub], ksub, max_iter, seed + s)
+            for s in range(m)
+        ]
+    )  # (m, k, dsub)
+
+    bc = candidates.sparkSession.sparkContext.broadcast((centers, books))
+
+    def _assign_recon(vecs: pd.Series) -> pd.DataFrame:
+        C, B = bc.value
+        if len(vecs) == 0:
+            return pd.DataFrame({"cid": pd.Series([], dtype="int32"), "rv": []})
+        Xb = np.stack(vecs.to_numpy()).astype(np.float64)
+        cid = ((Xb[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+        R = (Xb - C[cid]).reshape(len(Xb), m, dsub)
+        codes = ((R[:, :, None, :] - B[None]) ** 2).sum(-1).argmin(2)  # (n, m)
+        dec = np.take_along_axis(B[None], codes[:, :, None, None], axis=2)[:, :, 0, :]
+        recon = C[cid] + dec.reshape(len(Xb), dim)
+        return pd.DataFrame({"cid": cid.astype("int32"), "rv": list(recon)})
+
+    _assign_recon.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    ar_udf = pandas_udf("cid int, rv array<double>")(_assign_recon)
+    enc = c.withColumn("_e", ar_udf(F.col("_cv"))).select(
+        "neighbor_id", F.col("_e.cid").alias("_cid"), F.col("_e.rv").alias("_rv")
+    )
+
+    centroids = [[float(x) for x in ctr] for ctr in centers]
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    ).withColumn(
+        "_cid",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(_centroid_dists(F.col("_qv"), centroids)), 1, n_probe
+                ),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    scored = (
+        enc.join(F.broadcast(q), "_cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

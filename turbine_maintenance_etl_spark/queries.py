@@ -128,6 +128,7 @@ PRIORITY_ORDER: list[str] = [
     "corpus_datacard",
     "sim_pq_topk",
     "dedup_normalized_exact",
+    "sim_ivfpq_topk",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

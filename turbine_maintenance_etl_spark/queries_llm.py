@@ -635,6 +635,21 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register("sim_ivfpq_topk", None)  # iterative k-means: rows-only check
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (llm/similarity.py:ivfpq_topk — the FAISS IVFPQ
+    shape): coarse clusters prune WHICH candidates are scored
+    (n_probe/n_clusters of the corpus), residual PQ codes compress WHAT
+    each candidate stores; assign+encode+reconstruct is one
+    Arrow-batched numpy pass. Recall floor + end-to-end determinism
+    pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivfpq_topk(emb, queries, dim=64, k=5, n_clusters=16, n_probe=8, m=16, nbits=6)
+
+
 @register("sim_pq_topk", None)  # iterative k-means codebooks: rows-only check
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (FAISS PQ shape, llm/similarity.py):
