@@ -159,9 +159,10 @@ def main(argv: list[str] | None = None) -> int:
                 test = test.withColumnRenamed("rul_true", "rul")
         if args.model == "mlp":
             # 4th-model analog (numpy MLP, ml/mlp.py) — same split/metrics
+            # and the same test-set contract as the MLlib paths
             from turbine_maintenance_etl_spark.ml.mlp import train_and_score_mlp
 
-            model, scored, metrics = train_and_score_mlp(res.features)
+            model, scored, metrics = train_and_score_mlp(res.features, test)
         else:
             model, scored, metrics = train_and_score(res.features, test, args.model)
         out = {"model": args.model, "metrics": {k: round(v, 4) for k, v in metrics.items()}}

@@ -500,6 +500,32 @@ def fit_pq(
     return books
 
 
+
+def _pq_codes(X, B):
+    """Chunked per-subspace argmin: X (n, m, dsub) against codebooks B
+    (m, k, dsub) -> int32 codes (n, m). Chunks rows so the (rows, m, k)
+    distance cube stays ~64 MB. The ONE copy of the PQ encode kernel —
+    pq_encode, pq_topk, and ivfpq_topk all call it."""
+    import numpy as np
+
+    m, ksub, _ = B.shape
+    out = np.empty((len(X), m), dtype=np.int32)
+    step = max(1, (8 << 20) // (m * ksub))
+    for s0 in range(0, len(X), step):
+        xc = X[s0 : s0 + step]  # (r, m, dsub)
+        out[s0 : s0 + step] = ((xc[:, :, None, :] - B[None]) ** 2).sum(-1).argmin(2)
+    return out
+
+
+def _pq_recon(codes, B):
+    """Gather codebook centroids for int codes (n, m) -> (n, m*dsub)."""
+    import numpy as np
+
+    m, _, dsub = B.shape
+    out = np.take_along_axis(B[None], codes[:, :, None, None].astype(np.int64), axis=2)
+    return out[:, :, 0, :].reshape(len(codes), m * dsub)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -529,14 +555,7 @@ def pq_encode(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(vecs.to_numpy()).astype(np.float64).reshape(len(vecs), m, dsub)
-        out = np.empty((len(vecs), m), dtype=np.int32)
-        # chunk rows so the (rows, m, k) distance cube stays ~64 MB
-        step = max(1, (8 << 20) // (m * ksub))
-        for s0 in range(0, len(vecs), step):
-            xc = X[s0 : s0 + step]  # (r, m, dsub)
-            d = ((xc[:, :, None, :] - B[None]) ** 2).sum(-1)  # (r, m, k)
-            out[s0 : s0 + step] = d.argmin(2)
-        return pd.Series(list(out))
+        return pd.Series(list(_pq_codes(X, B)))
 
     _encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     enc_udf = pandas_udf("array<int>")(_encode)
@@ -568,9 +587,8 @@ def pq_decode(
         B = bc.value
         if len(codes) == 0:
             return pd.Series([], dtype=object)
-        C = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
-        out = np.take_along_axis(B[None], C[:, :, None, None], axis=2)[:, :, 0, :]
-        return pd.Series(list(out.reshape(len(codes), mm * dsub)))
+        C = np.stack(codes.to_numpy())  # (n, m)
+        return pd.Series(list(_pq_recon(C, B)))
 
     _decode.__annotations__ = {"codes": pd.Series, "return": pd.Series}
     dec_udf = pandas_udf("array<double>")(_decode)
@@ -593,7 +611,8 @@ def pq_topk(
     """Approximate top-k over the COMPRESSED index: asymmetric distance
     (query vs reconstructed candidate) — the candidate side never
     touches its original vector after encoding, only the m-byte code;
-    the reconstruction happens JVM-side from the literal codebooks.
+    encode + reconstruction run as ONE Arrow-batched numpy pass per
+    candidate (shared _pq_codes/_pq_recon kernels), never per pair.
 
     Scale shape: queries broadcast (small by construction, like
     brute_force_topk); the candidate side is a map over codes + a
@@ -624,15 +643,7 @@ def pq_topk(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(vecs.to_numpy()).astype(np.float64).reshape(len(vecs), mm, dsub)
-        out = np.empty_like(X)
-        step = max(1, (8 << 20) // (mm * ksub))
-        for s0 in range(0, len(vecs), step):
-            xc = X[s0 : s0 + step]
-            codes = ((xc[:, :, None, :] - B[None]) ** 2).sum(-1).argmin(2)  # (r, m)
-            out[s0 : s0 + step] = np.take_along_axis(
-                B[None], codes[:, :, None, None], axis=2
-            )[:, :, 0, :]
-        return pd.Series(list(out.reshape(len(vecs), mm * dsub)))
+        return pd.Series(list(_pq_recon(_pq_codes(X, B), B)))
 
     _recon.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     recon_udf = pandas_udf("array<double>")(_recon)
@@ -728,9 +739,7 @@ def ivfpq_topk(
         Xb = np.stack(vecs.to_numpy()).astype(np.float64)
         cid = ((Xb[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
         R = (Xb - C[cid]).reshape(len(Xb), m, dsub)
-        codes = ((R[:, :, None, :] - B[None]) ** 2).sum(-1).argmin(2)  # (n, m)
-        dec = np.take_along_axis(B[None], codes[:, :, None, None], axis=2)[:, :, 0, :]
-        recon = C[cid] + dec.reshape(len(Xb), dim)
+        recon = C[cid] + _pq_recon(_pq_codes(R, B), B)
         return pd.DataFrame({"cid": cid.astype("int32"), "rv": list(recon)})
 
     _assign_recon.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}

@@ -183,12 +183,15 @@ class NumpyMLPRegressor:
 
 def train_and_score_mlp(
     train_df: DataFrame,
+    test_df: DataFrame | None = None,
     label_col: str = "rul",
     **mlp_kwargs,
 ):
     """The MLP twin of ``ml.pipeline.train_and_score``: same 80/20
-    seed-42 split, clamp, and metric set — so its quality band slots
-    directly into the published-RMSE parity table."""
+    seed-42 split, clamp, metric set, AND test-set contract (metrics
+    come from the held-out validation split; the returned scored frame
+    is ``test_df``'s predictions when one is given) — so its outputs
+    slot into the same predictions table as the MLlib models."""
     from turbine_maintenance_etl_spark.ml.pipeline import (
         clamp_predictions,
         evaluate,
@@ -199,4 +202,8 @@ def train_and_score_mlp(
     tr, val = train_df.randomSplit([0.8, 0.2], seed=42)
     model = NumpyMLPRegressor(**mlp_kwargs).fit(tr, feats, label_col)
     val_pred = clamp_predictions(model.transform(val))
-    return model, val_pred, evaluate(val_pred, label_col)
+    metrics = evaluate(val_pred, label_col)
+    scored = (
+        clamp_predictions(model.transform(test_df)) if test_df is not None else val_pred
+    )
+    return model, scored, metrics
