@@ -52,4 +52,9 @@ from turbine_maintenance_etl_spark.llm.lm import (  # noqa: F401
     perplexity_scores,
     sb3_perplexity_scores,
 )
-from turbine_maintenance_etl_spark.llm.text import corpus_report  # noqa: F401
+from turbine_maintenance_etl_spark.llm.text import (  # noqa: F401
+    corpus_report,
+    normalize_text_expr,
+    normalized_dedup,
+)
+from turbine_maintenance_etl_spark.llm.similarity import ivfpq_topk  # noqa: F401
