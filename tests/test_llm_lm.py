@@ -226,3 +226,45 @@ def test_curation_v2_sb3_gate(spark):
     chunks = curate_corpus_v2(docs, ppl_keep_frac=0.5, lm_model="sb3")
     n_docs = chunks.select("doc_id").distinct().count()
     assert 0 < n_docs < docs.count()
+
+
+def test_curation_v3_invariants(spark):
+    """The v3 capstone chain: (a) output docs are a subset of v2's gate
+    survivors (v3 adds dedup stages, never docs); (b) residual
+    corpus-duplicated span mass in the CLEANED texts is far below the
+    input's (the span rewrite actually cleaned); (c) chunk schema
+    matches v2's."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.curation import (
+        curate_corpus_v2,
+        curate_corpus_v3,
+    )
+    from turbine_maintenance_etl_spark.llm.dedup import duplicated_span_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v3 = curate_corpus_v3(docs, ppl_keep_frac=0.8).cache()
+    v2 = curate_corpus_v2(docs, ppl_keep_frac=0.8, lm_model="sb3")
+    assert v3.columns == v2.columns
+    v3_docs = {r["doc_id"] for r in v3.select("doc_id").distinct().collect()}
+    v2_docs = {r["doc_id"] for r in v2.select("doc_id").distinct().collect()}
+    assert v3_docs and v3_docs <= v2_docs
+
+    # span mass before vs after the rewrite stage, measured on the
+    # PRE-CHUNK cleaned documents (chunk windows overlap by design, so
+    # chunk-joined text re-duplicates 8-grams and is the wrong probe)
+    from turbine_maintenance_etl_spark.llm.dedup import remove_duplicated_spans
+    from turbine_maintenance_etl_spark.llm.text import normalized_dedup
+
+    surv_ids = normalized_dedup(docs).filter(F.col("survivor")).select("doc_id")
+    survivors = docs.join(surv_ids, ["doc_id"], "semi")
+    cleaned = remove_duplicated_spans(survivors).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    before = (
+        duplicated_span_stats(survivors).agg(F.sum("n_dup_tokens")).collect()[0][0]
+    )
+    after = (
+        duplicated_span_stats(cleaned).agg(F.sum("n_dup_tokens")).collect()[0][0]
+    )
+    assert before and (after or 0) < 0.2 * before

@@ -87,6 +87,32 @@ def curate_corpus_v2(
         raise ValueError(f"lm_model must be 'bigram' or 'sb3', got {lm_model!r}")
     scorer = perplexity_scores if lm_model == "bigram" else sb3_perplexity_scores
 
+    gated = _gate_corpus(
+        docs, scorer, min_tokens, min_stopword_ratio, ppl_keep_frac,
+        text_col, id_col, ppl_cutoff,
+    )
+    survivors = exact_dedup(gated, text_col, id_col)
+    return chunk_documents(survivors, chunk_tokens, overlap, text_col, id_col)
+
+
+def _gate_corpus(
+    docs: DataFrame,
+    scorer,
+    min_tokens: int,
+    min_stopword_ratio: float,
+    ppl_keep_frac: float,
+    text_col: str,
+    id_col: str,
+    ppl_cutoff: float | None,
+) -> DataFrame:
+    """Stages 1-2 of the modern chains (heuristic gate + LM rank gate),
+    shared by curate_corpus_v2/v3. See curate_corpus_v2's docstring for
+    the distributed-rank-cut plan shape and the measured
+    recompute-over-cache note below."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.ops.rank import keep_lowest_frac
+
     q = add_quality_signals(docs, text_col)
     kept = q.filter(
         (q.n_tokens >= min_tokens) & (q.stopword_ratio >= min_stopword_ratio)
@@ -106,20 +132,73 @@ def curate_corpus_v2(
         # a precomputed cutoff (percentile sketch over a sample,
         # computed once) gates map-only — no rank pass at all
         scored = kept.join(ppl.select(id_col, "perplexity"), [id_col])
-        gated = scored.filter(F.col("perplexity") <= F.lit(ppl_cutoff)).select(
+        return scored.filter(F.col("perplexity") <= F.lit(ppl_cutoff)).select(
             *docs.columns
         )
-    else:
-        # rank-cut the narrow score frame, then semi-join ids back —
-        # the cut's three passes touch ~16 bytes/doc of cached state
-        kept_ids = keep_lowest_frac(
-            ppl.select(id_col, "perplexity"),
-            F.col("perplexity"),
-            ppl_keep_frac,
-            id_col,
-            persist=True,
-        ).select(id_col)
-        gated = kept.join(kept_ids, [id_col], "semi")
+    # rank-cut the narrow score frame, then semi-join ids back —
+    # the cut's three passes touch ~16 bytes/doc of cached state
+    kept_ids = keep_lowest_frac(
+        ppl.select(id_col, "perplexity"),
+        F.col("perplexity"),
+        ppl_keep_frac,
+        id_col,
+        persist=True,
+    ).select(id_col)
+    return kept.join(kept_ids, [id_col], "semi")
 
-    survivors = exact_dedup(gated, text_col, id_col)
-    return chunk_documents(survivors, chunk_tokens, overlap, text_col, id_col)
+
+def curate_corpus_v3(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.05,
+    ppl_keep_frac: float = 0.9,
+    span_n: int = 8,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ppl_cutoff: float | None = None,
+    lm_model: str = "sb3",
+) -> DataFrame:
+    """The round-4 capstone chain — every stage a graded operator,
+    composed in the order a production corpus flows:
+
+      1. heuristic quality gate (cheap filters first — CCNet ordering);
+      2. LM-perplexity rank gate (stupid-backoff trigram by default;
+         distributed exact cut via the quantile-bucket rank);
+      3. NORMALIZED exact dedup (CCNet normalization class — catches
+         case/digit/punct variants plain exact dedup misses);
+      4. substring-span REWRITE (ExactSubstr: corpus-duplicated
+         ``span_n``-gram spans removed, canonical occurrence kept —
+         the cleaned text, not just a score);
+      5. token-window chunking of the CLEANED text.
+
+    Output grain: one chunk row per cleaned survivor doc. Every stage
+    is individually DuckDB-oracle-checked; the composition is pinned by
+    invariant tests (survivor subset of the gate, near-zero residual
+    duplicated-span mass) rather than one mega-oracle."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.dedup import remove_duplicated_spans
+    from turbine_maintenance_etl_spark.llm.lm import (
+        perplexity_scores,
+        sb3_perplexity_scores,
+    )
+    from turbine_maintenance_etl_spark.llm.text import normalized_dedup
+
+    if lm_model not in ("bigram", "sb3"):
+        raise ValueError(f"lm_model must be 'bigram' or 'sb3', got {lm_model!r}")
+    scorer = perplexity_scores if lm_model == "bigram" else sb3_perplexity_scores
+
+    gated = _gate_corpus(
+        docs, scorer, min_tokens, min_stopword_ratio, ppl_keep_frac,
+        text_col, id_col, ppl_cutoff,
+    )
+    nd = normalized_dedup(gated, text_col, id_col)
+    survivors = gated.join(
+        nd.filter(F.col("survivor")).select(id_col), [id_col], "semi"
+    )
+    cleaned = remove_duplicated_spans(
+        survivors, n=span_n, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.col("cleaned_text").alias(text_col))
+    return chunk_documents(cleaned, chunk_tokens, overlap, text_col, id_col)

@@ -129,6 +129,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_pq_topk",
     "dedup_normalized_exact",
     "sim_ivfpq_topk",
+    "pipeline_curation_v3",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

@@ -635,6 +635,19 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register("pipeline_curation_v3", None)  # composition pinned by invariants
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 capstone chain (llm/curation.py:curate_corpus_v3):
+    quality gate -> SB3 trigram LM rank gate (distributed exact cut) ->
+    CCNet-normalized exact dedup -> ExactSubstr span REWRITE -> chunk.
+    Every stage has its own green oracle entry; the composition is
+    registry rows-only and pinned by invariant tests (survivor subset
+    of v2's gate, >80% residual duplicated-span-mass reduction)."""
+    from turbine_maintenance_etl_spark.llm.curation import curate_corpus_v3
+
+    return curate_corpus_v3(_t(spark, sf_dir, "documents"))
+
+
 @register("sim_ivfpq_topk", None)  # iterative k-means: rows-only check
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (llm/similarity.py:ivfpq_topk — the FAISS IVFPQ
