@@ -194,6 +194,12 @@ def curate_corpus_v3(
         docs, scorer, min_tokens, min_stopword_ratio, ppl_keep_frac,
         text_col, id_col, ppl_cutoff,
     )
+    # NO persist barrier here (measured 2x SLOWER at sf0.1): although
+    # the dedup/rewrite stages below reference their inputs from
+    # several plan branches, Spark's cross-job SHUFFLE REUSE already
+    # serves the repeated gate/LM stages from shuffle files — adding a
+    # row-cache on full text rows just pays serialization twice. Same
+    # measured lesson as the recompute-over-cache note in _gate_corpus.
     nd = normalized_dedup(gated, text_col, id_col)
     survivors = gated.join(
         nd.filter(F.col("survivor")).select(id_col), [id_col], "semi"
