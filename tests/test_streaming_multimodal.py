@@ -718,3 +718,65 @@ def test_resize_images_distributed_with_poison_pill(spark):
         assert np.array_equal(got, resize_nearest(src, 8, 8))
     for d in (3, 4):  # bad rows survive with err set, job completes
         assert out[d]["resized"] is None and out[d]["err"] is not None
+
+
+def test_encode_wav_round_trip():
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in ((400, 1), (256, 2)):
+        x = (rng.random(shape).astype(np.float32) * 2 - 1) * 0.9
+        got, rate = decode_wav_samples(encode_wav(x, 8000))
+        assert rate == 8000 and got.shape == x.shape
+        assert np.abs(got - x).max() < 1.0 / 16000  # 16-bit quantization + 32767/32768 scale
+
+
+def test_resample_linear_semantics():
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import resample_linear
+
+    x = np.arange(8, dtype=np.float32).reshape(8, 1)
+    same = resample_linear(x, 8000, 8000)
+    assert same is x  # no-op passthrough
+    up = resample_linear(x, 8000, 16000)
+    assert up.shape == (16, 1)
+    # linear interp of a ramp is the finer ramp (boundary clamps to the
+    # last input sample — np.interp edge behavior)
+    assert np.allclose(up[:, 0], np.minimum(np.arange(16) * 0.5, 7.0), atol=1e-6)
+    down = resample_linear(x, 8000, 4000)
+    assert down.shape == (4, 1)
+    assert np.allclose(down[:, 0], [0, 2, 4, 6], atol=1e-6)
+
+
+def test_resample_audio_distributed_with_poison_pill(spark):
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        decode_wav_samples,
+        resample_audio,
+    )
+
+    t = np.arange(800) / 8000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rows = [
+        (1, bytearray(_encode_wav(sig, rate=8000))),
+        (2, bytearray(b"definitely not audio")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in resample_audio(df, target_rate=16000).collect()}
+    ok = out[1]
+    assert ok["err"] is None and ok["out_rate"] == 16000
+    assert ok["n_frames"] == 1600 and ok["n_channels"] == 1
+    dec, rate = decode_wav_samples(bytes(ok["resampled"]))
+    assert rate == 16000 and dec.shape == (1600, 1)
+    # energy preserved through the resample (same sine, finer grid)
+    assert abs(float(np.sqrt((dec[:, 0] ** 2).mean())) - 0.5 / np.sqrt(2)) < 0.01
+    for d in (2, 3):
+        assert out[d]["resampled"] is None and out[d]["err"] is not None

@@ -366,3 +366,92 @@ def resize_images(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+
+
+# --- Audio resample: REAL on the WAV/PCM path (numpy linear interp +
+# --- stdlib re-encode) — the audio twin of the image resize ----------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder for (n_frames, n_channels)
+    float32 samples in [-1, 1]. Round-trips through
+    ``decode_wav_samples`` (test-pinned, up to 16-bit quantization)."""
+    if samples.ndim != 2:
+        raise ValueError(f"expected (frames, channels) samples, got {samples.shape}")
+    n_frames, n_ch = samples.shape
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2").reshape(-1)
+    raw = pcm.tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_linear(samples: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample per channel (the
+    cheap production choice for rate normalization before a feature
+    frontend; no windowed-sinc dependency in-container). Pure numpy."""
+    if rate_in == rate_out:
+        return samples
+    n_in = samples.shape[0]
+    n_out = max(1, int(round(n_in * rate_out / rate_in)))
+    t_out = np.arange(n_out) * (rate_in / rate_out)
+    t_in = np.arange(n_in, dtype=np.float64)
+    return np.stack(
+        [np.interp(t_out, t_in, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    ).astype(np.float32)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int = 16_000,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch audio rate-normalization: WAV decode -> linear resample to
+    ``target_rate`` -> PCM16 re-encode, as Arrow-batched mapInPandas
+    (the exact preprocessing an ASR/audio-LM corpus runs before feature
+    extraction). Poison-pill rows (non-WAV, truncated, unsupported
+    codec) survive as NULL ``resampled`` with an error tag."""
+    schema = (
+        f"{id_col} bigint, resampled binary, out_rate int, n_frames bigint, "
+        "n_channels int, err string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                try:
+                    samples, rate = decode_wav_samples(data)
+                    out = resample_linear(samples, rate, target_rate)
+                    enc = encode_wav(out, target_rate)
+                    rows.append(
+                        {
+                            id_col: r[id_col], "resampled": enc,
+                            "out_rate": target_rate,
+                            "n_frames": int(out.shape[0]),
+                            "n_channels": int(out.shape[1]), "err": None,
+                        }
+                    )
+                except (ValueError, NotImplementedError, struct.error) as e:
+                    rows.append(
+                        {
+                            id_col: r[id_col], "resampled": None, "out_rate": None,
+                            "n_frames": None, "n_channels": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "resampled", "out_rate", "n_frames", "n_channels", "err"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
