@@ -628,3 +628,31 @@ def test_global_row_number_no_single_partition_exchange(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_cms_shard_sketches_and_merge_estimate(spark):
+    """CMS frequency sketches: per-shard build + driver merge. The
+    merged estimate must NEVER underestimate any item's true count and
+    must overestimate by at most ~eps * N (the CMS guarantee); items
+    absent from the data estimate near zero."""
+    from turbine_maintenance_etl_spark.ops.sketch import (
+        cms_merge_estimate,
+        cms_shard_sketches,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    truth = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(truth.values())
+    sketches = cms_shard_sketches(
+        events, "user_id", ["event_type"], eps=0.005, confidence=0.99
+    )
+    assert sketches.count() > 1  # genuinely multiple shards merged
+    items = list(truth)[:50] + [10**12]  # + one absent item
+    est = cms_merge_estimate(spark, sketches, items)
+    for it in items[:-1]:
+        assert est[it] >= truth[it], it           # never underestimates
+        assert est[it] <= truth[it] + 0.02 * n_total, it
+    assert est[10**12] <= 0.02 * n_total          # absent ~ 0 + eps*N

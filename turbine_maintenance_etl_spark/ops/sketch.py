@@ -56,3 +56,53 @@ def merge_estimate(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*agg)
     return sketches.agg(*agg)
+
+
+# --- Count-min sketch: the FREQUENCY twin of the HLL distinct-count
+# --- sketches above -------------------------------------------------------
+
+
+def cms_shard_sketches(
+    df: DataFrame,
+    item_col: str,
+    shard_cols: list[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-shard count-min sketches via Spark's built-in
+    ``count_min_sketch`` aggregate (JVM, map-side partial merge): one
+    fixed-size binary per shard (size ~ ln(1/δ) x e/ε, independent of
+    item cardinality). Like the HLL table, the sketch table answers
+    later frequency questions at ANY coarser grain by merging — no
+    corpus rescan, which is the point at 100 TB: sketch once at ingest,
+    query forever."""
+    return df.groupBy(*shard_cols).agg(
+        F.expr(
+            f"count_min_sketch({item_col}, {eps}d, {confidence}d, {seed})"
+        ).alias("cms")
+    )
+
+
+def cms_merge_estimate(
+    spark,
+    sketches: DataFrame,
+    items: list,
+) -> dict:
+    """Merge all shard sketches (driver-side: each sketch is a bounded
+    binary, shard count is small by construction) and estimate the
+    frequency of each candidate item. CMS NEVER underestimates
+    (estimate >= true count) and overestimates by at most ε x N with
+    probability >= confidence — the right tool for heavy-hitter
+    screening where false positives get exact-verified downstream."""
+    rows = sketches.select("cms").collect()
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in rows:
+        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytearray(bytes(r["cms"]))
+        )
+        merged = s if merged is None else merged.mergeInPlace(s)
+    if merged is None:
+        return {it: 0 for it in items}
+    return {it: int(merged.estimateCount(it)) for it in items}
