@@ -58,3 +58,14 @@ from turbine_maintenance_etl_spark.llm.text import (  # noqa: F401
     normalized_dedup,
 )
 from turbine_maintenance_etl_spark.llm.similarity import ivfpq_topk  # noqa: F401
+from turbine_maintenance_etl_spark.llm.multimodal import (  # noqa: F401
+    extract_audio_features,
+    extract_image_features,
+    resample_audio,
+    resize_images,
+)
+from turbine_maintenance_etl_spark.llm.curation import (  # noqa: F401
+    curate_corpus,
+    curate_corpus_v2,
+    curate_corpus_v3,
+)
