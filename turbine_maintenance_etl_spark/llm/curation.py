@@ -75,20 +75,8 @@ def curate_corpus_v2(
     default) or ``"sb3"`` (stupid-backoff trigram — longer context,
     same output schema, same gate semantics).
     """
-    from pyspark.sql import functions as F
-
-    from turbine_maintenance_etl_spark.llm.lm import (
-        perplexity_scores,
-        sb3_perplexity_scores,
-    )
-    from turbine_maintenance_etl_spark.ops.rank import keep_lowest_frac
-
-    if lm_model not in ("bigram", "sb3"):
-        raise ValueError(f"lm_model must be 'bigram' or 'sb3', got {lm_model!r}")
-    scorer = perplexity_scores if lm_model == "bigram" else sb3_perplexity_scores
-
     gated = _gate_corpus(
-        docs, scorer, min_tokens, min_stopword_ratio, ppl_keep_frac,
+        docs, lm_model, min_tokens, min_stopword_ratio, ppl_keep_frac,
         text_col, id_col, ppl_cutoff,
     )
     survivors = exact_dedup(gated, text_col, id_col)
@@ -97,7 +85,7 @@ def curate_corpus_v2(
 
 def _gate_corpus(
     docs: DataFrame,
-    scorer,
+    lm_model: str,
     min_tokens: int,
     min_stopword_ratio: float,
     ppl_keep_frac: float,
@@ -111,7 +99,15 @@ def _gate_corpus(
     recompute-over-cache note below."""
     from pyspark.sql import functions as F
 
+    from turbine_maintenance_etl_spark.llm.lm import (
+        perplexity_scores,
+        sb3_perplexity_scores,
+    )
     from turbine_maintenance_etl_spark.ops.rank import keep_lowest_frac
+
+    if lm_model not in ("bigram", "sb3"):
+        raise ValueError(f"lm_model must be 'bigram' or 'sb3', got {lm_model!r}")
+    scorer = perplexity_scores if lm_model == "bigram" else sb3_perplexity_scores
 
     q = add_quality_signals(docs, text_col)
     kept = q.filter(
@@ -180,18 +176,10 @@ def curate_corpus_v3(
     from pyspark.sql import functions as F
 
     from turbine_maintenance_etl_spark.llm.dedup import remove_duplicated_spans
-    from turbine_maintenance_etl_spark.llm.lm import (
-        perplexity_scores,
-        sb3_perplexity_scores,
-    )
     from turbine_maintenance_etl_spark.llm.text import normalized_dedup
 
-    if lm_model not in ("bigram", "sb3"):
-        raise ValueError(f"lm_model must be 'bigram' or 'sb3', got {lm_model!r}")
-    scorer = perplexity_scores if lm_model == "bigram" else sb3_perplexity_scores
-
     gated = _gate_corpus(
-        docs, scorer, min_tokens, min_stopword_ratio, ppl_keep_frac,
+        docs, lm_model, min_tokens, min_stopword_ratio, ppl_keep_frac,
         text_col, id_col, ppl_cutoff,
     )
     # NO persist barrier here (measured 2x SLOWER at sf0.1): although

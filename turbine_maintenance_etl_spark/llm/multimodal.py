@@ -396,7 +396,9 @@ def resample_linear(samples: np.ndarray, rate_in: int, rate_out: int) -> np.ndar
     """Deterministic linear-interpolation resample per channel (the
     cheap production choice for rate normalization before a feature
     frontend; no windowed-sinc dependency in-container). Pure numpy."""
-    if rate_in == rate_out:
+    if rate_in == rate_out or samples.shape[0] == 0:
+        # zero-frame audio is valid (placeholder recordings): passes
+        # through as empty at the new rate, same as the equal-rate path
         return samples
     n_in = samples.shape[0]
     n_out = max(1, int(round(n_in * rate_out / rate_in)))
