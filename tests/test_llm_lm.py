@@ -121,9 +121,11 @@ def test_curation_v2_cutoff_variant_is_map_only_and_consistent(spark):
     assert by_rank.exceptAll(by_cut).count() == 0
 
 
-def _py_sb3_scores(texts: dict) -> dict:
+def _py_sb3_scores(texts: dict, prune_min_count: int = 2) -> dict:
     """Pure-Python stupid-backoff reference (Brants et al. 2007,
-    alpha=0.4, uniform OOV floor) for the differential test."""
+    alpha=0.4, uniform OOV floor, CCNet-style count pruning: histories
+    keep full mass, grams below the min count back off as unseen) for
+    the differential test."""
     import math
     from collections import Counter
 
@@ -148,9 +150,9 @@ def _py_sb3_scores(texts: dict) -> dict:
         logs = []
         for i in range(2, len(toks)):
             w1, w2, w3 = toks[i - 2], toks[i - 1], toks[i]
-            if tris[(w1, w2, w3)]:
+            if tris[(w1, w2, w3)] >= prune_min_count:
                 s = tris[(w1, w2, w3)] / hist2[(w1, w2)]
-            elif pair2[(w2, w3)]:
+            elif pair2[(w2, w3)] >= prune_min_count:
                 s = 0.4 * pair2[(w2, w3)] / hist1[w2]
             elif uni[w3]:
                 s = 0.16 * uni[w3] / N
@@ -181,12 +183,23 @@ def test_sb3_differential_vs_pure_python(spark):
         7: "the quick brown fox jumps over the lazy dog",  # exact repeat
     }
     df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    # default pruned model (prune_min_count=2): docs 1/7 repeat so their
+    # trigrams survive the prune; the singleton docs' trigrams are
+    # pruned and must back off exactly like the reference
     got = {
         r["doc_id"]: (r["n_trigrams"], r["avg_logscore"], r["perplexity"])
         for r in sb3_perplexity_scores(df).collect()
     }
-    want = _py_sb3_scores(texts)
-    assert got == want
+    assert got == _py_sb3_scores(texts, prune_min_count=2)
+    # and the unpruned model stays exact too
+    got_unpruned = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logscore"], r["perplexity"])
+        for r in sb3_perplexity_scores(df, prune_min_count=1).collect()
+    }
+    assert got_unpruned == _py_sb3_scores(texts, prune_min_count=1)
+    # pruning must actually change at least one singleton doc's score
+    # on this fixture (otherwise the differential proves nothing)
+    assert got != got_unpruned
 
 
 def test_sb3_orders_fluent_below_noise(spark):

@@ -140,7 +140,10 @@ def _gate_corpus(
         id_col,
         persist=True,
     ).select(id_col)
-    return kept.join(kept_ids, [id_col], "semi")
+    # both gate modes share ONE output contract: exactly docs.columns
+    # (the cutoff path above projects explicitly; project here too so a
+    # future edit to `kept` can't silently fork the schemas)
+    return kept.join(kept_ids, [id_col], "semi").select(*docs.columns)
 
 
 def curate_corpus_v3(

@@ -220,7 +220,10 @@ def doc_trigrams(
 
 
 def train_sb3_counts(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_min_count: int = 2,
 ):
     """Train the stupid-backoff trigram model: ONE corpus explode, then
     vocabulary-sized reaggregations off the trigram table (each with
@@ -239,19 +242,40 @@ def train_sb3_counts(
     - ``uni``   (w, cu): unigram counts of predicted (real) tokens;
     - ``n_tokens``: corpus size N = Σ cu; ``v``: |vocabulary| for the
       OOV floor (one tiny job for both).
+
+    **Count pruning (the 100 TB lever).** Zipf's law makes hapax grams
+    dominate the distinct-gram tables — typically well over half of
+    distinct trigrams occur exactly once — so the lookup/broadcast
+    model grows near-linearly with the corpus if kept whole (the
+    round-4 scale probe measured a 3.5x cost ratio at 8x data).
+    CCNet/Brants-style vocabulary pruning drops ``tri``/``pair2`` rows
+    with count < ``prune_min_count`` AFTER the history tables are
+    derived from the UNPRUNED sums: scoring then backs off exactly as
+    if the pruned gram were unseen, the retained ratios are unchanged
+    (denominators keep the full mass), and the gate stays a
+    deterministic count arithmetic the DuckDB oracle mirrors with two
+    HAVING-style filters. ``uni``/``hist1`` stay whole — they are
+    vocabulary-sized already. ``prune_min_count=1`` disables pruning
+    (the exact unpruned model).
     """
-    tri = (
+    tri_all = (
         doc_trigrams(df, text_col, id_col)
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("c3"))
     )
-    hist2 = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("ch2"))
-    pair2 = (
-        tri.groupBy(F.col("w2").alias("wa"), F.col("w3").alias("wb"))
+    hist2 = tri_all.groupBy("w1", "w2").agg(F.sum("c3").alias("ch2"))
+    pair2_all = (
+        tri_all.groupBy(F.col("w2").alias("wa"), F.col("w3").alias("wb"))
         .agg(F.sum("c3").alias("cb2"))
     )
-    hist1 = pair2.groupBy(F.col("wa").alias("w")).agg(F.sum("cb2").alias("ch1"))
-    uni = pair2.groupBy(F.col("wb").alias("w")).agg(F.sum("cb2").alias("cu"))
+    hist1 = pair2_all.groupBy(F.col("wa").alias("w")).agg(F.sum("cb2").alias("ch1"))
+    uni = pair2_all.groupBy(F.col("wb").alias("w")).agg(F.sum("cb2").alias("cu"))
+    tri = tri_all.filter(F.col("c3") >= prune_min_count) if prune_min_count > 1 else tri_all
+    pair2 = (
+        pair2_all.filter(F.col("cb2") >= prune_min_count)
+        if prune_min_count > 1
+        else pair2_all
+    )
     totals = uni.agg(F.sum("cu").alias("n"), F.count("*").alias("v")).collect()[0]
     return tri, hist2, pair2, hist1, uni, int(totals["n"] or 0), int(totals["v"] or 0)
 
@@ -331,12 +355,18 @@ def score_sb3_perplexity(
 
 
 def sb3_perplexity_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_min_count: int = 2,
 ) -> DataFrame:
     """Self-scored stupid-backoff trigram perplexity (train on ``df``,
     score ``df``) — the drop-in longer-context upgrade of
-    ``perplexity_scores``."""
-    tri, hist2, pair2, hist1, uni, n, v = train_sb3_counts(df, text_col, id_col)
+    ``perplexity_scores``. Trains with CCNet-style count pruning by
+    default (see ``train_sb3_counts``)."""
+    tri, hist2, pair2, hist1, uni, n, v = train_sb3_counts(
+        df, text_col, id_col, prune_min_count
+    )
     return score_sb3_perplexity(
         df, tri, hist2, pair2, hist1, uni, n, v, text_col, id_col
     )

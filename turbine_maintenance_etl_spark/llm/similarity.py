@@ -503,14 +503,17 @@ def fit_pq(
 
 def _pq_codes(X, B):
     """Chunked per-subspace argmin: X (n, m, dsub) against codebooks B
-    (m, k, dsub) -> int32 codes (n, m). Chunks rows so the (rows, m, k)
-    distance cube stays ~64 MB. The ONE copy of the PQ encode kernel —
-    pq_encode, pq_topk, and ivfpq_topk all call it."""
+    (m, k, dsub) -> int32 codes (n, m). Chunks rows so the broadcasted
+    (rows, m, k, dsub) float64 difference cube stays ~64 MB — the dsub
+    factor must be in the divisor or the real cube is dsub x larger
+    than budgeted (~512 MB at dsub=8), a Python-worker OOM risk. The
+    ONE copy of the PQ encode kernel — pq_encode, pq_topk, and
+    ivfpq_topk all call it."""
     import numpy as np
 
-    m, ksub, _ = B.shape
+    m, ksub, dsub = B.shape
     out = np.empty((len(X), m), dtype=np.int32)
-    step = max(1, (8 << 20) // (m * ksub))
+    step = max(1, (8 << 20) // (m * ksub * dsub))
     for s0 in range(0, len(X), step):
         xc = X[s0 : s0 + step]  # (r, m, dsub)
         out[s0 : s0 + step] = ((xc[:, :, None, :] - B[None]) ** 2).sum(-1).argmin(2)

@@ -1045,11 +1045,17 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
         WHERE len(t) > 2
     ),
-    tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM grams GROUP BY 1, 2, 3),
-    hist2 AS (SELECT w1, w2, SUM(c3) AS ch2 FROM tri GROUP BY 1, 2),
-    pair2 AS (SELECT w2 AS wa, w3 AS wb, SUM(c3) AS cb2 FROM tri GROUP BY 1, 2),
-    hist1 AS (SELECT wa AS w, SUM(cb2) AS ch1 FROM pair2 GROUP BY 1),
-    uni AS (SELECT wb AS w, SUM(cb2) AS cu FROM pair2 GROUP BY 1),
+    tri_all AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM grams GROUP BY 1, 2, 3),
+    hist2 AS (SELECT w1, w2, SUM(c3) AS ch2 FROM tri_all GROUP BY 1, 2),
+    pair2_all AS (SELECT w2 AS wa, w3 AS wb, SUM(c3) AS cb2
+                  FROM tri_all GROUP BY 1, 2),
+    hist1 AS (SELECT wa AS w, SUM(cb2) AS ch1 FROM pair2_all GROUP BY 1),
+    uni AS (SELECT wb AS w, SUM(cb2) AS cu FROM pair2_all GROUP BY 1),
+    -- CCNet-style count pruning (mirrors train_sb3_counts
+    -- prune_min_count=2): histories keep the FULL mass, pruned grams
+    -- back off exactly as if unseen
+    tri AS (SELECT * FROM tri_all WHERE c3 >= 2),
+    pair2 AS (SELECT * FROM pair2_all WHERE cb2 >= 2),
     tot AS (SELECT SUM(cu) AS n, COUNT(*) AS v FROM uni),
     scored AS (
         SELECT g.doc_id,
@@ -1084,9 +1090,12 @@ def quality_sb3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     published at-scale alternative to Kneser-Ney that KenLM benchmarks
     against; llm/lm.py): longer context than the add-k bigram entry,
     trained from ONE corpus explode with vocabulary-sized
-    reaggregations, scored by five broadcast lookup joins. Pure count
-    ratios with a fixed 0.4 backoff -> exactly DuckDB-oracle-checkable;
-    differential-tested against a pure-Python reference."""
+    reaggregations, scored by five broadcast lookup joins. CCNet-style
+    count pruning (min count 2, histories keep full mass) bounds the
+    Zipf-dominated trigram/bigram lookup tables — the round-4 probe's
+    3.5x-at-8x growth lever. Pure count ratios with a fixed 0.4
+    backoff -> exactly DuckDB-oracle-checkable; differential-tested
+    against a pure-Python reference, pruned and unpruned."""
     from turbine_maintenance_etl_spark.llm.lm import sb3_perplexity_scores
 
     return sb3_perplexity_scores(_t(spark, sf_dir, "documents"))
