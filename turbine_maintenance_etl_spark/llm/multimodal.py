@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DECODE_AVAILABLE = True  # PNG via stdlib zlib; JPEG/video codecs absent
@@ -457,3 +457,154 @@ def resample_audio(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+
+
+# --- Image perceptual hashing + dedup: the image twin of the text
+# --- dedup family (llm/dedup.py). dHash/aHash over the REAL PNG decode
+# --- + nearest-neighbor resize path, Hamming-bucketed candidate pairs
+# --- like SimHash. At 100 TB: hashing is one Arrow-batched map over the
+# --- binary column (no shuffle); dedup shuffles 8-byte hash keys, never
+# --- pixels; near-dup pairing is a band-bucket equi-join, never all-pairs.
+
+PHASH_W = 8   # hash grid width  (bits per row)
+PHASH_H = 7   # hash grid height -> 8*7 = 56 bits, sign-safe in BIGINT
+
+
+def grayscale_int(px: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 -> (h, w) int64 integer-mean grayscale
+    (sum // c). Integer arithmetic keeps the hash bit-exact across
+    engines (a float luma weighting would be rounding-mode-sensitive);
+    for c == 1 this is the identity."""
+    c = px.shape[2]
+    return px.astype(np.int64).sum(axis=2) // c
+
+
+def dhash_int(gray: np.ndarray, hash_w: int = PHASH_W, hash_h: int = PHASH_H) -> int:
+    """Difference hash (dHash): resize to (hash_w+1, hash_h), emit bit
+    r*hash_w+c = [g(r, c+1) > g(r, c)], fold LSB-first into a Python
+    int. Horizontal-gradient signs are invariant to uniform brightness
+    shifts and to any monotone per-pixel offset that preserves local
+    ordering — the property that makes dHash a NEAR-duplicate key where
+    sha256 of the bytes is only an exact one."""
+    g = resize_nearest(gray, hash_w + 1, hash_h)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(hash_w * hash_h, dtype=np.uint64)).sum())
+
+
+def ahash_int(gray: np.ndarray, hash_w: int = PHASH_W, hash_h: int = PHASH_H) -> int:
+    """Average hash (aHash): resize to (hash_w, hash_h), bit = pixel
+    strictly above the grid mean. Compared in integers
+    (px * n > sum) so there is no float mean to disagree on."""
+    g = resize_nearest(gray, hash_w, hash_h).astype(np.int64)
+    n = hash_w * hash_h
+    total = int(g.sum())
+    bits = (g.reshape(-1) * n > total).astype(np.uint64)
+    return int((bits << np.arange(n, dtype=np.uint64)).sum())
+
+
+def image_phash(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual fingerprints for an image column: PNG decode ->
+    integer grayscale -> 56-bit dHash + aHash, as ONE Arrow-batched
+    mapInPandas pass (same decode-operator discipline as
+    extract_image_features). Poison-pill rows (non-PNG, corrupt)
+    survive as NULL hashes with an error tag.
+
+    Output: (id, dhash bigint, ahash bigint, width int, height int,
+    err string)."""
+    schema = (
+        f"{id_col} bigint, dhash bigint, ahash bigint, "
+        "width int, height int, err string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                out = {id_col: r[id_col], "dhash": None, "ahash": None,
+                       "width": None, "height": None, "err": None}
+                try:
+                    px = decode_png_pixels(data)
+                    gray = grayscale_int(px)
+                    out.update(
+                        dhash=dhash_int(gray), ahash=ahash_int(gray),
+                        width=int(px.shape[1]), height=int(px.shape[0]),
+                    )
+                except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
+                    out["err"] = f"{type(e).__name__}: {e}"
+                rows.append(out)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "dhash", "ahash", "width", "height", "err"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+
+
+def phash_dedup(ph: DataFrame, hash_col: str = "dhash", id_col: str = "doc_id") -> DataFrame:
+    """Exact-collision image dedup on a perceptual hash column: survivor
+    = min id per hash value (same survivor rule as the text exact
+    dedup). One 8-byte-keyed shuffle; decode failures (NULL hash) pass
+    through as their own survivors — dropping undecodable media is a
+    policy decision, not a dedup side effect."""
+    w = Window.partitionBy(hash_col)
+    flagged = ph.withColumn(
+        "survivor",
+        F.col(hash_col).isNull() | (F.col(id_col) == F.min(id_col).over(w)),
+    )
+    return flagged
+
+
+def phash_near_dup_pairs(
+    ph: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "doc_id",
+    n_bands: int = 7,
+    band_bits: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate image candidate pairs at Hamming distance <=
+    ``max_hamming``: split the 56-bit hash into ``n_bands`` bands of
+    ``band_bits``; any pair within distance n_bands-1 (pigeonhole:
+    <= max_hamming < n_bands) shares at least one exact band, so the
+    band equi-join finds every such pair without an all-pairs compare
+    — the SimHash banding trick (llm/dedup.py:simhash) applied to
+    pixels. Verification is one bit_count(xor) per candidate.
+
+    Output: (id_a, id_b, hamming)."""
+    mask = (1 << band_bits) - 1
+    bands = ph.select(
+        F.col(id_col), F.col(hash_col).alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    exploded = bands.select(
+        id_col,
+        "_h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("_h", b * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "_h", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "band", "bv"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

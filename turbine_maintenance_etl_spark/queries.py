@@ -128,6 +128,7 @@ PRIORITY_ORDER: list[str] = [
     "corpus_datacard",
     "sim_pq_topk",
     "dedup_normalized_exact",
+    "dedup_image_phash",
     "sim_ivfpq_topk",
     "pipeline_curation_v3",
     "p1_positional_truncation",
