@@ -57,14 +57,16 @@ GRADE_WINDOW = 50
 PRIORITY_ORDER: list[str] = [
     # -- SURVEY §2 core: EVERY §2 operator family has a graded row in the
     # -- first GRADE_WINDOW entries (merged suites cover multiple IDs;
-    # -- COVERAGE.md maps ID -> entry). Round-4 compaction: operator
-    # -- families that previously spent one slot each (P-family, J2/
-    # -- outer/semi/anti, A1/A9/A10/A16, W1..W6, O1/O2) are graded via
+    # -- COVERAGE.md maps ID -> entry). Rounds 4-5 compaction: operator
+    # -- families that previously spent one slot each are graded via
     # -- consolidated tagged-union suites (queries_suites.py); the freed
     # -- slots carry independent driver evidence for the flagship
     # -- LLM-pipeline operators that were previously selfcheck-only.
     # -- The original single-operator entries remain registered BELOW the
     # -- window (still selfchecked + pytest-oracle-checked every round).
+    # -- The graded-window composition is pinned against the reviewed
+    # -- WINDOW_CHANGELOG.md by tests/test_registry_order.py — change
+    # -- the window there FIRST, with rationale.
     "q1_pricing_summary",
     "s1_s2_text_scan_suite",
     "s3_s5_catalog_introspection",
@@ -90,47 +92,52 @@ PRIORITY_ORDER: list[str] = [
     "f_scalar_datetime_suite",
     "f_null_handling",
     "f_json_extract",
-    "events_tumbling_window",
+    "events_window_suite",         # r5: tumbling + session windows
     "ud_grouped_map_slope",
-    "dedup_cluster_resolution",
+    "dedup_graph_suite",           # r5: cluster resolution + survivors
     "dedup_simhash_oracle",
-    "dedup_neardup_survivors",
     # -- flagship LLM-pipeline operators inside the graded window -------
     "dedup_minhash_lsh",
     "quality_lm_perplexity",
     "dedup_incremental_lsh",
     "dedup_semantic_survivors",
     "pipeline_curation_v2",
-    "sim_lsh_topk",
-    "sim_multiprobe_topk",
-    "sim_brute_force_topk",
+    "sim_topk_suite",              # r5: brute + lsh + multiprobe
     "dedup_containment",
     "quality_psi_drift",
     "text_tfidf_top_terms",
     "curation_temperature_mix",
     "scd2_event_tier_history",
     "pipeline_sequence_packing",
-    "text_chunking",
+    "text_pipeline_suite",         # r5: chunking + PII redaction
     "text_decontamination_bloom",
-    "text_pii_redaction",
     "export_hash_shards",
-    "events_session_window",
     "dedup_span_rewrite",
-    # -- beyond the grade window: the original single-operator §2
-    # -- entries (suite-graded above, still selfchecked here), then
-    # -- never-graded extensions ----------------------------------------
+    # -- round-5 promotions: the round-4 flagships, now driver-graded ---
+    "quality_sb3_perplexity",
+    "dedup_normalized_exact",
+    "dedup_image_phash",
+    "pipeline_curation_v3",
+    "sim_ivfpq_topk",
+    # -- beyond the grade window: the original single-operator entries
+    # -- (suite-graded above, still selfchecked here), then never-graded
+    # -- extensions ------------------------------------------------------
+    "sim_brute_force_topk",
+    "sim_lsh_topk",
+    "sim_multiprobe_topk",
+    "events_tumbling_window",
+    "events_session_window",
+    "text_chunking",
+    "text_pii_redaction",
+    "dedup_cluster_resolution",
+    "dedup_neardup_survivors",
     "text_decontamination",
     "dedup_span_coverage",
     "gen_global_row_index",
     "embed_pca_whiten",
     "f_variant_semistructured",
-    "quality_sb3_perplexity",
     "corpus_datacard",
     "sim_pq_topk",
-    "dedup_normalized_exact",
-    "dedup_image_phash",
-    "sim_ivfpq_topk",
-    "pipeline_curation_v3",
     "p1_positional_truncation",
     "p2_projection",
     "p3_constant_detection",

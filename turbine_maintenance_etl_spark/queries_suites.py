@@ -569,3 +569,208 @@ def o_order_limit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return composite.unionByName(topk_value).unionByName(topk_recent)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 window compaction (WINDOW_CHANGELOG.md entry r5): four more
+# tagged-union suites over entries that were individually graded in r4.
+# Each suite UNIONS the original builders' full row-level output (tagged,
+# columns aligned) — no checksum reduction, so per-row driver evidence is
+# preserved — and unions the original oracles the same way. The freed
+# slots promote the round-4 flagship entries (curation v3, IVF-PQ, sb3
+# LM, normalized dedup) plus the round-5 image-phash dedup into the
+# graded window. The original single entries remain registered below the
+# window, still selfchecked per round.
+# ---------------------------------------------------------------------------
+
+from turbine_maintenance_etl_spark.queries import REGISTRY  # noqa: E402
+import turbine_maintenance_etl_spark.queries_llm  # noqa: E402,F401  (registers sim/pii entries)
+import turbine_maintenance_etl_spark.queries_ext  # noqa: E402,F401  (registers chunking/session entries)
+
+
+def _wrap_union(parts: list[tuple[str, str]]) -> str:
+    """Tag-union complete oracle SELECTs: [(tag, sql)] -> one query."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS variant, * FROM ({sql})" for tag, sql in parts
+    )
+
+
+@register(
+    "sim_topk_suite",
+    _wrap_union(
+        [
+            ("brute", REGISTRY["sim_brute_force_topk"].oracle),
+            ("lsh", REGISTRY["sim_lsh_topk"].oracle),
+            ("multiprobe", REGISTRY["sim_multiprobe_topk"].oracle),
+        ]
+    ),
+)
+def sim_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search top-k family in one graded row: the guarded
+    brute-force cosine baseline, single-probe SRP-LSH, and multi-probe
+    SRP-LSH (Hamming-1 probe expansion) — identical output schemas
+    tagged by variant, each branch exactly the original entry's rows
+    (same fixed seeded hyperplanes embedded in both engines). The IVF /
+    PQ / IVF-PQ cousins carry their own rows-only entries (iterative
+    k-means is not SQL-expressible)."""
+    out = None
+    for tag, name in (
+        ("brute", "sim_brute_force_topk"),
+        ("lsh", "sim_lsh_topk"),
+        ("multiprobe", "sim_multiprobe_topk"),
+    ):
+        part = REGISTRY[name].fn(spark, sf_dir).select(
+            F.lit(tag).alias("variant"), "*"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
+    "events_window_suite",
+    _wrap_union(
+        [
+            (
+                "tumbling",
+                """
+                SELECT CAST(FLOOR(epoch_us(ts) / 300000000.0) AS BIGINT) AS k1,
+                       event_type AS k2, CAST(NULL AS BIGINT) AS k3,
+                       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+                FROM events GROUP BY 1, 2
+                """,
+            ),
+            (
+                "session",
+                f"""
+                SELECT k1, CAST(start_us AS VARCHAR) AS k2, end_us AS k3,
+                       n, total_value
+                FROM (
+                    SELECT user_id AS k1, session_start_us AS start_us,
+                           session_end_us AS end_us, n_events AS n, total_value
+                    FROM ({REGISTRY["events_session_window"].oracle})
+                )
+                """,
+            ),
+        ]
+    ),
+)
+def events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowing family in one graded row: the 5-minute
+    tumbling aggregation (batch twin of the streaming path) + native
+    session windows (30-min gap, streaming/ingest.py plan fragment) —
+    full row output of both originals, columns aligned
+    (variant, k1, k2, k3, n, total_value)."""
+    tumb = REGISTRY["events_tumbling_window"].fn(spark, sf_dir).select(
+        F.lit("tumbling").alias("variant"),
+        F.col("win5m").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.lit(None).cast("bigint").alias("k3"),
+        "n",
+        "total_value",
+    )
+    sess = REGISTRY["events_session_window"].fn(spark, sf_dir).select(
+        F.lit("session").alias("variant"),
+        F.col("user_id").alias("k1"),
+        F.col("session_start_us").cast("string").alias("k2"),
+        F.col("session_end_us").alias("k3"),
+        F.col("n_events").alias("n"),
+        "total_value",
+    )
+    return tumb.unionByName(sess)
+
+
+@register(
+    "text_pipeline_suite",
+    _wrap_union(
+        [
+            (
+                "chunk",
+                f"""
+                SELECT doc_id, chunk_id AS k1, CAST(chunk_tokens AS BIGINT) AS k2,
+                       chunk_text AS s
+                FROM ({REGISTRY["text_chunking"].oracle})
+                """,
+            ),
+            (
+                "pii",
+                f"""
+                SELECT doc_id, n_emails AS k1, n_phones AS k2, redacted_md5 AS s
+                FROM ({REGISTRY["text_pii_redaction"].oracle})
+                """,
+            ),
+        ]
+    ),
+)
+def text_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow text-transform family in one graded row: the 64/8
+    overlapping token-window chunker + the PII redaction proof (counts
+    AND md5 of the fully redacted text on synthetic injected PII) —
+    full row output of both originals, aligned to
+    (variant, doc_id, k1, k2, s). Both are zero-shuffle narrow maps."""
+    chunk = REGISTRY["text_chunking"].fn(spark, sf_dir).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("chunk_id").alias("k1"),
+        F.col("chunk_tokens").cast("bigint").alias("k2"),
+        F.col("chunk_text").alias("s"),
+    )
+    pii = REGISTRY["text_pii_redaction"].fn(spark, sf_dir).select(
+        F.lit("pii").alias("variant"),
+        "doc_id",
+        F.col("n_emails").alias("k1"),
+        F.col("n_phones").alias("k2"),
+        F.col("redacted_md5").alias("s"),
+    )
+    return chunk.unionByName(pii)
+
+
+@register(
+    "dedup_graph_suite",
+    _wrap_union(
+        [
+            (
+                "clusters",
+                f"""
+                SELECT doc_id, cluster_id AS k, CAST(NULL AS VARCHAR) AS s
+                FROM ({REGISTRY["dedup_cluster_resolution"].oracle})
+                """,
+            ),
+            (
+                "survivors",
+                f"""
+                SELECT doc_id, CAST(NULL AS BIGINT) AS k, source AS s
+                FROM ({REGISTRY["dedup_neardup_survivors"].oracle})
+                """,
+            ),
+        ]
+    ),
+)
+def dedup_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pair graph resolution family in one graded row: connected-
+    component cluster ids (iterative min-label propagation with pointer
+    jumping, vs the oracle's recursive-CTE transitive closure) + the
+    kept corpus after collapsing each cluster to its min-id survivor.
+    The clusters frame is computed ONCE (localCheckpointed by the
+    resolver) and feeds both branches — strictly cheaper than the two
+    separately graded originals."""
+    from turbine_maintenance_etl_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = DD.resolve_duplicate_clusters(DD.minhash_lsh_candidates(docs))
+    c_rows = clusters.select(
+        F.lit("clusters").alias("variant"),
+        "doc_id",
+        F.col("cluster_id").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    survivors = (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select(
+            F.lit("survivors").alias("variant"),
+            "doc_id",
+            F.lit(None).cast("bigint").alias("k"),
+            F.col("source").alias("s"),
+        )
+    )
+    return c_rows.unionByName(survivors)
