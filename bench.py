@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "dedup_span_rewrite",
     "quality_sb3_perplexity",
     "corpus_datacard",
+    # round-5 additions: the promoted flagships + the new image dedup
+    "dedup_normalized_exact",
+    "dedup_image_phash",
+    "sim_ivfpq_topk",
+    "pipeline_curation_v3",
 ]
 
 
@@ -77,28 +82,32 @@ def main() -> None:
         for name in BENCH_QUERIES:
             REGISTRY[name].fn(spark, warm_dir).count()
 
-    # Best of two genuinely-cold runs per query: clearCache() before
-    # each so operator-internal persists never carry between runs (no
-    # cache-assisted "fast second run"), while the min discards one-off
-    # JIT/GC spikes that a single-shot measurement folds into the query
-    # time. If the two runs disagree badly (>30%) the host was noisy
-    # (shared-VM neighbors) — retry up to two more times so the reported
-    # number is steady-state cold execution, the number that scales with
-    # data size, not a snapshot of someone else's workload.
+    # MEDIAN of three genuinely-cold runs per query (round-4 verdict #5:
+    # best-of-N made the ±10-14% shared-VM noise band indistinguishable
+    # from real regressions). clearCache() before each run so
+    # operator-internal persists never carry between runs (no
+    # cache-assisted fast repeats). If the three runs still disagree
+    # badly (max > 1.5x min) the host was noisy — take up to two extra
+    # runs before the median, so the reported number is steady-state
+    # cold execution. Per-query min/max ride along in queries_minmax so
+    # the next round's verdict can tell noise from regression.
     timings: dict[str, float] = {}
+    minmax: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         runs: list[float] = []
-        for _ in range(4):
+        for i in range(5):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.perf_counter() - t0)
             assert n >= 0
-            if len(runs) >= 2 and max(runs[-2:]) <= 1.3 * min(runs[-2:]):
+            if len(runs) >= 3 and max(runs) <= 1.5 * min(runs):
                 break
-        timings[name] = round(min(runs), 4)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        minmax[name] = [round(runs[0], 4), round(runs[-1], 4)]
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -107,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_minmax": minmax,
                 "sf": float(sf),
             }
         )

@@ -10,8 +10,17 @@ driver's environment exactly: no session confs at all beyond master, so
 any conf the registry silently depends on fails HERE first.
 
 Usage:  python scripts/selfcheck_vanilla.py [sf_dir] [--only name1,name2]
-Writes SELFCHECK.json {name: {rows_match, schema_match, values_match,
-spark_rows, oracle_rows, err}} and exits non-zero on any failure.
+                                            [--out PATH]
+Writes the {name: {rows_match, schema_match, values_match, spark_rows,
+oracle_rows, err}} artifact and exits non-zero on any failure.
+
+Artifact policy (round-5 fix for the recurring truncation arms race):
+a FULL run writes SELFCHECK.json (or --out); a --only run writes
+SELFCHECK.partial.json unless --out is given, so a targeted rerun can
+never clobber the committed full artifact with a truncated one. The
+committed round-stamped artifact (SELFCHECK_r*.json) is pinned by
+tests/test_selfcheck_artifact.py to contain one entry per registry
+query, all green.
 """
 
 from __future__ import annotations
@@ -29,9 +38,14 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 def main() -> int:
     argv = [a for a in sys.argv[1:]]
     only: set[str] | None = None
+    out_override: str | None = None
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_override = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
@@ -97,7 +111,13 @@ def main() -> int:
         status = "ok" if rec["err"] is None else "FAIL"
         print(f"[{status}] {name} ({rec['spark_rows']} rows)", flush=True)
 
-    out_path = os.path.join(REPO, "SELFCHECK.json")
+    if out_override:
+        out_path = out_override
+    elif only is not None:
+        # targeted rerun: never clobber the full committed artifact
+        out_path = os.path.join(REPO, "SELFCHECK.partial.json")
+    else:
+        out_path = os.path.join(REPO, "SELFCHECK.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     total = len(results)

@@ -54,13 +54,20 @@ class NumpyMLPRegressor:
     def fit(
         self, df: DataFrame, feature_cols: list[str], label_col: str = "rul"
     ) -> "NumpyMLPRegressor":
-        # deterministic bounded sample: content-ordered before the cut
+        # deterministic bounded sample: content-keyed before the cut
         # (LIMIT alone returns whichever partitions answer first, which
-        # would break the bit-for-bit refit guarantee past the cap)
+        # would break the bit-for-bit refit guarantee past the cap).
+        # The order key is ONE md5 of the row content — an 8-byte-ish
+        # narrow sort key instead of the previous ~60-double tuple sort
+        # (round-4 verdict #6), and orderBy+limit plans
+        # TakeOrderedAndProject (per-partition top-k), never a full
+        # sort materialization. Ties (identical feature rows) are
+        # interchangeable by construction.
+        key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in [*feature_cols, label_col]]))
         rows = (
             df.select(*feature_cols, label_col)
             .dropna()
-            .orderBy(*feature_cols, label_col)
+            .orderBy(key)
             .limit(self.max_train_rows)
             .collect()
         )

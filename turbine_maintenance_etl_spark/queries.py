@@ -176,6 +176,7 @@ PRIORITY_ORDER: list[str] = [
     "curation_source_mix",
     "quality_classifier_filter",
     "streaming_tumbling_window",
+    "streaming_foreachbatch_upsert",
     "events_sliding_window",
     "dedup_exact_groups",
     "dedup_exact_survivors",
