@@ -185,16 +185,28 @@ def curate_corpus_v3(
         docs, lm_model, min_tokens, min_stopword_ratio, ppl_keep_frac,
         text_col, id_col, ppl_cutoff,
     )
-    # NO persist barrier here (measured 2x SLOWER at sf0.1): although
-    # the dedup/rewrite stages below reference their inputs from
-    # several plan branches, Spark's cross-job SHUFFLE REUSE already
-    # serves the repeated gate/LM stages from shuffle files — adding a
-    # row-cache on full text rows just pays serialization twice. Same
-    # measured lesson as the recompute-over-cache note in _gate_corpus.
+    # MATERIALIZE the gate output before the dedup stages (measured,
+    # round 5: 33.3s -> 8.5s at sf0.1). The dedup/rewrite/chunk stages
+    # below consume `gated` from THREE plan branches, and with the sb3
+    # default the gate is the chain's expensive stage (LM train + five
+    # lookup joins) — shuffle reuse alone re-runs its broadcast builds
+    # and narrow stages per branch. This inverts round 4's
+    # recompute-over-cache measurement, which was taken when the gate
+    # was the cheap bigram chain; the rule stands — recompute cheap
+    # narrow maps, materialize expensive multi-consumer frames — only
+    # the classification of the gate changed. localCheckpoint writes
+    # survivors to executor-local disk (bounded: post-gate corpus),
+    # far cheaper at any scale than 3x re-running the LM pipeline.
+    gated = gated.localCheckpoint(eager=True)
     nd = normalized_dedup(gated, text_col, id_col)
+    # second barrier: remove_duplicated_spans consumes its input from
+    # THREE plan branches (base stats, gram stream, token rebuild), so
+    # an un-materialized survivors frame re-runs the normalization
+    # window + semi join per branch (~3x its cost; measured with the
+    # gate barrier: 13.5s -> ~9s at sf0.1)
     survivors = gated.join(
         nd.filter(F.col("survivor")).select(id_col), [id_col], "semi"
-    )
+    ).localCheckpoint(eager=True)
     cleaned = remove_duplicated_spans(
         survivors, n=span_n, text_col=text_col, id_col=id_col
     ).select(F.col(id_col), F.col("cleaned_text").alias(text_col))
