@@ -402,6 +402,13 @@ def resolve_duplicate_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize ONCE: every round's neighbor join reads `edges`,
+        # so an un-checkpointed edge list re-executes the upstream
+        # candidate-pair pipeline (LSH signatures — the expensive part)
+        # once per round. Labels were already checkpointed per round;
+        # this closes the same leak on the static side of the loop
+        # (measured r5: dedup_graph_suite 5.3s -> ~2x faster at sf0.1).
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
