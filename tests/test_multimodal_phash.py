@@ -123,3 +123,76 @@ def test_resize_identity_and_bit_width(h, w):
     px = _smooth_image(7, h=h, w=w)
     d, a = _hashes(px)
     assert 0 <= d < (1 << 56) and 0 <= a < (1 << 56)
+
+
+# --- audio fingerprint + video frame signatures (round-5 family) ----------
+
+
+def _sine_wav(seed: int, gain: float = 0.5, n: int = 800) -> bytes:
+    from turbine_maintenance_etl_spark.llm.multimodal import encode_wav
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    f1, f2 = rng.uniform(100, 800, 2)
+    x = gain * (0.6 * np.sin(2 * np.pi * f1 * t) + 0.4 * np.sin(2 * np.pi * f2 * t))
+    # amplitude ramp so the envelope has real shape (not flat)
+    x = x * np.linspace(0.2, 1.0, n)
+    return encode_wav(x.astype(np.float32)[:, None], 16000)
+
+
+def test_audio_fingerprint_gain_invariance_and_separation(spark):
+    """Same signal at different gain -> same fingerprint (different
+    bytes); structurally different signals -> different fingerprints;
+    corrupt payload -> NULL + err."""
+    from turbine_maintenance_etl_spark.llm.multimodal import audio_fingerprint
+
+    rows = [
+        (1, bytearray(_sine_wav(1, gain=0.4))),
+        (2, bytearray(_sine_wav(1, gain=0.8))),   # exact 2x gain twin
+        (3, bytearray(_sine_wav(9, gain=0.5))),   # different signal
+        (4, bytearray(b"RIFFgarbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in audio_fingerprint(df).collect()}
+    assert out[1]["afp"] == out[2]["afp"] != out[3]["afp"]
+    assert out[4]["afp"] is None and out[4]["err"] is not None
+    assert out[1]["n_frames"] == 800 and out[1]["sample_rate"] == 16000
+
+
+def test_audio_fingerprint_empty_audio():
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        audio_envelope_fingerprint_int,
+    )
+
+    assert audio_envelope_fingerprint_int(np.zeros((0, 1), np.float32)) == 0
+
+
+def test_video_frame_signatures_collapse_and_distinguish(spark):
+    """Brightness-shifted frame-twin videos collide on the signature
+    (min-id survivor); a video with one different frame does not; a
+    video with a corrupt frame keeps a distinct signature (NULL slot
+    preserved, never collapsed)."""
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        encode_png,
+        video_frame_signatures,
+    )
+
+    def frame(g, fi, shift=0):
+        r = np.arange(16)[:, None]
+        c = np.arange(18)[None, :]
+        px = ((g * 41 + fi * 13 + r * 11 + c * 7) % 250 + shift).astype(np.uint8)
+        return bytearray(encode_png(px[:, :, None]))
+
+    rows = []
+    for fi in range(6):
+        rows.append((10, fi, frame(1, fi)))
+        rows.append((11, fi, frame(1, fi, shift=3)))       # brightness twin
+        rows.append((12, fi, frame(1, fi) if fi else frame(7, 0)))  # frame 0 differs
+        rows.append((13, fi, frame(1, fi) if fi != 2 else bytearray(b"bad")))
+    df = spark.createDataFrame(rows, "video_id long, frame_idx long, media binary")
+    out = {r["video_id"]: r for r in video_frame_signatures(df, every_nth=2).collect()}
+    assert out[10]["sig"] == out[11]["sig"]
+    assert out[10]["survivor"] and not out[11]["survivor"]
+    assert out[12]["sig"] != out[10]["sig"]  # sampled frame 0 differs
+    assert out[13]["sig"] != out[10]["sig"]  # corrupt frame 2 (sampled) -> NULL slot
+    assert all(r["n_frames_sampled"] == 3 for r in out.values())

@@ -608,3 +608,148 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- Audio fingerprint + dedup: the audio member of the perceptual
+# --- dedup family. Energy-envelope bits over the REAL WAV/PCM decode
+# --- path; integer arithmetic end to end so a SQL oracle can recompute
+# --- the fingerprint bit-exactly from known sample values.
+
+FPRINT_WINDOWS = 56  # envelope windows -> 56-bit fingerprint, BIGINT-safe
+
+
+def audio_envelope_fingerprint_int(
+    samples: np.ndarray, n_windows: int = FPRINT_WINDOWS
+) -> int:
+    """56-bit energy-envelope fingerprint of (n_frames, n_channels)
+    float32 PCM in [-1, 1]: mono abs-sum per window, bit k =
+    [window_sum * n_windows > total_sum] — the aHash rule applied to the
+    loudness envelope, invariant to uniform GAIN change (both sides
+    scale) exactly as dHash/aHash are to brightness. All arithmetic is
+    integer (PCM16 quantization undone by *32768 before rounding), so
+    the bit pattern is engine-exact. Files shorter than ``n_windows``
+    frames hash the windows that exist (remaining bits 0)."""
+    n = samples.shape[0]
+    if n == 0:
+        return 0
+    mono_q = np.abs(np.rint(samples * 32768.0).astype(np.int64)).sum(axis=1)
+    total = int(mono_q.sum())
+    bits = 0
+    for k in range(n_windows):
+        lo, hi = k * n // n_windows, (k + 1) * n // n_windows
+        if lo >= hi:
+            continue
+        if int(mono_q[lo:hi].sum()) * n_windows > total:
+            bits |= 1 << k
+    return bits
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    n_windows: int = FPRINT_WINDOWS,
+) -> DataFrame:
+    """Perceptual fingerprints for an audio column: WAV decode ->
+    integer energy-envelope fingerprint, one Arrow-batched mapInPandas
+    pass (same decode-operator discipline as image_phash). Poison-pill
+    rows survive as NULL fingerprint + err. Pair with ``phash_dedup``
+    (hash_col='afp') for survivor selection and
+    ``phash_near_dup_pairs`` for Hamming-banded near-dup candidates —
+    the banding machinery is hash-agnostic.
+
+    Output: (id, afp bigint, n_frames bigint, sample_rate int,
+    err string)."""
+    schema = (
+        f"{id_col} bigint, afp bigint, n_frames bigint, sample_rate int, err string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                out = {id_col: r[id_col], "afp": None, "n_frames": None,
+                       "sample_rate": None, "err": None}
+                try:
+                    samples, rate = decode_wav_samples(data)
+                    out.update(
+                        afp=audio_envelope_fingerprint_int(samples, n_windows),
+                        n_frames=int(samples.shape[0]),
+                        sample_rate=rate,
+                    )
+                except (ValueError, NotImplementedError, struct.error) as e:
+                    out["err"] = f"{type(e).__name__}: {e}"
+                rows.append(out)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "afp", "n_frames", "sample_rate", "err"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+
+
+# --- Video dedup: frame-sampled perceptual signatures. A "video" here
+# --- is the standard frames-as-rows table (video_id, frame_idx, frame
+# --- binary) — the honest in-container representation, since no video
+# --- container codecs exist here (same policy as JPEG).
+
+
+def video_frame_signatures(
+    frames: DataFrame,
+    video_col: str = "video_id",
+    frame_col: str = "frame_idx",
+    binary_col: str = "media",
+    every_nth: int = 2,
+) -> DataFrame:
+    """Per-video perceptual signature over SAMPLED frames: keep every
+    ``every_nth`` frame (scan-prunable filter — sample_frames), dHash
+    each via the real PNG path (image_phash), then fold the ordered
+    (frame_idx, dhash) stream into one md5 signature per video. Two
+    videos with identical sampled frame CONTENT (bytes may differ —
+    re-encodes, brightness shifts) collide; survivor = min video id per
+    signature (phash_dedup rule).
+
+    Scale: frame sampling prunes 1/every_nth of the decode work before
+    any Python runs; hashing is the narrow Arrow map; the signature fold
+    is ONE groupBy on video_id carrying 8-byte hashes, never pixels.
+    Frames that fail to decode contribute a NULL slot (position kept —
+    a corrupt frame makes videos differ, it must not collapse them).
+
+    Output: (video_id, n_frames_sampled, sig, survivor)."""
+    sampled = sample_frames(frames, every_nth, frame_col)
+    hashed = image_phash(
+        sampled.select(
+            F.col(video_col), F.col(frame_col), F.col(binary_col)
+        ).withColumn("_fid", F.col(video_col) * F.lit(1 << 20) + F.col(frame_col)),
+        binary_col=binary_col,
+        id_col="_fid",
+    ).select(
+        (F.col("_fid") / F.lit(1 << 20)).cast("bigint").alias(video_col),
+        F.pmod(F.col("_fid"), F.lit(1 << 20)).alias(frame_col),
+        "dhash",
+    )
+    sigs = (
+        hashed.groupBy(video_col)
+        .agg(
+            F.count("*").alias("n_frames_sampled"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(frame_col, "dhash"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s[frame_col].cast("string"),
+                            F.coalesce(s["dhash"].cast("string"), F.lit("null")),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("sig"),
+        )
+    )
+    w = Window.partitionBy("sig")
+    return sigs.withColumn(
+        "survivor", F.col(video_col) == F.min(video_col).over(w)
+    )

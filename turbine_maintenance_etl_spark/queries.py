@@ -131,6 +131,8 @@ PRIORITY_ORDER: list[str] = [
     "text_pii_redaction",
     "dedup_cluster_resolution",
     "dedup_neardup_survivors",
+    "dedup_audio_fingerprint",
+    "dedup_video_frames",
     "text_decontamination",
     "dedup_span_coverage",
     "gen_global_row_index",

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from turbine_maintenance_etl_spark.llm import dedup as D
@@ -1548,3 +1548,156 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup(image_phash(media)).select(
         "doc_id", "dhash", "ahash", "survivor"
     )
+
+
+@register(
+    "dedup_audio_fingerprint",
+    """
+    WITH base AS (
+        SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
+    samp AS (
+        SELECT doc_id, i, i // 10 AS k,
+               ABS((g * 7 + i * 13) % 2003 - 1001) * (1 + v) AS a
+        FROM base, generate_series(0, 559) AS t(i)),
+    wins AS (
+        SELECT doc_id, k, SUM(a) AS wa FROM samp GROUP BY doc_id, k),
+    tot AS (
+        SELECT doc_id, SUM(wa) AS ta FROM wins GROUP BY doc_id),
+    fp AS (
+        SELECT w.doc_id,
+               SUM(CASE WHEN w.wa * 56 > t.ta
+                        THEN (1::BIGINT << k) ELSE 0 END) AS afp
+        FROM wins w JOIN tot t USING (doc_id) GROUP BY w.doc_id)
+    SELECT doc_id, afp, CAST(560 AS BIGINT) AS n_frames,
+           doc_id = MIN(doc_id) OVER (PARTITION BY afp) AS survivor
+    FROM fp
+    """,
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO dedup via energy-envelope fingerprint — the audio member of
+    the perceptual dedup family (llm/multimodal.py:audio_fingerprint).
+    Every document gets a deterministic synthetic mono PCM16 WAV (560
+    frames, sample formula keyed doc_id//2; the doc_id%2 variant is the
+    SAME signal at exactly 2x gain — different bytes, same loudness
+    shape); the REAL codec path runs end to end: RIFF/PCM encode ->
+    decode_wav_samples -> integer abs-sum envelope -> 56-bit
+    gain-invariant fingerprint -> min-id survivor per fingerprint. The
+    DuckDB twin recomputes the fingerprint from the sample formula in
+    pure integer arithmetic — bit-exact, because PCM16 quantization is
+    the identity for these amplitudes and the envelope compare is
+    integer on both sides."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.multimodal import audio_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                i = np.arange(560, dtype=np.int64)
+                s = ((g * 7 + i * 13) % 2003 - 1001) * (1 + v)
+                raw = s.astype("<i2").tobytes()
+                fmt = _struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(raw)) + raw
+                )
+                wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+                rows.append({"doc_id": did, "media": wav})
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    fp = audio_fingerprint(media)
+    w = Window.partitionBy("afp")
+    return fp.select(
+        "doc_id",
+        "afp",
+        "n_frames",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("survivor"),
+    )
+
+
+@register(
+    "dedup_video_frames",
+    """
+    WITH vids AS (
+        SELECT doc_id AS video_id, doc_id // 2 AS vg, doc_id % 2 AS v
+        FROM documents WHERE doc_id < 1000),
+    frames AS (
+        SELECT video_id, vg, v, fi
+        FROM vids, UNNEST([0, 2, 4, 6, 8]) AS t(fi)),
+    cells AS (
+        SELECT video_id, vg, v, fi, r, c, ((2 * r + 1) * 16) // 14 AS yr
+        FROM frames, generate_series(0, 6) AS t1(r), generate_series(0, 7) AS t2(c)),
+    dh AS (
+        SELECT video_id, fi,
+               SUM(CASE WHEN (vg * 41 + fi * 13 + yr * 11 + (2 * c + 3) * 7) % 250
+                           > (vg * 41 + fi * 13 + yr * 11 + (2 * c + 1) * 7) % 250
+                        THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS dhash
+        FROM cells GROUP BY video_id, fi),
+    sigs AS (
+        SELECT video_id, CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+               md5(string_agg(CAST(fi AS VARCHAR) || ':' || CAST(dhash AS VARCHAR),
+                              ',' ORDER BY fi)) AS sig
+        FROM dh GROUP BY video_id)
+    SELECT video_id, n_frames_sampled, sig,
+           video_id = MIN(video_id) OVER (PARTITION BY sig) AS survivor
+    FROM sigs
+    """,
+)
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO dedup via frame-sampled perceptual signatures
+    (llm/multimodal.py:video_frame_signatures) — a video is the honest
+    frames-as-rows table (no container codecs here, same policy as
+    JPEG). Each synthetic video is 10 PNG frames (pixel formula keyed
+    (video_id//2, frame_idx), brightness-shifted for the odd twin —
+    different bytes, same content); the chain is: every-2nd-frame
+    sampling (scan-prunable filter) -> REAL PNG decode -> dHash per
+    frame -> ordered (frame_idx, dhash) fold -> one md5 signature per
+    video -> min-id survivor per signature. The DuckDB twin recomputes
+    frame dHashes from the pixel formula + resize index map and the
+    identical string fold — md5-exact across engines."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        encode_png,
+        video_frame_signatures,
+    )
+
+    vids = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 1000
+    )
+    frames = vids.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("frame_idx"),
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for _, rr in pdf.iterrows():
+                vid, fi = int(rr["video_id"]), int(rr["frame_idx"])
+                vg, v = vid // 2, vid % 2
+                r = np.arange(16)[:, None]
+                c = np.arange(18)[None, :]
+                px = ((vg * 41 + fi * 13 + r * 11 + c * 7) % 250 + v * 2).astype(
+                    np.uint8
+                )
+                rows.append(
+                    {"video_id": vid, "frame_idx": fi, "media": encode_png(px[:, :, None])}
+                )
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "media"])
+
+    media = frames.mapInPandas(
+        gen, schema="video_id bigint, frame_idx bigint, media binary"
+    )
+    return video_frame_signatures(media, every_nth=2)
