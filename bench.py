@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "dedup_image_phash",
     "sim_ivfpq_topk",
     "pipeline_curation_v3",
+    "dedup_audio_fingerprint",
+    "dedup_video_frames",
+    "dedup_graph_suite",
+    "sim_topk_suite",
 ]
 
 

@@ -272,3 +272,30 @@ def test_aqe_splits_engineered_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_perceptual_dedup_plans_are_narrow(spark):
+    """The round-5 perceptual dedup family must plan like its design
+    doc: hashing is a narrow Arrow map (no shuffle before the hash UDF),
+    the survivor window partitions on the hash key (never
+    SinglePartition), and the video signature fold is ONE hash
+    aggregation on video_id."""
+    import re
+
+    for name in ("dedup_image_phash", "dedup_audio_fingerprint"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(
+            r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition", plan
+        ), name
+        assert "WindowExec: No Partition Defined" not in plan, name
+        # survivor window shuffles on the fingerprint key
+        key = "dhash" if name == "dedup_image_phash" else "afp"
+        assert re.search(rf"Exchange hashpartitioning\({key}", plan), name
+
+    vf = REGISTRY["dedup_video_frames"].fn(spark, SF_DIR)
+    vplan = vf._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Exchange hashpartitioning\(video_id", vplan)
+    assert not re.search(
+        r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition", vplan
+    )
