@@ -46,8 +46,14 @@ def critical_share(features: DataFrame, threshold: int = 30) -> DataFrame:
     counts = (
         features.select(band.alias("band")).groupBy("band").agg(F.count("*").alias("n"))
     )
-    # share of total via an empty-partition window over the (tiny) band
-    # counts — stays distributed, no driver-side total
+    # Share of total via an undeclared-partition (global) window — the
+    # pattern this codebase otherwise treats as a scale red flag. It is
+    # SAFE here, and only here, because the input is the already-
+    # aggregated band-count frame: at most 4 rows (one per CASE band)
+    # regardless of corpus size, so the SinglePartition exchange moves
+    # <= 4 rows. The full-table aggregation above is where the data
+    # volume was reduced. Do NOT copy this shape onto unaggregated
+    # frames — use the quantile-bucketed ops in ops/rank.py instead.
     return counts.withColumn(
         "share", F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
     )
