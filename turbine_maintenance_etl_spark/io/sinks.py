@@ -94,9 +94,11 @@ def upsert_by_key(
     partition concurrently can silently lose one writer's rows (the
     reference's SQLite ``INSERT OR REPLACE`` gave real row-level
     transactions here, sql/sqlite_ddl.sql). Serialize upserts per
-    table (one writer job / an external lock), or use a
-    transactional table format (Delta/Iceberg, not installable in this
-    environment) when multiple concurrent writers are a requirement."""
+    table (one writer job / an external lock), or use
+    ``io/acid.py:merge_table`` — the manifest-committed transactional
+    twin of this call (same latest-wins semantics, atomic
+    create-exclusive commits, optimistic re-applying retry) — when
+    multiple concurrent writers are a requirement."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 

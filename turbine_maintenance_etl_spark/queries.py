@@ -131,6 +131,7 @@ PRIORITY_ORDER: list[str] = [
     "text_pii_redaction",
     "dedup_cluster_resolution",
     "dedup_neardup_survivors",
+    "s_acid_table_roundtrip",
     "dedup_audio_fingerprint",
     "dedup_video_frames",
     "text_decontamination",

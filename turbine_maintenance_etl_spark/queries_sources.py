@@ -301,3 +301,82 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(back, "orc").unionByName(
         summarize(back.filter(F.col("o_orderstatus") == "F"), "orc_pruned")
     )
+
+
+@register(
+    "s_acid_table_roundtrip",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+    v2new AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2new),
+    upd AS (SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 6 = 0),
+    latest AS (
+        SELECT o_orderkey,
+               COALESCE(u.o_totalprice, v.o_totalprice) AS o_totalprice
+        FROM v2 v LEFT JOIN upd u USING (o_orderkey))
+    SELECT 'v1' AS snap, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total FROM v1
+    UNION ALL
+    SELECT 'v2', COUNT(*), ROUND(SUM(o_totalprice), 2) FROM v2
+    UNION ALL
+    SELECT 'latest', COUNT(*), ROUND(SUM(o_totalprice), 2) FROM latest
+    """,
+)
+def s_acid_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional table format (io/acid.py) proven end to end:
+    CREATE (orders%3=0) -> APPEND (%3=1) -> MERGE (double the price of
+    %6=0 keys, latest version wins) against a manifest-committed table,
+    then TIME-TRAVEL reads of v1/v2 plus the latest snapshot, each
+    reduced to (count, price checksum) rows the DuckDB oracle recomputes
+    relationally from the raw orders table. Exercises atomic
+    create-exclusive commits, snapshot manifests, and the merge's
+    recompute-under-retry path on real data — the caveat-free
+    replacement for sinks.upsert_by_key's read-modify-write."""
+    import shutil
+    import tempfile
+
+    from turbine_maintenance_etl_spark.io import acid
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_acid_")
+    path = f"{tmp}/orders_acid"
+    try:
+        acid.create_table(
+            spark, o.filter(F.col("o_orderkey") % 3 == 0).withColumn("ver", F.lit(1)), path
+        )
+        acid.append_table(
+            spark, o.filter(F.col("o_orderkey") % 3 == 1).withColumn("ver", F.lit(1)), path
+        )
+        upd = (
+            o.filter(F.col("o_orderkey") % 6 == 0)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+                F.lit(2).alias("ver"),
+            )
+        )
+        acid.merge_table(spark, upd, path, keys=("o_orderkey",), order_col="ver")
+
+        def summarize(tag: str, version: int | None):
+            return (
+                acid.read_table(spark, path, version)
+                .agg(
+                    F.lit(tag).alias("snap"),
+                    F.count("*").alias("n"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"),
+                )
+            )
+
+        out = (
+            summarize("v1", 1)
+            .unionByName(summarize("v2", 2))
+            .unionByName(summarize("latest", None))
+        )
+        return spark.createDataFrame(
+            out.collect(), "snap string, n bigint, total double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
