@@ -140,3 +140,45 @@ def test_commit_cas_exactly_one_winner(tmp_path, spark):
     acid._try_commit(path, 2, ["data-x"], "append", 1)
     with pytest.raises(acid.CommitConflict):
         acid._try_commit(path, 2, ["data-y"], "append", 1)
+
+
+def test_stream_acid_upsert_sink(tmp_path, spark):
+    """The streaming twin: events stream -> foreachBatch acid merge;
+    a full REPLAY (fresh checkpoint, same source) must be a no-op, and
+    the final snapshot is latest-event-per-user."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.queries import normalize_event_ts
+    from turbine_maintenance_etl_spark.streaming.ingest import stream_acid_upsert_sink
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = str(tmp_path / "acid_events")
+    for run in (1, 2):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        stream = normalize_event_ts(stream).withColumn(
+            "ord", F.struct(F.col("ts"), F.col("event_id"))
+        )
+        stream_acid_upsert_sink(
+            stream, path, str(tmp_path / f"ckpt{run}"), keys=("user_id",), order_col="ord"
+        )
+    out = acid.read_table(spark, path)
+    batch = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        batch.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        .select("user_id", "event_id")
+    )
+    got = out.select("user_id", "event_id")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # history shows create + merges, never silent overwrites of history
+    assert [s.operation for s in acid.history(path)][0] == "create"

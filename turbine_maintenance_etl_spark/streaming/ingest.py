@@ -380,3 +380,39 @@ def stream_user_totals_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_acid_upsert_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    keys: tuple[str, ...],
+    order_col: str,
+) -> None:
+    """Streaming ingest into the TRANSACTIONAL table (io/acid.py):
+    each micro-batch MERGEs via ``acid.merge_table`` — the same
+    latest-wins semantics as ``stream_upsert_sink`` but with atomic
+    manifest commits, so a concurrent batch writer (backfill, compaction
+    job) can run against the same table without lost updates, and
+    readers always see a complete snapshot. Replayed batches (restart
+    from checkpoint) re-merge idempotently: same keys, same order_col →
+    same winning rows. The first batch creates the table."""
+    from turbine_maintenance_etl_spark.io import acid
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if acid.latest_version(path) is None:
+            try:
+                acid.create_table(spark, batch_df, path)
+                return
+            except FileExistsError:
+                pass  # another writer created it between check and create
+        acid.merge_table(spark, batch_df, path, keys, order_col)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
