@@ -182,3 +182,59 @@ def test_stream_acid_upsert_sink(tmp_path, spark):
     assert got.exceptAll(want).count() == 0
     # history shows create + merges, never silent overwrites of history
     assert [s.operation for s in acid.history(path)][0] == "create"
+
+
+def test_compact_preserves_content_and_history(spark, table):
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(50 + i, "x", 1.0, 2)], "id long, k string, v double, ver long"
+        )
+        acid.append_table(spark, df, table)
+    before = sorted(r["id"] for r in acid.read_table(spark, table).collect())
+    v = acid.compact_table(spark, table, target_partitions=1)
+    after = sorted(r["id"] for r in acid.read_table(spark, table).collect())
+    assert after == before
+    assert acid.snapshot(table).operation == "compact"
+    assert len(acid.snapshot(table).dirs) == 1
+    # pre-compaction snapshot still time-travels
+    assert sorted(
+        r["id"] for r in acid.read_table(spark, table, version=v - 1).collect()
+    ) == before
+
+
+def test_manifest_data_skipping(tmp_path, spark):
+    """Declared stats columns give manifest-level pruning: a range read
+    hands Spark ONLY the dirs whose committed min/max may match, and the
+    result equals the unpruned filter (pruning is an optimization, never
+    a semantics change)."""
+    path = str(tmp_path / "skiptbl")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, float(i)) for i in range(lo, hi)], "id long, v double"
+    )
+    acid.create_table(spark, mk(0, 100), path, stats_cols=("id",))
+    acid.append_table(spark, mk(100, 200), path)
+    acid.append_table(spark, mk(200, 300), path)
+
+    snap = acid.snapshot(path)
+    assert snap.stats_cols == ("id",)
+    assert len(snap.stats) == 3
+    assert all(s["rows"] == 100 for s in snap.stats.values())
+
+    pruned = acid.read_table(spark, path, where={"id": (120, 180)})
+    # only the middle dir's files are listed
+    assert all("/data-" in f for f in pruned.inputFiles())
+    dirs_touched = {f.split("/data-")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert len(dirs_touched) == 1
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(120, 181))
+
+    # predicate excluding everything -> empty frame, schema intact
+    empty = acid.read_table(spark, path, where={"id": (10_000, None)})
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+
+    # merge + compact inherit the stats contract
+    up = spark.createDataFrame([(150, -1.0)], "id long, v double")
+    acid.merge_table(spark, up, path, keys=("id",), order_col="v")
+    acid.compact_table(spark, path, target_partitions=2)
+    snap2 = acid.snapshot(path)
+    assert snap2.stats_cols == ("id",)
+    assert snap2.stats and all("id" in s["cols"] for s in snap2.stats.values())

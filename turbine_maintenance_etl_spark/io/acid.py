@@ -60,6 +60,12 @@ class Snapshot:
     operation: str
     committed_at: float
     parent: int
+    # Iceberg-style data skipping: per-dir {"rows": n, "cols":
+    # {col: [min, max]}} for the table's declared stats_cols. Dirs
+    # without stats are always read (pruning is strictly an
+    # optimization; the real predicate is applied regardless).
+    stats: dict = None  # type: ignore[assignment]
+    stats_cols: tuple = ()
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -89,6 +95,8 @@ def _read_manifest(path: str, version: int) -> Snapshot:
         operation=m.get("operation", "?"),
         committed_at=m.get("committed_at", 0.0),
         parent=m.get("parent", m["version"] - 1),
+        stats=m.get("stats", {}),
+        stats_cols=tuple(m.get("stats_cols", ())),
     )
 
 
@@ -114,16 +122,43 @@ def history(path: str) -> list[Snapshot]:
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: resolves the manifest ONCE, then reads
     exactly its immutable files — concurrent commits (or vacuum of
     other versions) cannot change what this DataFrame sees. Pass
-    ``version`` for time travel."""
+    ``version`` for time travel.
+
+    ``where={col: (lo, hi)}`` (either bound may be None) enables
+    MANIFEST-LEVEL data skipping: directories whose committed min/max
+    ranges provably exclude the predicate are never handed to Spark —
+    pruning happens before file listing, on top of (not instead of)
+    parquet row-group skipping. The range predicate is also APPLIED to
+    the returned frame, so results are correct even for dirs without
+    stats (pruning is strictly an optimization)."""
     snap = snapshot(path, version)
     if not snap.dirs:
         raise ValueError(f"version {snap.version} of {path} is empty")
-    return spark.read.parquet(*[os.path.join(path, d) for d in snap.dirs])
+    dirs = snap.dirs
+    if where:
+        dirs = [d for d in dirs if _may_match((snap.stats or {}).get(d), where)]
+    if not dirs:
+        # predicate excludes every dir: empty frame with the table schema
+        df = spark.read.parquet(os.path.join(path, snap.dirs[0])).limit(0)
+    else:
+        df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    if where:
+        from pyspark.sql import functions as F
+
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+    return df
 
 
 def _write_data_dir(df: DataFrame, path: str, op: str) -> str:
@@ -132,7 +167,56 @@ def _write_data_dir(df: DataFrame, path: str, op: str) -> str:
     return d
 
 
-def _try_commit(path: str, version: int, dirs: list[str], op: str, parent: int) -> None:
+def _dir_stats(spark: SparkSession, path: str, d: str, stats_cols: tuple) -> dict:
+    """Row count + per-column min/max for one freshly written data dir
+    — one columnar aggregate over just-written files (column-pruned
+    scan; at 100 TB stats cost is per-COMMIT, proportional to the new
+    data, never to the table)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(path, d))
+    present = [c for c in stats_cols if c in df.columns]
+    aggs = [F.count("*").alias("_n")]
+    for c in present:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    row = df.agg(*aggs).collect()[0]
+
+    def js(v):
+        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+    return {
+        "rows": row["_n"],
+        "cols": {c: [js(row[f"_min_{c}"]), js(row[f"_max_{c}"])] for c in present},
+    }
+
+
+def _may_match(dir_stats: dict | None, where: dict) -> bool:
+    """Conservative range check: False ONLY when the manifest proves the
+    dir can hold no matching row; missing stats always pass."""
+    if not dir_stats:
+        return True
+    cols = dir_stats.get("cols", {})
+    for col, (lo, hi) in where.items():
+        rng = cols.get(col)
+        if not rng:
+            continue
+        mn, mx = rng
+        if hi is not None and mn is not None and mn > hi:
+            return False
+        if lo is not None and mx is not None and mx < lo:
+            return False
+    return True
+
+
+def _try_commit(
+    path: str,
+    version: int,
+    dirs: list[str],
+    op: str,
+    parent: int,
+    stats: dict | None = None,
+    stats_cols: tuple = (),
+) -> None:
     """Publish ``version`` atomically; raise CommitConflict on a lost
     race. link(2)-based CAS: the final manifest name can be created by
     exactly one writer."""
@@ -144,6 +228,8 @@ def _try_commit(path: str, version: int, dirs: list[str], op: str, parent: int) 
         "operation": op,
         "committed_at": time.time(),
         "parent": parent,
+        "stats": stats or {},
+        "stats_cols": list(stats_cols),
     }
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -158,25 +244,44 @@ def _try_commit(path: str, version: int, dirs: list[str], op: str, parent: int) 
         os.unlink(tmp)
 
 
-def create_table(spark: SparkSession, df: DataFrame, path: str) -> int:
-    """Create version 1. Fails if the table already has commits."""
+def create_table(
+    spark: SparkSession, df: DataFrame, path: str, stats_cols: tuple = ()
+) -> int:
+    """Create version 1 (fails if the table already has commits).
+    ``stats_cols`` declares the columns every future commit records
+    min/max for — the table's data-skipping contract, inherited by
+    append/merge/compact."""
     if latest_version(path) is not None:
         raise FileExistsError(f"table already exists at {path}")
     d = _write_data_dir(df, path, "create")
-    _try_commit(path, 1, [d], "create", 0)
+    stats = {d: _dir_stats(spark, path, d, stats_cols)} if stats_cols else {}
+    _try_commit(path, 1, [d], "create", 0, stats, stats_cols)
     return 1
 
 
-def _retrying_commit(path: str, build, op: str, max_retries: int = 20) -> int:
+def _retrying_commit(
+    path: str, build, op: str, spark: SparkSession | None = None, max_retries: int = 20
+) -> int:
     """Optimistic-concurrency loop: ``build(base_snapshot) -> dirs`` is
     re-invoked against the NEW latest snapshot after every lost race, so
     the logical operation (append/overwrite/merge) is re-applied, never
-    blindly replayed — lost-update-free by construction."""
+    blindly replayed — lost-update-free by construction. Data-skipping
+    stats are inherited for carried-over dirs and computed once for new
+    dirs (per the table's declared ``stats_cols``)."""
     for _ in range(max_retries):
         base = snapshot(path)
         dirs = build(base)
+        stats: dict = {}
+        if base.stats_cols and spark is not None:
+            for d in dirs:
+                if base.stats and d in base.stats:
+                    stats[d] = base.stats[d]
+                else:
+                    stats[d] = _dir_stats(spark, path, d, base.stats_cols)
         try:
-            _try_commit(path, base.version + 1, dirs, op, base.version)
+            _try_commit(
+                path, base.version + 1, dirs, op, base.version, stats, base.stats_cols
+            )
             return base.version + 1
         except CommitConflict:
             continue
@@ -188,14 +293,14 @@ def append_table(spark: SparkSession, df: DataFrame, path: str) -> int:
     files are version-independent for a pure append); only the manifest
     race retries."""
     d = _write_data_dir(df, path, "append")
-    return _retrying_commit(path, lambda base: [*base.dirs, d], "append")
+    return _retrying_commit(path, lambda base: [*base.dirs, d], "append", spark)
 
 
 def overwrite_table(spark: SparkSession, df: DataFrame, path: str) -> int:
     """Replace the table contents atomically. Old versions remain
     readable (time travel) until vacuumed."""
     d = _write_data_dir(df, path, "overwrite")
-    return _retrying_commit(path, lambda base: [d], "overwrite")
+    return _retrying_commit(path, lambda base: [d], "overwrite", spark)
 
 
 def merge_table(
@@ -229,7 +334,7 @@ def merge_table(
         )
         return [_write_data_dir(latest, path, "merge")]
 
-    return _retrying_commit(path, build, "merge")
+    return _retrying_commit(path, build, "merge", spark)
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[str]:
@@ -254,3 +359,22 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
                 removed.append(d)
         os.unlink(_manifest_path(path, v))
     return removed
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_partitions: int
+) -> int:
+    """Transactional small-files compaction: rewrite the CURRENT
+    snapshot into ``target_partitions`` files and commit the rewrite as
+    a new version. Because the commit goes through the same optimistic
+    CAS as every other writer, compaction is SAFE to run concurrently
+    with appends/merges: if a writer lands first, the loop re-reads and
+    re-compacts the new snapshot (streaming upserts accrete a version
+    per micro-batch — at 100 TB, file count is what kills scan
+    planning, so this runs as a side job, not inline)."""
+
+    def build(base: Snapshot) -> list[str]:
+        df = spark.read.parquet(*[os.path.join(path, d) for d in base.dirs])
+        return [_write_data_dir(df.repartition(target_partitions), path, "compact")]
+
+    return _retrying_commit(path, build, "compact", spark)
