@@ -132,6 +132,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_cluster_resolution",
     "dedup_neardup_survivors",
     "s_acid_table_roundtrip",
+    "dedup_image_neardup_pairs",
     "dedup_audio_fingerprint",
     "dedup_video_frames",
     "text_decontamination",

@@ -1701,3 +1701,83 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="video_id bigint, frame_idx bigint, media binary"
     )
     return video_frame_signatures(media, every_nth=2)
+
+
+@register(
+    "dedup_image_neardup_pairs",
+    """
+    WITH base AS (
+        SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v
+        FROM documents WHERE doc_id < 600),
+    cells AS (
+        SELECT doc_id, g, v, r, c, ((2 * r + 1) * 16) // 14 AS yr
+        FROM base, generate_series(0, 6) AS t1(r), generate_series(0, 7) AS t2(c)),
+    dh AS (
+        SELECT doc_id,
+               SUM(CASE WHEN
+                     (g * 37 + yr * 11 + (2 * c + 3) * 7) % 150
+                       + CASE WHEN v = 1 AND yr = 8 AND 2 * c + 3 = 9
+                              THEN 100 ELSE 0 END
+                   >
+                     (g * 37 + yr * 11 + (2 * c + 1) * 7) % 150
+                       + CASE WHEN v = 1 AND yr = 8 AND 2 * c + 1 = 9
+                              THEN 100 ELSE 0 END
+                   THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS dhash
+        FROM cells GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, dhash, b, (dhash >> (b * 8)) & 255 AS bv
+        FROM dh, generate_series(0, 6) AS t(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+               a.dhash AS ha, bb.dhash AS hb
+        FROM bands a JOIN bands bb ON a.b = bb.b AND a.bv = bb.bv
+                                  AND a.doc_id < bb.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def dedup_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-duplicate image path graded end to end: the banded
+    Hamming join (llm/multimodal.py:phash_near_dup_pairs — SimHash
+    banding over dHash, pigeonhole-complete for distance <= n_bands-1)
+    over synthetic PNGs where the doc_id%2 variant perturbs ONE sampled
+    pixel (+100 at original coords (8, 9), a resize sample point), so
+    each (2g, 2g+1) image pair lands a bit or two apart — different
+    bytes, no exact hash collision, found only by the banding. The
+    DuckDB twin recomputes the perturbed dHashes from the pixel formula
+    and replays the band split (shift/mask), join, and bit_count(xor)
+    verification — pair-set and distances hash-exact across engines."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        encode_png,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 600
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                r = np.arange(16)[:, None]
+                c = np.arange(18)[None, :]
+                px = ((g * 37 + r * 11 + c * 7) % 150).astype(np.int64)
+                if v == 1:
+                    px[8, 9] += 100
+                rows.append(
+                    {"doc_id": did, "media": encode_png(px.astype(np.uint8)[:, :, None])}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    return phash_near_dup_pairs(
+        image_phash(media), hash_col="dhash", id_col="doc_id",
+        n_bands=7, band_bits=8, max_hamming=6,
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
