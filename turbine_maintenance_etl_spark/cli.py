@@ -55,7 +55,13 @@ def main(argv: list[str] | None = None) -> int:
         type=float,
         default=None,
         help="fraction of least-perplexed docs the LM gate keeps "
-        "(default 0.9; requires --lm-gate)",
+        "(default 0.9; requires --lm-gate or --v3)",
+    )
+    p_cur.add_argument(
+        "--v3",
+        action="store_true",
+        help="run the v3 capstone chain: sb3 trigram LM gate -> "
+        "normalized exact dedup -> substring-span REWRITE -> chunk",
     )
 
     args = ap.parse_args(argv)
@@ -63,9 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     if (
         args.cmd == "curate"
         and args.ppl_keep_frac is not None
-        and not args.lm_gate
+        and not (args.lm_gate or args.v3)
     ):
-        ap.error("--ppl-keep-frac requires --lm-gate (it would be silently ignored)")
+        ap.error("--ppl-keep-frac requires --lm-gate or --v3 (it would be silently ignored)")
 
     if args.cmd == "bench":
         import bench
@@ -83,11 +89,21 @@ def main(argv: list[str] | None = None) -> int:
         from turbine_maintenance_etl_spark.llm.curation import (
             curate_corpus,
             curate_corpus_v2,
+            curate_corpus_v3,
         )
         from turbine_maintenance_etl_spark.llm.pack import pack_sequences
 
         docs = spark.read.parquet(args.input)
-        if args.lm_gate:
+        if args.v3:
+            chunks = curate_corpus_v3(
+                docs,
+                ppl_keep_frac=(
+                    0.9 if args.ppl_keep_frac is None else args.ppl_keep_frac
+                ),
+                chunk_tokens=args.chunk_tokens,
+                overlap=args.overlap,
+            )
+        elif args.lm_gate:
             chunks = curate_corpus_v2(
                 docs,
                 ppl_keep_frac=(
