@@ -238,3 +238,70 @@ def test_manifest_data_skipping(tmp_path, spark):
     snap2 = acid.snapshot(path)
     assert snap2.stats_cols == ("id",)
     assert snap2.stats and all("id" in s["cols"] for s in snap2.stats.values())
+
+
+def test_pruned_merge_carries_disjoint_dirs(tmp_path, spark):
+    """With key stats, a merge rewrites ONLY range-overlapping dirs:
+    disjoint dirs are carried into the new manifest byte-identical."""
+    path = str(tmp_path / "pmerge")
+    mk = lambda lo, hi, ver: spark.createDataFrame(  # noqa: E731
+        [(i, float(i), ver) for i in range(lo, hi)], "id long, v double, ver long"
+    )
+    acid.create_table(spark, mk(0, 100, 1), path, stats_cols=("id",))
+    acid.append_table(spark, mk(100, 200, 1), path)
+    acid.append_table(spark, mk(200, 300, 1), path)
+    before = acid.snapshot(path)
+
+    up = spark.createDataFrame([(150, -1.0, 2)], "id long, v double, ver long")
+    acid.merge_table(spark, up, path, keys=("id",), order_col="ver")
+    after = acid.snapshot(path)
+
+    carried = set(before.dirs) & set(after.dirs)
+    assert len(carried) == 2          # the [0,100) and [200,300) dirs survive
+    assert len(after.dirs) == 3       # plus one new merge dir
+    got = {r["id"]: r["v"] for r in acid.read_table(spark, path).collect()}
+    assert got[150] == -1.0 and got[0] == 0.0 and got[299] == 299.0
+    assert len(got) == 300
+
+
+def test_pruned_merge_interval_closure_kills_stale_twins(tmp_path, spark):
+    """A key duplicated across two OVERLAPPING-range dirs (legal after
+    appends) must be fully adjudicated: the closure pulls the second
+    dir into the rewrite, so no stale twin survives as a duplicate."""
+    path = str(tmp_path / "closure")
+    d1 = spark.createDataFrame(
+        [(1, 10.0, 1), (50, 50.0, 1)], "id long, v double, ver long"
+    )
+    d2 = spark.createDataFrame(
+        [(50, 51.0, 2), (99, 99.0, 1)], "id long, v double, ver long"
+    )
+    far = spark.createDataFrame(
+        [(1000, 0.0, 1)], "id long, v double, ver long"
+    )
+    acid.create_table(spark, d1, path, stats_cols=("id",))
+    acid.append_table(spark, d2, path)   # key 50 now lives in TWO dirs
+    acid.append_table(spark, far, path)  # range-disjoint dir
+    before = acid.snapshot(path)
+
+    up = spark.createDataFrame([(1, -1.0, 3)], "id long, v double, ver long")
+    acid.merge_table(spark, up, path, keys=("id",), order_col="ver")
+    after = acid.snapshot(path)
+
+    # the far dir is carried; BOTH overlapping dirs were rewritten
+    assert len(set(before.dirs) & set(after.dirs)) == 1
+    rows = acid.read_table(spark, path).collect()
+    ids = [r["id"] for r in rows]
+    assert sorted(ids) == [1, 50, 99, 1000]      # no duplicate key 50
+    got = {r["id"]: r["v"] for r in rows}
+    assert got[50] == 51.0 and got[1] == -1.0
+
+
+def test_pruned_merge_all_new_keys(tmp_path, spark):
+    path = str(tmp_path / "allnew")
+    base = spark.createDataFrame([(1, 1.0, 1)], "id long, v double, ver long")
+    acid.create_table(spark, base, path, stats_cols=("id",))
+    up = spark.createDataFrame([(500, 5.0, 1)], "id long, v double, ver long")
+    acid.merge_table(spark, up, path, keys=("id",), order_col="ver")
+    snap = acid.snapshot(path)
+    assert len(snap.dirs) == 2  # original carried untouched + new dir
+    assert acid.read_table(spark, path).count() == 2

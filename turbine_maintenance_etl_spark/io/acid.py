@@ -317,12 +317,63 @@ def merge_table(
     read and our commit is never dropped — the conflict loser re-merges
     on top of it. Rows are localCheckpoint-free: the merged output is
     written to NEW files before the commit, and the base snapshot's
-    files are immutable, so there is no read-your-own-overwrite race."""
+    files are immutable, so there is no read-your-own-overwrite race.
+
+    **Stats-pruned rewrite (the 100 TB shape).** When the table's
+    ``stats_cols`` cover ``keys[0]``, only directories whose committed
+    key range MAY intersect the incoming keys are rewritten; provably
+    disjoint directories are carried into the new manifest untouched —
+    merge cost becomes proportional to the touched data, not the table
+    (the Delta-paper file-pruned MERGE shape). Correctness subtlety: a
+    key duplicated across directories (legal after plain appends) must
+    never end up judged in one rewrite while a stale twin survives in a
+    carried-over directory, so the touched set is closed under
+    key-range overlap (interval closure) before anything is carried —
+    any directory that could share a key with a touched one is itself
+    touched. Falls back to the full rewrite when no key stats exist."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    key0 = keys[0]
+
+    def _touched_closure(base: Snapshot, lo, hi) -> tuple[list[str], list[str]]:
+        """Partition base.dirs into (touched, carried): touched = the
+        key-range-overlap closure seeded by the incoming [lo, hi]."""
+        ranges = {}
+        for d in base.dirs:
+            st = (base.stats or {}).get(d)
+            rng = (st or {}).get("cols", {}).get(key0)
+            if not st or not rng or rng[0] is None or rng[1] is None:
+                return list(base.dirs), []  # stats gap -> full rewrite
+            ranges[d] = (rng[0], rng[1])
+        touched, frontier = set(), [(lo, hi)]
+        while frontier:
+            flo, fhi = frontier.pop()
+            for d, (mn, mx) in ranges.items():
+                if d in touched:
+                    continue
+                if not (mx < flo or mn > fhi):  # ranges intersect
+                    touched.add(d)
+                    frontier.append((mn, mx))
+        return sorted(touched), sorted(set(base.dirs) - touched)
+
     def build(base: Snapshot) -> list[str]:
-        existing = spark.read.parquet(*[os.path.join(path, d) for d in base.dirs])
+        prune = key0 in base.stats_cols
+        if prune:
+            b = new_rows.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
+            lo, hi = b["lo"], b["hi"]
+            if lo is None:  # empty incoming batch: the merge is a no-op
+                return list(base.dirs)
+            touched, carried = _touched_closure(base, lo, hi)
+        else:
+            touched, carried = list(base.dirs), []
+        # touched may be empty (all-new keys): the rewrite then dedups
+        # just the incoming batch and every existing dir is carried
+        existing = (
+            spark.read.parquet(*[os.path.join(path, d) for d in touched])
+            if touched
+            else new_rows.limit(0)
+        )
         merged = existing.unionByName(new_rows, allowMissingColumns=True)
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
             F.col(order_col).desc()
@@ -332,7 +383,7 @@ def merge_table(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        return [_write_data_dir(latest, path, "merge")]
+        return [*carried, _write_data_dir(latest, path, "merge")]
 
     return _retrying_commit(path, build, "merge", spark)
 

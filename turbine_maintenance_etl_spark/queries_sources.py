@@ -345,7 +345,10 @@ def s_acid_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{tmp}/orders_acid"
     try:
         acid.create_table(
-            spark, o.filter(F.col("o_orderkey") % 3 == 0).withColumn("ver", F.lit(1)), path
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 0).withColumn("ver", F.lit(1)),
+            path,
+            stats_cols=("o_orderkey",),  # exercises the stats-pruned merge path
         )
         acid.append_table(
             spark, o.filter(F.col("o_orderkey") % 3 == 1).withColumn("ver", F.lit(1)), path
