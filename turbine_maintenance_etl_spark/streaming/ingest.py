@@ -403,7 +403,11 @@ def stream_acid_upsert_sink(
         spark = batch_df.sparkSession
         if acid.latest_version(path) is None:
             try:
-                acid.create_table(spark, batch_df, path)
+                # declare key stats at creation so every subsequent
+                # micro-batch merge takes the stats-PRUNED path
+                # (rewrites only key-range-overlapping dirs — per-batch
+                # merge cost tracks the batch, not the table)
+                acid.create_table(spark, batch_df, path, stats_cols=(keys[0],))
                 return
             except FileExistsError:
                 pass  # another writer created it between check and create
