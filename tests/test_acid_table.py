@@ -305,3 +305,48 @@ def test_pruned_merge_all_new_keys(tmp_path, spark):
     snap = acid.snapshot(path)
     assert len(snap.dirs) == 2  # original carried untouched + new dir
     assert acid.read_table(spark, path).count() == 2
+
+
+def test_concurrent_compact_and_writers(spark, table):
+    """Compaction racing appends AND a merge: every logical operation
+    must land exactly once — compaction can reshape files but never
+    drop or resurrect rows."""
+    errs: list[Exception] = []
+
+    def appender(i):
+        try:
+            df = spark.createDataFrame(
+                [(300 + i, "a", float(i), 4)], "id long, k string, v double, ver long"
+            )
+            acid.append_table(spark, df, table)
+        except Exception as e:
+            errs.append(e)
+
+    def merger():
+        try:
+            up = spark.createDataFrame(
+                [(1, "a", 777.0, 9)], "id long, k string, v double, ver long"
+            )
+            acid.merge_table(spark, up, table, keys=("id",), order_col="ver")
+        except Exception as e:
+            errs.append(e)
+
+    def compactor():
+        try:
+            acid.compact_table(spark, table, target_partitions=1)
+        except Exception as e:
+            errs.append(e)
+
+    threads = (
+        [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+        + [threading.Thread(target=merger), threading.Thread(target=compactor)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = {r["id"]: r["v"] for r in acid.read_table(spark, table).collect()}
+    assert rows[1] == 777.0                       # merge landed
+    assert all(300 + i in rows for i in range(4))  # every append landed
+    assert len(rows) == 6                          # 2 base + 4 appends, no dupes
