@@ -350,3 +350,76 @@ def test_concurrent_compact_and_writers(spark, table):
     assert rows[1] == 777.0                       # merge landed
     assert all(300 + i in rows for i in range(4))  # every append landed
     assert len(rows) == 6                          # 2 base + 4 appends, no dupes
+
+
+def test_table_changes_append_merge_and_pruning(spark, table):
+    """CDF between snapshots: pure append -> inserts only (and the
+    shared base dir is never read); merge-update -> delete of the old
+    row + insert of the new one; identity window -> empty feed."""
+    df2 = spark.createDataFrame([(3, "c", 30.0, 2)], "id long, k string, v double, ver long")
+    acid.append_table(spark, df2, table)                    # v2
+    up = spark.createDataFrame([(2, "b", 99.0, 3)], "id long, k string, v double, ver long")
+    acid.merge_table(spark, up, table, keys=("id",), order_col="ver")  # v3
+
+    # v1 -> v2: pure append
+    ch = acid.table_changes(spark, table, 1, 2)
+    rows = [(r["_change_type"], r["id"]) for r in ch.collect()]
+    assert sorted(rows) == [("insert", 3)]
+    # the untouched create dir is shared between both manifests and must
+    # not appear in the diff plan (manifest-level change pruning)
+    shared = set(acid.snapshot(table, 1).dirs) & set(acid.snapshot(table, 2).dirs)
+    assert shared  # the base dir really is carried
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert not any(d in plan for d in shared)
+
+    # v2 -> v3: the merge rewrote (1,2,3); net change is the update of id=2
+    ch = acid.table_changes(spark, table, 2, 3)
+    got = sorted((r["_change_type"], r["id"], r["v"]) for r in ch.collect())
+    assert got == [("delete", 2, 20.0), ("insert", 2, 99.0)]
+
+    # same version on both sides: empty feed, schema intact
+    same = acid.table_changes(spark, table, 3, 3)
+    assert same.count() == 0
+    assert "_change_type" in same.columns
+
+    # v1 -> latest (None): composition of both windows
+    ch = acid.table_changes(spark, table, 1, None)
+    got = sorted((r["_change_type"], r["id"]) for r in ch.collect())
+    assert got == [("delete", 2), ("insert", 2), ("insert", 3)]
+
+
+def test_table_changes_bag_semantics_and_compaction(spark, table):
+    """Duplicate rows are legal after appends: N removed copies surface
+    as N deletes (exceptAll bag semantics). A compaction commit has an
+    EMPTY net change even though every dir is rewritten."""
+    dup = spark.createDataFrame([(1, "a", 10.0, 1)], "id long, k string, v double, ver long")
+    acid.append_table(spark, dup, table)   # v2: id=1 now twice
+    ch = acid.table_changes(spark, table, 1, 2)
+    assert [(r["_change_type"], r["id"]) for r in ch.collect()] == [("insert", 1)]
+    v = acid.compact_table(spark, table, target_partitions=1)  # rewrites all dirs
+    assert acid.table_changes(spark, table, 2, v).count() == 0
+    # overwrite dropping the duplicate pair -> exactly two deletes
+    one = spark.createDataFrame([(2, "b", 20.0, 1)], "id long, k string, v double, ver long")
+    v2 = acid.overwrite_table(spark, one, table)
+    ch = acid.table_changes(spark, table, v, v2)
+    got = sorted((r["_change_type"], r["id"]) for r in ch.collect())
+    assert got == [("delete", 1), ("delete", 1)]
+
+
+def test_schema_evolution_append_and_cdf(spark, table):
+    """Appends may add columns: merge_schema=True reads the union schema
+    (old rows NULL for the new column); the CDF across the evolution
+    boundary aligns both sides on the union of columns."""
+    wide = spark.createDataFrame(
+        [(7, "z", 70.0, 1, "extra")], "id long, k string, v double, ver long, note string"
+    )
+    acid.append_table(spark, wide, table)  # v2 evolves the schema
+    evolved = acid.read_table(spark, table, merge_schema=True)
+    assert "note" in evolved.columns
+    got = {r["id"]: r["note"] for r in evolved.collect()}
+    assert got == {1: None, 2: None, 7: "extra"}
+    # default read (no merge) still works for non-evolved reads of v1
+    assert "note" not in acid.read_table(spark, table, version=1).columns
+    ch = acid.table_changes(spark, table, 1, 2)
+    rows = [(r["_change_type"], r["id"], r["note"]) for r in ch.collect()]
+    assert rows == [("insert", 7, "extra")]
