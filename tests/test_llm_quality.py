@@ -277,3 +277,45 @@ def test_normalized_dedup_collapses_variants(spark):
     # per-digit zeroing is faithful CCNet: "42" -> "00" != "0"
     assert out[4]["survivor"] is True and out[4]["norm_hash"] != out[1]["norm_hash"]
     assert out[5]["survivor"] is True
+
+
+def test_fuzzy_decontamination_planted_near_match(spark):
+    """A lightly reworded benchmark doc (high 3-gram Jaccard, zero
+    exact-doc match) is caught; an unrelated doc is not; decontaminate
+    drops exactly the hits."""
+    from turbine_maintenance_etl_spark.llm.quality import (
+        decontaminate,
+        fuzzy_decontamination,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " indeed"),                      # near-dup of bench 100
+            (2, "completely different text about turbines and maintenance schedules"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    hits = fuzzy_decontamination(docs, bench, threshold=0.2)
+    got = {(r["doc_id"], r["bench_id"]) for r in hits.collect()}
+    assert got == {(1, 100)}
+    jac = hits.collect()[0]["jaccard"]
+    assert 0.5 < jac < 1.0  # near, not exact
+    survivors = decontaminate(docs, bench, threshold=0.2)
+    assert [r["doc_id"] for r in survivors.collect()] == [2]
+
+
+def test_fuzzy_decontamination_broadcasts_benchmark(spark):
+    """Both benchmark-side joins (bucket probe + shingle verify) must
+    broadcast — the corpus side never shuffles on a benchmark key."""
+    from turbine_maintenance_etl_spark.llm.quality import fuzzy_decontamination
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e f g")], "doc_id long, text string")
+    hits = fuzzy_decontamination(docs, bench)
+    hits.collect()  # let AQE finalize (doc-side join is size-converted)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    # bucket probe + shingle verify both build on the benchmark side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

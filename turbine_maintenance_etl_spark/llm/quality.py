@@ -163,6 +163,103 @@ def decontamination_scores(
     )
 
 
+def fuzzy_decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """NEAR-match decontamination: corpus documents that are fuzzy
+    duplicates of a benchmark/eval document — the paraphrase-robust
+    complement of the exact-shingle ``decontamination_scores`` (a
+    lightly reworded eval question shares few exact 13-gram shingles
+    but keeps a high Jaccard over 3-gram shingles and LSH-collides).
+
+    Two stages, both linear in the corpus:
+
+    1. **Candidate generation** — MinHash band buckets for BOTH sides
+       with the same portable hash family (``dedup.lsh_band_buckets``),
+       equi-joined on (band, band-hash). The benchmark index is tiny
+       (eval sets), so Catalyst broadcasts it; the corpus side streams.
+       Mega-buckets on the benchmark side are capped like the
+       incremental-LSH probe (boilerplate buckets fan out otherwise).
+    2. **Verification** — n-gram Jaccard on the candidate pairs only
+       (never all pairs), via a broadcast of the benchmark shingle
+       arrays; pairs >= ``threshold`` are contamination hits.
+
+    Returns (doc_id, bench_id, jaccard) rows — feed to a left-anti join
+    (``decontaminate``) to drop hits, or keep for audit. Deterministic:
+    same seed -> same buckets -> same pairs, so a SQL oracle can replay
+    it exactly."""
+    from turbine_maintenance_etl_spark.llm import dedup as D
+
+    bench_idx = D.lsh_band_buckets(
+        benchmark, num_hashes, bands, n, text_col, id_col, seed
+    ).select(F.col(id_col).alias(bench_id_col), "band", "bh")
+    if max_bucket_size is not None:
+        ok = (
+            bench_idx.groupBy("band", "bh")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+        # benchmark-sized on both sides -> broadcast (the corpus-scale
+        # twin in incremental_lsh_candidates correctly shuffles instead)
+        bench_idx = bench_idx.join(F.broadcast(ok), ["band", "bh"], "left_semi")
+    doc_buckets = D.lsh_band_buckets(
+        docs, num_hashes, bands, n, text_col, id_col, seed
+    )
+    cand = (
+        doc_buckets.join(F.broadcast(bench_idx), ["band", "bh"])
+        .select(id_col, bench_id_col)
+        .distinct()
+    )
+    d_sh = docs.select(F.col(id_col), shingles(text_col, n).alias("_sh_d"))
+    b_sh = benchmark.select(
+        F.col(id_col).alias(bench_id_col), shingles(text_col, n).alias("_sh_b")
+    )
+    # The candidate list is broadcast for the corpus-side verify join:
+    # with capped benchmark buckets it scales with the contamination
+    # rate (collisions against a tiny eval set), not the corpus, so the
+    # corpus is never shuffled — one map-side scan computes shingles
+    # and probes both broadcast sides. (A corpus whose benchmark hit
+    # list overflows a broadcast isn't a decontamination problem —
+    # run near-dup DEDUP first.)
+    pairs = d_sh.join(F.broadcast(cand), id_col).join(F.broadcast(b_sh), bench_id_col)
+    inter = F.size(
+        F.filter(F.col("_sh_d"), lambda x: F.array_contains(F.col("_sh_b"), x))
+    )
+    union = F.size("_sh_d") + F.size("_sh_b") - inter
+    jac = F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, bench_id_col, "jaccard")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus fuzzy benchmark matches: one left-anti join on the
+    hit list from ``fuzzy_decontamination``."""
+    hits = fuzzy_decontamination(
+        docs, benchmark, threshold, id_col=id_col, **kwargs
+    ).select(id_col).distinct()
+    return docs.join(hits, id_col, "left_anti")
+
+
 # PII patterns: portable between Java regex (Spark) and RE2 (DuckDB) —
 # no backrefs, no lookaround, \b and bounded quantifiers only.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -132,10 +132,12 @@ PRIORITY_ORDER: list[str] = [
     "dedup_cluster_resolution",
     "dedup_neardup_survivors",
     "s_acid_table_roundtrip",
+    "s_acid_table_changes",
     "dedup_image_neardup_pairs",
     "dedup_audio_fingerprint",
     "dedup_video_frames",
     "text_decontamination",
+    "text_decontamination_fuzzy",
     "dedup_span_coverage",
     "gen_global_row_index",
     "embed_pca_whiten",

@@ -1781,3 +1781,66 @@ def dedup_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_phash(media), hash_col="dhash", id_col="doc_id",
         n_bands=7, band_bits=8, max_hamming=6,
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _fuzzy_decon_oracle(
+    num_hashes: int = 32, bands: int = 8, seed: int = 42, threshold: float = 0.2
+) -> str:
+    # Same portable hash family as _minhash_oracle (seed-locked to
+    # dedup.minhash_signatures), replayed over BOTH sides of the
+    # corpus/benchmark split, then Jaccard-verified on candidates only.
+    rng = random.Random(seed)
+    p = (1 << 31) - 1
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    h = _DUCK_HASH64.format(s="s")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h % {p} * {a} + {b}) % {p}), 'min') AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")) AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    inter = "len(list_filter(ds.s, x -> list_contains(bs.s, x)))"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
+    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM base),
+    sigs AS (SELECT doc_id, {mh_cols} FROM hashed),
+    buckets AS ({band_selects}),
+    docb AS (SELECT doc_id, band, bh FROM buckets WHERE doc_id % 37 <> 0),
+    benb AS (SELECT doc_id AS bench_id, band, bh FROM buckets WHERE doc_id % 37 = 0),
+    cand AS (
+        SELECT DISTINCT d.doc_id, b.bench_id
+        FROM docb d JOIN benb b ON d.band = b.band AND d.bh = b.bh),
+    verified AS (
+        SELECT c.doc_id, c.bench_id,
+               ROUND(CAST({inter} AS DOUBLE)
+                     / NULLIF(CAST(len(ds.s) + len(bs.s) - {inter} AS DOUBLE), 0),
+                     4) AS jaccard
+        FROM cand c
+        JOIN base ds ON ds.doc_id = c.doc_id
+        JOIN base bs ON bs.doc_id = c.bench_id)
+    SELECT doc_id, bench_id, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@register("text_decontamination_fuzzy", _fuzzy_decon_oracle())
+def text_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-LSH + Jaccard-verified) decontamination of the
+    corpus (doc_id % 37 <> 0) against a benchmark split (% 37 = 0) —
+    the paraphrase-robust complement of the exact-shingle
+    text_decontamination entries. Oracle-checkable end to end because
+    the LSH hash family is portable md5: DuckDB replays candidate
+    generation AND verification and must produce the identical hit
+    list (quality.fuzzy_decontamination)."""
+    from turbine_maintenance_etl_spark.llm.quality import fuzzy_decontamination
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 37 != 0)
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return fuzzy_decontamination(docs, bench, threshold=0.2)

@@ -383,3 +383,83 @@ def s_acid_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_acid_table_changes",
+    """
+    WITH v2new AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+        FROM orders WHERE o_orderkey % 3 = 1),
+    upd AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+        FROM orders WHERE o_orderkey % 6 = 0)
+    SELECT 'v1_v2' AS win, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(p), 2) AS total
+    FROM v2new
+    UNION ALL
+    SELECT 'v2_v3', 'delete', COUNT(*), ROUND(SUM(p), 2) FROM upd
+    UNION ALL
+    SELECT 'v2_v3', 'insert', COUNT(*), ROUND(SUM(ROUND(p * 2, 2)), 2) FROM upd
+    """,
+)
+def s_acid_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the transactional table (io/acid.py
+    ``table_changes``): CREATE (%3=0) -> APPEND (%3=1) -> MERGE (double
+    the price of %6=0 keys), then the row-level diff of each commit
+    window, summarized per (window, change_type) so the DuckDB oracle
+    recomputes it relationally. Proves (a) a pure append surfaces as
+    inserts only — and via the manifest the shared base dir is never
+    even read; (b) a merge-update surfaces as delete-of-old +
+    insert-of-new for exactly the touched keys, with rewritten-but-
+    unchanged rows cancelling in the bag diff (exceptAll), carried or
+    not. The streaming/CDC consumer contract, downstream of any
+    engine's commit log."""
+    import shutil
+    import tempfile
+
+    from turbine_maintenance_etl_spark.io import acid
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("p")
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_acid_cdf_")
+    path = f"{tmp}/orders_cdf"
+    try:
+        acid.create_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 0).withColumn("ver", F.lit(1)),
+            path,
+            stats_cols=("o_orderkey",),
+        )
+        acid.append_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 1).withColumn("ver", F.lit(1)),
+            path,
+        )
+        upd = o.filter(F.col("o_orderkey") % 6 == 0).select(
+            "o_orderkey",
+            F.round(F.col("p") * 2, 2).alias("p"),
+            F.lit(2).alias("ver"),
+        )
+        acid.merge_table(spark, upd, path, keys=("o_orderkey",), order_col="ver")
+
+        def summarize(tag: str, lo: int, hi: int) -> DataFrame:
+            return (
+                acid.table_changes(spark, path, lo, hi)
+                .groupBy("_change_type")
+                .agg(F.count("*").alias("n"), F.round(F.sum("p"), 2).alias("total"))
+                .select(
+                    F.lit(tag).alias("win"),
+                    F.col("_change_type").alias("change_type"),
+                    "n",
+                    "total",
+                )
+            )
+
+        out = summarize("v1_v2", 1, 2).unionByName(summarize("v2_v3", 2, 3))
+        return spark.createDataFrame(
+            out.collect(), "win string, change_type string, n bigint, total double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
