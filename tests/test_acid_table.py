@@ -12,6 +12,7 @@ import os
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from turbine_maintenance_etl_spark.io import acid
 
@@ -423,3 +424,63 @@ def test_schema_evolution_append_and_cdf(spark, table):
     ch = acid.table_changes(spark, table, 1, 2)
     rows = [(r["_change_type"], r["id"], r["note"]) for r in ch.collect()]
     assert rows == [("insert", 7, "extra")]
+
+
+def test_clustered_compaction_tightens_manifest_skipping(tmp_path, spark):
+    """compact_table(cluster_cols=...) range-splits the snapshot into
+    per-range manifest dirs with near-disjoint committed stats: a point
+    range read prunes to a strict subset of dirs, results unchanged."""
+    path = str(tmp_path / "ctbl")
+    full = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    # interleaved appends -> every dir spans ~the whole id range
+    acid.create_table(spark, full.filter(F.col("id") % 3 == 0), path, stats_cols=("id",))
+    acid.append_table(spark, full.filter(F.col("id") % 3 == 1), path)
+    acid.append_table(spark, full.filter(F.col("id") % 3 == 2), path)
+    pre = acid.snapshot(path)
+    assert all(
+        s["cols"]["id"][0] < 100 and s["cols"]["id"][1] > 900
+        for s in pre.stats.values()
+    )  # overlapping: nothing prunable before clustering
+    before = sorted(r["id"] for r in acid.read_table(spark, path).collect())
+
+    acid.compact_table(spark, path, target_partitions=4, cluster_cols=("id",))
+    snap = acid.snapshot(path)
+    assert snap.operation == "compact" and len(snap.dirs) == 4
+    after = sorted(r["id"] for r in acid.read_table(spark, path).collect())
+    assert after == before == list(range(1000))
+    # committed per-dir ranges are pairwise disjoint
+    ranges = sorted(
+        (s["cols"]["id"][0], s["cols"]["id"][1]) for s in snap.stats.values()
+    )
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    # a narrow range read now hands Spark ONLY the matching dir(s)
+    lo, hi = ranges[1][0], ranges[1][0] + 5
+    got = sorted(r["id"] for r in acid.read_table(spark, path, where={"id": (lo, hi)}).collect())
+    assert got == list(range(lo, hi + 1))
+    may = [d for d in snap.dirs if acid._may_match(snap.stats.get(d), {"id": (lo, hi)})]
+    assert len(may) == 1
+    # time travel to the pre-compaction snapshot still works
+    assert acid.read_table(spark, path, version=pre.version).count() == 1000
+
+
+def test_clustered_compaction_multicol_zorder(tmp_path, spark):
+    """Two cluster columns route through the Morton key; content is
+    preserved and both columns' committed stats tighten vs one dir."""
+    path = str(tmp_path / "ztbl")
+    df = spark.range(0, 400).select(
+        (F.col("id") % 20).alias("x"), (F.col("id") / F.lit(20)).cast("long").alias("y")
+    )
+    acid.create_table(spark, df, path, stats_cols=("x", "y"))
+    acid.compact_table(spark, path, target_partitions=4, cluster_cols=("x", "y"))
+    snap = acid.snapshot(path)
+    assert len(snap.dirs) == 4
+    out = acid.read_table(spark, path)
+    assert out.count() == 400
+    # every dir's (x, y) box is a strict subregion of the full domain
+    boxes = [
+        (s["cols"]["x"][0], s["cols"]["x"][1], s["cols"]["y"][0], s["cols"]["y"][1])
+        for s in snap.stats.values()
+    ]
+    assert any(x1 - x0 < 19 or y1 - y0 < 19 for x0, x1, y0, y1 in boxes)

@@ -483,7 +483,10 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
 
 
 def compact_table(
-    spark: SparkSession, path: str, target_partitions: int
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    cluster_cols: tuple[str, ...] = (),
 ) -> int:
     """Transactional small-files compaction: rewrite the CURRENT
     snapshot into ``target_partitions`` files and commit the rewrite as
@@ -492,10 +495,47 @@ def compact_table(
     with appends/merges: if a writer lands first, the loop re-reads and
     re-compacts the new snapshot (streaming upserts accrete a version
     per micro-batch — at 100 TB, file count is what kills scan
-    planning, so this runs as a side job, not inline)."""
+    planning, so this runs as a side job, not inline).
+
+    ``cluster_cols`` upgrades this to CLUSTERED compaction (Delta's
+    OPTIMIZE ZORDER shape at manifest granularity): rows are
+    range-partitioned on the cluster key (Morton-interleaved via
+    ``sinks.zorder_expr`` when several columns are given) and each
+    range becomes its OWN manifest directory, so the committed per-dir
+    min/max stats are near-disjoint — ``read_table(where=...)`` prunes
+    to ~one dir per point lookup and the stats-pruned MERGE's touched
+    closure stops degenerating as appends overlap key ranges. The
+    clustered write is one extra sort-shuffle over data the compaction
+    was rewriting anyway."""
 
     def build(base: Snapshot) -> list[str]:
+        from pyspark.sql import functions as F
+
         df = spark.read.parquet(*[os.path.join(path, d) for d in base.dirs])
-        return [_write_data_dir(df.repartition(target_partitions), path, "compact")]
+        if not cluster_cols:
+            return [_write_data_dir(df.repartition(target_partitions), path, "compact")]
+        if len(cluster_cols) == 1:
+            key = F.col(cluster_cols[0])
+        else:
+            from turbine_maintenance_etl_spark.io.sinks import zorder_expr
+
+            key = zorder_expr(df, cluster_cols)
+        d = f"data-compact-{uuid.uuid4().hex[:12]}"
+        (
+            df.withColumn("_zk", key)
+            .repartitionByRange(target_partitions, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+            # one subdir per range bucket; each is registered as its own
+            # manifest dir (read directly — no basePath — so the
+            # synthetic bucket id never appears in the table schema)
+            .withColumn("_b", F.spark_partition_id())
+            .write.partitionBy("_b")
+            .parquet(os.path.join(path, d))
+        )
+        subdirs = sorted(
+            name for name in os.listdir(os.path.join(path, d)) if name.startswith("_b=")
+        )
+        return [f"{d}/{name}" for name in subdirs]
 
     return _retrying_commit(path, build, "compact", spark)
