@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "dedup_video_frames",
     "dedup_graph_suite",
     "sim_topk_suite",
+    # session-2 additions: fuzzy decontamination + acid change data feed
+    "text_decontamination_fuzzy",
+    "s_acid_table_changes",
 ]
 
 

@@ -7,6 +7,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import make_cmapss_pdf, write_cmapss_txt
 from turbine_maintenance_etl_spark.features.engine import (
     add_rul,
@@ -257,3 +259,77 @@ def test_cli_curate_lm_gate_drops_tail(spark, tmp_path):
     v1 = run([])
     v2 = run(["--lm-gate", "--ppl-keep-frac", "0.8"])
     assert 0 < v2["curated_chunks"] < v1["curated_chunks"]
+
+
+def test_cli_table_maintenance_end_to_end(spark, tmp_path):
+    """The table subcommand drives io/acid.py: history, clustered
+    compact, changes (with parquet export), vacuum — each printing a
+    JSON line."""
+    import contextlib
+    import io
+    import json
+
+    from turbine_maintenance_etl_spark.cli import main
+    from turbine_maintenance_etl_spark.io import acid
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    acid.create_table(spark, df.filter(F.col("id") % 2 == 0), path, stats_cols=("id",))
+    acid.append_table(spark, df.filter(F.col("id") % 2 == 1), path)
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    hist = run(["table", "history", "--path", path])
+    assert [h["operation"] for h in hist] == ["create", "append"]
+
+    out = run(["table", "compact", "--path", path, "--target", "4",
+               "--cluster-cols", "id"])
+    assert out["compacted_version"] == 3 and out["cluster_cols"] == ["id"]
+    assert len(acid.snapshot(path).dirs) == 4
+
+    feed_dir = str(tmp_path / "feed")
+    ch = run(["table", "changes", "--path", path, "--from-version", "1",
+              "--to-version", "2", "--out", feed_dir])
+    assert ch["inserts"] == 50 and ch["deletes"] == 0
+    assert spark.read.parquet(feed_dir).count() == 50
+
+    vac = run(["table", "vacuum", "--path", path, "--keep-last", "1"])
+    assert vac["removed_dirs"]  # pre-compaction dirs dropped
+    assert acid.read_table(spark, path).count() == 100
+
+
+def test_cli_curate_decontaminate(spark, tmp_path):
+    """--decontaminate drops fuzzy benchmark matches before curation:
+    contaminating the benchmark with a slice of the corpus yields
+    strictly fewer curated docs than a clean run."""
+    import contextlib
+    import io
+    import json
+
+    from tests.conftest import SF_DIR
+    from turbine_maintenance_etl_spark.cli import main
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = str(tmp_path / "benchmark")
+    docs.filter(F.col("doc_id") % 11 == 0).write.parquet(bench)
+
+    def run(extra, tag):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(
+                ["curate", "--input", f"{SF_DIR}/documents.parquet",
+                 "--output", str(tmp_path / tag)] + extra
+            )
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    clean = run([], "clean")
+    decon = run(["--decontaminate", bench], "decon")
+    assert decon["decontaminated_docs"] < clean["input_docs"]
+    assert decon["curated_chunks"] < clean["curated_chunks"]
+    assert clean["decontaminated_docs"] is None

@@ -63,6 +63,37 @@ def main(argv: list[str] | None = None) -> int:
         help="run the v3 capstone chain: sb3 trigram LM gate -> "
         "normalized exact dedup -> substring-span REWRITE -> chunk",
     )
+    p_cur.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="BENCHMARK_PARQUET",
+        help="drop documents that fuzzy-match (MinHash-LSH + Jaccard) "
+        "any document in this benchmark/eval parquet before curation",
+    )
+    p_cur.add_argument(
+        "--decon-threshold",
+        type=float,
+        default=0.2,
+        help="Jaccard threshold for --decontaminate (default 0.2)",
+    )
+
+    p_tbl = sub.add_parser(
+        "table",
+        help="transactional table maintenance (io/acid.py): "
+        "history | compact | vacuum | changes",
+    )
+    p_tbl.add_argument("action", choices=["history", "compact", "vacuum", "changes"])
+    p_tbl.add_argument("--path", required=True, help="acid table root")
+    p_tbl.add_argument("--target", type=int, default=8, help="compact: target partitions")
+    p_tbl.add_argument(
+        "--cluster-cols",
+        default=None,
+        help="compact: comma-separated columns for clustered (z-order) compaction",
+    )
+    p_tbl.add_argument("--keep-last", type=int, default=2, help="vacuum: versions kept")
+    p_tbl.add_argument("--from-version", type=int, default=None, help="changes: from")
+    p_tbl.add_argument("--to-version", type=int, default=None, help="changes: to (default latest)")
+    p_tbl.add_argument("--out", default=None, help="changes: write the feed here as parquet")
 
     args = ap.parse_args(argv)
 
@@ -83,6 +114,50 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"turbine-etl-{args.cmd}")
 
+    if args.cmd == "table":
+        from turbine_maintenance_etl_spark.io import acid
+
+        if args.action == "history":
+            print(
+                json.dumps(
+                    [
+                        {
+                            "version": s.version,
+                            "operation": s.operation,
+                            "dirs": len(s.dirs),
+                            "committed_at": s.committed_at,
+                        }
+                        for s in acid.history(args.path)
+                    ]
+                )
+            )
+        elif args.action == "compact":
+            cols = tuple(args.cluster_cols.split(",")) if args.cluster_cols else ()
+            v = acid.compact_table(spark, args.path, args.target, cluster_cols=cols)
+            print(json.dumps({"compacted_version": v, "cluster_cols": list(cols)}))
+        elif args.action == "vacuum":
+            removed = acid.vacuum(args.path, keep_last=args.keep_last)
+            print(json.dumps({"removed_dirs": removed}))
+        elif args.action == "changes":
+            if args.from_version is None:
+                ap.error("changes requires --from-version")
+            feed = acid.table_changes(
+                spark, args.path, args.from_version, args.to_version
+            )
+            out = {"from": args.from_version, "to": args.to_version or acid.latest_version(args.path)}
+            if args.out:
+                feed.write.mode("overwrite").parquet(args.out)
+                feed = spark.read.parquet(args.out)
+                out["path"] = args.out
+            counts = {
+                r["_change_type"]: r["count"]
+                for r in feed.groupBy("_change_type").count().collect()
+            }
+            out["inserts"] = counts.get("insert", 0)
+            out["deletes"] = counts.get("delete", 0)
+            print(json.dumps(out))
+        return 0
+
     if args.cmd == "curate":
         from pyspark.sql import functions as F
 
@@ -94,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
         from turbine_maintenance_etl_spark.llm.pack import pack_sequences
 
         docs = spark.read.parquet(args.input)
+        n_raw = docs.count()
+        if args.decontaminate:
+            from turbine_maintenance_etl_spark.llm.quality import decontaminate
+
+            bench_docs = spark.read.parquet(args.decontaminate)
+            docs = decontaminate(
+                docs, bench_docs, threshold=args.decon_threshold
+            )
         if args.v3:
             chunks = curate_corpus_v3(
                 docs,
@@ -138,7 +221,10 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {
-                    "input_docs": docs.count(),
+                    "input_docs": n_raw,
+                    "decontaminated_docs": (
+                        docs.count() if args.decontaminate else None
+                    ),
                     "curated_chunks": n_chunks,
                     "packed_sequences": seqs.count(),
                     "chunks_path": out_chunks,
