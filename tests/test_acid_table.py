@@ -484,3 +484,97 @@ def test_clustered_compaction_multicol_zorder(tmp_path, spark):
         for s in snap.stats.values()
     ]
     assert any(x1 - x0 < 19 or y1 - y0 < 19 for x0, x1, y0, y1 in boxes)
+
+
+# --- streaming source over the commit log (io/acid_stream.py) ----------
+
+
+@pytest.fixture()
+def acid_stream_registered(spark):
+    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
+
+    try:
+        spark.dataSource.register(AcidTableStreamSource)
+    except Exception as e:  # already registered in this session
+        if "already" not in str(e).lower():
+            raise
+    return spark
+
+
+def _drain_stream(spark, path, out_dir, ckpt, **options):
+    reader = spark.readStream.format("acidtable")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+def test_stream_source_tails_appends_exactly_once(acid_stream_registered, tmp_path):
+    """readStream.format('acidtable') emits each commit's rows exactly
+    once, tagged _commit_version; a restart from the checkpoint resumes
+    at the committed offset and emits only the NEW commits."""
+    spark = acid_stream_registered
+    path = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    acid.create_table(spark, df1, path)
+    acid.append_table(spark, spark.createDataFrame([(3, "c")], "id long, k string"), path)
+
+    got = _drain_stream(spark, path, out, ckpt)
+    rows = {(r["id"], r["_commit_version"]) for r in got.collect()}
+    assert rows == {(1, 1), (2, 1), (3, 2)}
+
+    # two more commits while the query is down; restart drains ONLY them
+    acid.append_table(spark, spark.createDataFrame([(4, "d")], "id long, k string"), path)
+    acid.append_table(spark, spark.createDataFrame([(5, "e")], "id long, k string"), path)
+    got = _drain_stream(spark, path, out, ckpt)
+    rows = {(r["id"], r["_commit_version"]) for r in got.collect()}
+    assert rows == {(1, 1), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+
+def test_stream_source_fails_on_rewrite_unless_ignorechanges(
+    acid_stream_registered, tmp_path
+):
+    """A merge commit breaks the append-only contract: the stream fails
+    loudly by default; with ignorechanges=true the rewritten dirs are
+    emitted as appends (re-emission is the caller's documented caveat)."""
+    spark = acid_stream_registered
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a", 1)], "id long, k string, ver long")
+    acid.create_table(spark, df1, path)
+    up = spark.createDataFrame([(1, "A", 2)], "id long, k string, ver long")
+    acid.merge_table(spark, up, path, keys=("id",), order_col="ver")
+
+    with pytest.raises(Exception, match="append-only|ignorechanges"):
+        _drain_stream(spark, path, str(tmp_path / "o1"), str(tmp_path / "c1"))
+
+    got = _drain_stream(
+        spark, path, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        ignorechanges="true",
+    )
+    rows = {(r["id"], r["k"], r["_commit_version"]) for r in got.collect()}
+    # v1 dir emitted, then the merge's rewrite dir re-emits the row
+    assert rows == {(1, "a", 1), (1, "A", 2)}
+
+
+def test_stream_source_startingversion_skips_history(
+    acid_stream_registered, tmp_path
+):
+    spark = acid_stream_registered
+    path = str(tmp_path / "tbl")
+    acid.create_table(spark, spark.createDataFrame([(1,)], "id long"), path)
+    acid.append_table(spark, spark.createDataFrame([(2,)], "id long"), path)
+    acid.append_table(spark, spark.createDataFrame([(3,)], "id long"), path)
+    got = _drain_stream(
+        spark, path, str(tmp_path / "o"), str(tmp_path / "c"),
+        startingversion="2",
+    )
+    assert {r["id"] for r in got.collect()} == {3}

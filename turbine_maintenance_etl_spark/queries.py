@@ -133,6 +133,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_neardup_survivors",
     "s_acid_table_roundtrip",
     "s_acid_table_changes",
+    "s_acid_stream_tail",
     "dedup_image_neardup_pairs",
     "dedup_audio_fingerprint",
     "dedup_video_frames",

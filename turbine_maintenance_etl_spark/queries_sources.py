@@ -463,3 +463,67 @@ def s_acid_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_acid_stream_tail",
+    """
+    SELECT 1 AS commit_version, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 2, COUNT(*), ROUND(SUM(value), 4) FROM events WHERE event_id % 3 = 1
+    UNION ALL
+    SELECT 3, COUNT(*), ROUND(SUM(value), 4) FROM events WHERE event_id % 3 = 2
+    """,
+)
+def s_acid_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acid streaming source graded end to end: CREATE + two
+    APPENDs build a transactional events table, then a REAL Structured
+    Streaming query (``readStream.format('acidtable')`` →
+    availableNow → parquet sink) tails the commit log; the sunk rows,
+    summarized per ``_commit_version``, must equal the oracle's
+    relational recompute of each commit's slice — proving the source
+    emits every commit's rows exactly once with correct provenance
+    (io/acid_stream.py)."""
+    import shutil
+    import tempfile
+
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
+
+    try:
+        spark.dataSource.register(AcidTableStreamSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 4).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_acid_stream_")
+    path, out, ckpt = f"{tmp}/tbl", f"{tmp}/out", f"{tmp}/ckpt"
+    try:
+        acid.create_table(spark, ev.filter(F.col("event_id") % 3 == 0), path)
+        acid.append_table(spark, ev.filter(F.col("event_id") % 3 == 1), path)
+        acid.append_table(spark, ev.filter(F.col("event_id") % 3 == 2), path)
+        q = (
+            spark.readStream.format("acidtable")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sunk = spark.read.parquet(out)
+        agg = (
+            sunk.groupBy(F.col("_commit_version").cast("int").alias("commit_version"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        )
+        return spark.createDataFrame(
+            agg.collect(), "commit_version int, n bigint, total double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
