@@ -578,3 +578,64 @@ def test_stream_source_startingversion_skips_history(
         startingversion="2",
     )
     assert {r["id"] for r in got.collect()} == {3}
+
+
+def test_stream_acid_to_acid_pipeline_exactly_once(acid_stream_registered, tmp_path):
+    """Full lakehouse loop: acid source table -> streaming transform ->
+    foreachBatch append into a TARGET acid table, exactly-once across a
+    restart. The source's commit log drives the stream; the target's
+    commit log records one append per non-empty micro-batch."""
+    spark = acid_stream_registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    acid.create_table(spark, mk(0, 10), src)
+    acid.append_table(spark, mk(10, 20), src)
+
+    def run_once():
+        def sink(batch_df, epoch_id):
+            out = batch_df.filter(F.col("id") % 2 == 0).select("id", "v")
+            if not out.take(1):
+                return
+            if acid.latest_version(dst) is None:
+                acid.create_table(out.sparkSession, out, dst)
+            else:
+                acid.append_table(out.sparkSession, out, dst)
+
+        q = (
+            spark.readStream.format("acidtable")
+            .load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = sorted(r["id"] for r in acid.read_table(spark, dst).collect())
+    assert got == list(range(0, 20, 2))
+    # new source commit while down; restart appends ONLY the new evens
+    acid.append_table(spark, mk(20, 30), src)
+    run_once()
+    got = sorted(r["id"] for r in acid.read_table(spark, dst).collect())
+    assert got == list(range(0, 30, 2))
+    # a replayed batch would have doubled rows; count proves it didn't
+    assert acid.read_table(spark, dst).count() == 15
+
+
+def test_merge_schema_evolution_widens_table(spark, table):
+    """A MERGE whose batch carries a NEW column widens the table
+    (allowMissingColumns union): old rows read NULL, the CDF across the
+    merge shows the rewrite, and merge_schema reads stay consistent."""
+    up = spark.createDataFrame(
+        [(2, "b", 99.0, 2, "fresh")],
+        "id long, k string, v double, ver long, note string",
+    )
+    acid.merge_table(spark, up, table, keys=("id",), order_col="ver")
+    out = acid.read_table(spark, table, merge_schema=True)
+    got = {r["id"]: (r["v"], r["note"]) for r in out.collect()}
+    assert got == {1: (10.0, None), 2: (99.0, "fresh")}
