@@ -639,3 +639,65 @@ def test_merge_schema_evolution_widens_table(spark, table):
     out = acid.read_table(spark, table, merge_schema=True)
     got = {r["id"]: (r["v"], r["note"]) for r in out.collect()}
     assert got == {1: (10.0, None), 2: (99.0, "fresh")}
+
+
+def test_stream_incremental_curation_end_to_end(acid_stream_registered, tmp_path):
+    """The composed production ingest: acid source -> quality gate ->
+    in-batch exact+LSH dedup -> index probe -> curated/index acid
+    appends. Batch 2's near-dup of an ALREADY-CURATED doc is dropped by
+    the stored index (never re-hashing batch 1); its in-batch exact dup
+    collapses; a rerun of the drained stream changes nothing."""
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        stream_incremental_curation,
+    )
+
+    spark = acid_stream_registered
+    src = str(tmp_path / "src")
+    cur = str(tmp_path / "curated")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps near the river bank for a long time on a warm day"
+    )
+    other = (
+        "a turbine blade with a crack in the root section must be "
+        "removed from the rotor and sent to the shop for a full repair "
+        "of the damaged area before the next flight"
+    )
+    third = (
+        "the data pipeline reads from the lake and writes to the "
+        "warehouse while the scheduler keeps track of every task in "
+        "the graph and retries the ones that fail on a node"
+    )
+    batch1 = spark.createDataFrame(
+        [(0, "x"), (1, base), (2, other)],  # doc 0 fails the gate (too short)
+        "doc_id long, text string",
+    )
+    acid.create_table(spark, batch1, src)
+
+    def run():
+        stream_incremental_curation(spark, src, cur, idx, ckpt, timeout_s=120)
+
+    run()
+    assert sorted(r["doc_id"] for r in acid.read_table(spark, cur).collect()) == [1, 2]
+    assert acid.read_table(spark, idx).count() == 16  # 2 docs x 8 bands
+
+    batch2 = spark.createDataFrame(
+        [
+            (3, base + " indeed"),  # near-dup of curated doc 1 -> index drop
+            (4, third),             # genuinely new
+            (5, third),             # exact in-batch dup of 4 -> md5 drop
+        ],
+        "doc_id long, text string",
+    )
+    acid.append_table(spark, batch2, src)
+    run()
+    assert sorted(r["doc_id"] for r in acid.read_table(spark, cur).collect()) == [1, 2, 4]
+    assert acid.read_table(spark, idx).count() == 24  # +1 doc x 8 bands
+
+    # drained stream: a rerun with the same checkpoint is a no-op
+    cur_v = acid.latest_version(cur)
+    run()
+    assert acid.latest_version(cur) == cur_v

@@ -420,3 +420,118 @@ def stream_acid_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_incremental_curation(
+    spark: SparkSession,
+    source_path: str,
+    curated_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.05,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+    timeout_s: int = 600,
+) -> None:
+    """The production 100 TB ingest shape, composed end to end from
+    this repo's pieces: a CONTINUOUSLY ARRIVING corpus (acid source
+    table) is curated incrementally — each micro-batch (one or more
+    commits' new documents, via the ``acidtable`` streaming source) is
+
+    1. quality-gated (heuristic signals — the cheap filter first),
+    2. exact-deduped within the batch (md5 digest, min-id survivor),
+    3. LSH-deduped within the batch (candidate pairs drop the higher
+       id — candidate-level survivorship, same convention as the batch
+       near-dup survivors operator),
+    4. LSH-probed against the STORED band-bucket index of everything
+       curated so far (``incremental_lsh_candidates`` — the batch
+       hashes only itself; the corpus is never re-hashed), and
+    5. committed transactionally: survivors append to the curated acid
+       table, their band buckets append to the index acid table.
+
+    Everything downstream of the source is per-batch work: signature
+    cost is linear in the batch, the index probe is an equi-join
+    against a table that holds ~300 bytes/doc, and both sinks commit
+    through the manifest CAS so a concurrent backfill writer or
+    compaction job cannot lose updates. Restarts resume from the
+    checkpointed source offset; replayed batches re-dedup against the
+    index and produce no new survivors (the replayed ids are already
+    indexed — at-least-once delivery collapses).
+    """
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
+    from turbine_maintenance_etl_spark.llm.dedup import (
+        exact_dedup,
+        incremental_lsh_candidates,
+        lsh_band_buckets,
+        minhash_lsh_candidates,
+    )
+    from turbine_maintenance_etl_spark.llm.text import add_quality_signals
+
+    try:
+        spark.dataSource.register(AcidTableStreamSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+
+    lsh_kw = dict(
+        num_hashes=num_hashes, bands=bands, n=n,
+        text_col=text_col, id_col=id_col,
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        docs = batch_df.drop("_commit_version")
+        if not docs.take(1):
+            return
+        q = add_quality_signals(docs, text_col)
+        kept = q.filter(
+            (q.n_tokens >= min_tokens) & (q.stopword_ratio >= min_stopword_ratio)
+        ).select(*docs.columns)
+        kept = exact_dedup(kept, text_col, id_col)
+        # batch-local barrier: `kept` feeds the in-batch LSH, the index
+        # probe, AND the surviving-row append — the multi-consumer case
+        # the measured localCheckpoint rule says to materialize
+        kept = kept.localCheckpoint(eager=True)
+        in_pairs = minhash_lsh_candidates(
+            kept, max_bucket_size=max_bucket_size, **lsh_kw
+        )
+        drop_in = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept.join(drop_in, id_col, "left_anti")
+        if acid.latest_version(index_path) is not None:
+            index = acid.read_table(bspark, index_path)
+            hits = incremental_lsh_candidates(
+                kept, index, max_bucket_size=max_bucket_size, **lsh_kw
+            )
+            kept = kept.join(
+                hits.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        survivors = kept.localCheckpoint(eager=True)
+        if not survivors.take(1):
+            return
+        if acid.latest_version(curated_path) is None:
+            acid.create_table(bspark, survivors, curated_path)
+        else:
+            acid.append_table(bspark, survivors, curated_path)
+        buckets = lsh_band_buckets(survivors, **lsh_kw)
+        if acid.latest_version(index_path) is None:
+            acid.create_table(bspark, buckets, index_path)
+        else:
+            acid.append_table(bspark, buckets, index_path)
+
+    q = (
+        spark.readStream.format("acidtable")
+        .load(source_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
