@@ -774,3 +774,51 @@ def dedup_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return c_rows.unionByName(survivors)
+
+
+@register(
+    "agg_grouping_suite",
+    _wrap_union(
+        [
+            ("grouping", REGISTRY["agg_rollup_cube"].oracle),
+            (
+                "pivot",
+                """
+                SELECT 'pivot' AS src, l_returnflag AS d1, 'O' AS d2,
+                       CAST(-1 AS BIGINT) AS gid, CAST(NULL AS BIGINT) AS n,
+                       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS measure
+                FROM lineitem GROUP BY l_returnflag
+                UNION ALL
+                SELECT 'pivot', l_returnflag, 'F', CAST(-1 AS BIGINT),
+                       CAST(NULL AS BIGINT),
+                       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2)
+                FROM lineitem GROUP BY l_returnflag
+                """,
+            ),
+        ]
+    ),
+)
+def agg_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family in one graded row (round-5 third
+    compaction): ROLLUP + CUBE with grouping_id (agg_rollup_cube's full
+    row output, variant 'grouping') and the PIVOT entry's rows melted
+    to the same (src, d1, d2, gid, n, measure) shape (variant 'pivot',
+    one row per pivoted cell — no checksum reduction, the cell values
+    ARE the rows). The originals remain registered below the window."""
+    ro = REGISTRY["agg_rollup_cube"].fn(spark, sf_dir).select(
+        F.lit("grouping").alias("variant"), "*"
+    )
+    pv = REGISTRY["agg_pivot"].fn(spark, sf_dir)
+    melted = None
+    for status in ("O", "F"):
+        part = pv.select(
+            F.lit("pivot").alias("variant"),
+            F.lit("pivot").alias("src"),
+            F.col("l_returnflag").alias("d1"),
+            F.lit(status).alias("d2"),
+            F.lit(-1).cast("bigint").alias("gid"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.col(f"qty_{status}").alias("measure"),
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    return ro.unionByName(melted)
