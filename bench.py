@@ -75,7 +75,23 @@ BENCH_QUERIES = [
     # session-2 additions: fuzzy decontamination + acid change data feed
     "text_decontamination_fuzzy",
     "s_acid_table_changes",
+    # round-6 additions: the grouping compaction suite + the promoted
+    # acid roundtrip (both newly inside the graded window)
+    "agg_grouping_suite",
+    "s_acid_table_roundtrip",
 ]
+
+# Loud-fail on registry drift (round-5 verdict #5): bench must break at
+# import when an entry is renamed/unregistered or left out of
+# PRIORITY_ORDER, not silently keep benching a stale hand-kept list.
+from turbine_maintenance_etl_spark.queries import PRIORITY_ORDER  # noqa: E402
+
+_drift = [n for n in BENCH_QUERIES if n not in REGISTRY or n not in PRIORITY_ORDER]
+if _drift:
+    raise RuntimeError(
+        f"bench.py drifted from the registry/order: {_drift} — fix BENCH_QUERIES "
+        "or register/order the entries"
+    )
 
 
 def main() -> None:

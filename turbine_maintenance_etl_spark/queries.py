@@ -80,8 +80,7 @@ PRIORITY_ORDER: list[str] = [
     "a11_grouped_error_metrics",
     "a12_a14_quantile_corr",
     "a13_a15_histogram_binning",
-    "agg_rollup_cube",
-    "agg_pivot",
+    "agg_grouping_suite",         # r6: rollup/cube + pivot (melted) folded
     "w_core_suite",                # W1 W2 W3 W4 W5 W6/A4
     "w_analytic_suite",
     "w_range_time_frame",
@@ -119,6 +118,8 @@ PRIORITY_ORDER: list[str] = [
     "dedup_image_phash",
     "pipeline_curation_v3",
     "sim_ivfpq_topk",
+    # -- round-6 promotion: transactional table format, driver-graded ---
+    "s_acid_table_roundtrip",
     # -- beyond the grade window: the original single-operator entries
     # -- (suite-graded above, still selfchecked here), then never-graded
     # -- extensions ------------------------------------------------------
@@ -131,7 +132,8 @@ PRIORITY_ORDER: list[str] = [
     "text_pii_redaction",
     "dedup_cluster_resolution",
     "dedup_neardup_survivors",
-    "s_acid_table_roundtrip",
+    "agg_rollup_cube",
+    "agg_pivot",
     "s_acid_table_changes",
     "s_acid_stream_tail",
     "dedup_image_neardup_pairs",

@@ -400,14 +400,29 @@ def stream_acid_upsert_sink(
     from turbine_maintenance_etl_spark.io import acid
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
         spark = batch_df.sparkSession
         if acid.latest_version(path) is None:
+            # The keyed contract holds from the FIRST commit: an upsert
+            # stream commonly carries intra-batch duplicate keys, and
+            # create-verbatim would persist them until a later merge
+            # happened to touch that key range. Apply the same
+            # latest-wins dedup merge_table applies.
+            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+                F.col(order_col).desc()
+            )
+            first = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
             try:
                 # declare key stats at creation so every subsequent
                 # micro-batch merge takes the stats-PRUNED path
                 # (rewrites only key-range-overlapping dirs — per-batch
                 # merge cost tracks the batch, not the table)
-                acid.create_table(spark, batch_df, path, stats_cols=(keys[0],))
+                acid.create_table(spark, first, path, stats_cols=(keys[0],))
                 return
             except FileExistsError:
                 pass  # another writer created it between check and create
@@ -420,6 +435,103 @@ def stream_acid_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def make_curation_batch_processor(
+    curated_path: str,
+    index_path: str,
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.05,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+):
+    """The per-micro-batch function behind ``stream_incremental_curation``,
+    exposed as a factory so tests can exercise true at-least-once replay
+    (call the returned function TWICE on the same batch_df and assert
+    both tables unchanged) — a drained-stream rerun cannot reach this
+    path because the source offset makes it a no-op.
+
+    **Idempotence contract.** The LSH index probe cannot absorb
+    replays: ``incremental_lsh_candidates`` drops the
+    ``new_id == existing_id`` self-pair by design (a doc is not its own
+    near-duplicate), so a replayed survivor sails through the probe. A
+    crash after the curated/index commits but before the checkpoint
+    commit — the exact window at-least-once delivery exists for —
+    would duplicate every replayed survivor under plain appends. Both
+    sinks are therefore keyed MERGEs (``acid.merge_table``): curated on
+    ``(id_col,)``, index on ``(id_col, band)``; re-delivering the same
+    rows rewrites them in place. Both tables carry
+    ``stats_cols=(id_col,)`` from creation so every merge takes the
+    stats-pruned path — per-batch merge cost tracks the batch's key
+    range, not the table size (new doc ids are typically monotone, so
+    the touched-directory closure stays small at 100 TB)."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.llm.dedup import (
+        exact_dedup,
+        incremental_lsh_candidates,
+        lsh_band_buckets,
+        minhash_lsh_candidates,
+    )
+    from turbine_maintenance_etl_spark.llm.text import add_quality_signals
+
+    lsh_kw = dict(
+        num_hashes=num_hashes, bands=bands, n=n,
+        text_col=text_col, id_col=id_col,
+    )
+
+    def _merge_or_create(bspark, rows, path, keys, order_col):
+        if acid.latest_version(path) is None:
+            try:
+                acid.create_table(bspark, rows, path, stats_cols=(keys[0],))
+                return
+            except FileExistsError:
+                pass  # concurrent creator won the CAS; fall through
+        acid.merge_table(bspark, rows, path, keys, order_col)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        docs = batch_df.drop("_commit_version")
+        if not docs.take(1):
+            return
+        q = add_quality_signals(docs, text_col)
+        kept = q.filter(
+            (q.n_tokens >= min_tokens) & (q.stopword_ratio >= min_stopword_ratio)
+        ).select(*docs.columns)
+        kept = exact_dedup(kept, text_col, id_col)
+        # batch-local barrier: `kept` feeds the in-batch LSH, the index
+        # probe, AND the surviving-row merge — the multi-consumer case
+        # the measured localCheckpoint rule says to materialize
+        kept = kept.localCheckpoint(eager=True)
+        in_pairs = minhash_lsh_candidates(
+            kept, max_bucket_size=max_bucket_size, **lsh_kw
+        )
+        drop_in = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept.join(drop_in, id_col, "left_anti")
+        if acid.latest_version(index_path) is not None:
+            index = acid.read_table(bspark, index_path)
+            hits = incremental_lsh_candidates(
+                kept, index, max_bucket_size=max_bucket_size, **lsh_kw
+            )
+            kept = kept.join(
+                hits.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        survivors = kept.localCheckpoint(eager=True)
+        if not survivors.take(1):
+            return
+        # keyed merges, not appends: replay-idempotent (see docstring).
+        # order_col is the key itself — replayed rows are identical, so
+        # "latest wins" degenerates to rewrite-in-place.
+        _merge_or_create(bspark, survivors, curated_path, (id_col,), id_col)
+        buckets = lsh_band_buckets(survivors, **lsh_kw)
+        _merge_or_create(bspark, buckets, index_path, (id_col, "band"), "bh")
+
+    return process
 
 
 def stream_incremental_curation(
@@ -451,27 +563,22 @@ def stream_incremental_curation(
     4. LSH-probed against the STORED band-bucket index of everything
        curated so far (``incremental_lsh_candidates`` — the batch
        hashes only itself; the corpus is never re-hashed), and
-    5. committed transactionally: survivors append to the curated acid
-       table, their band buckets append to the index acid table.
+    5. committed transactionally AND idempotently: survivors MERGE into
+       the curated acid table keyed on ``id_col``; their band buckets
+       MERGE into the index acid table keyed on ``(id_col, band)``.
 
     Everything downstream of the source is per-batch work: signature
     cost is linear in the batch, the index probe is an equi-join
     against a table that holds ~300 bytes/doc, and both sinks commit
     through the manifest CAS so a concurrent backfill writer or
     compaction job cannot lose updates. Restarts resume from the
-    checkpointed source offset; replayed batches re-dedup against the
-    index and produce no new survivors (the replayed ids are already
-    indexed — at-least-once delivery collapses).
+    checkpointed source offset; replayed batches re-merge the same rows
+    in place, so at-least-once delivery collapses to effectively-once
+    (see ``make_curation_batch_processor`` for why the index probe
+    alone cannot provide this, and tests/test_acid_table.py for the
+    double-invocation replay pin).
     """
-    from turbine_maintenance_etl_spark.io import acid
     from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
-    from turbine_maintenance_etl_spark.llm.dedup import (
-        exact_dedup,
-        incremental_lsh_candidates,
-        lsh_band_buckets,
-        minhash_lsh_candidates,
-    )
-    from turbine_maintenance_etl_spark.llm.text import add_quality_signals
 
     try:
         spark.dataSource.register(AcidTableStreamSource)
@@ -479,52 +586,18 @@ def stream_incremental_curation(
         if "already" not in str(e).lower():
             raise
 
-    lsh_kw = dict(
-        num_hashes=num_hashes, bands=bands, n=n,
-        text_col=text_col, id_col=id_col,
+    process = make_curation_batch_processor(
+        curated_path,
+        index_path,
+        min_tokens=min_tokens,
+        min_stopword_ratio=min_stopword_ratio,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
     )
-
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        bspark = batch_df.sparkSession
-        docs = batch_df.drop("_commit_version")
-        if not docs.take(1):
-            return
-        q = add_quality_signals(docs, text_col)
-        kept = q.filter(
-            (q.n_tokens >= min_tokens) & (q.stopword_ratio >= min_stopword_ratio)
-        ).select(*docs.columns)
-        kept = exact_dedup(kept, text_col, id_col)
-        # batch-local barrier: `kept` feeds the in-batch LSH, the index
-        # probe, AND the surviving-row append — the multi-consumer case
-        # the measured localCheckpoint rule says to materialize
-        kept = kept.localCheckpoint(eager=True)
-        in_pairs = minhash_lsh_candidates(
-            kept, max_bucket_size=max_bucket_size, **lsh_kw
-        )
-        drop_in = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
-        kept = kept.join(drop_in, id_col, "left_anti")
-        if acid.latest_version(index_path) is not None:
-            index = acid.read_table(bspark, index_path)
-            hits = incremental_lsh_candidates(
-                kept, index, max_bucket_size=max_bucket_size, **lsh_kw
-            )
-            kept = kept.join(
-                hits.select(F.col("new_id").alias(id_col)).distinct(),
-                id_col,
-                "left_anti",
-            )
-        survivors = kept.localCheckpoint(eager=True)
-        if not survivors.take(1):
-            return
-        if acid.latest_version(curated_path) is None:
-            acid.create_table(bspark, survivors, curated_path)
-        else:
-            acid.append_table(bspark, survivors, curated_path)
-        buckets = lsh_band_buckets(survivors, **lsh_kw)
-        if acid.latest_version(index_path) is None:
-            acid.create_table(bspark, buckets, index_path)
-        else:
-            acid.append_table(bspark, buckets, index_path)
 
     q = (
         spark.readStream.format("acidtable")
