@@ -786,3 +786,51 @@ def test_upsert_sink_first_batch_dedups_keys(tmp_path, spark):
     stream_acid_upsert_sink(stream, tbl, ckpt, keys=("id",), order_col="ts")
     got = {r["id"]: (r["v"], r["ts"]) for r in acid.read_table(spark, tbl).collect()}
     assert got == {1: (11.0, 200), 2: (20.0, 150)}
+
+
+def test_stream_source_schema_evolved_table(acid_stream_registered, tmp_path):
+    """Streaming a schema-EVOLVED table: schema() must be the unified
+    (evolved) schema regardless of which uuid-sorted dir happens to
+    come first, and read() must pad pre-evolution dirs with NULLs for
+    the added column — no runtime failure, no column misalignment."""
+    spark = acid_stream_registered
+    path = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    acid.create_table(
+        spark, spark.createDataFrame([(1, "a")], "id long, k string"), path
+    )
+    acid.append_table(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", "extra")], "id long, k string, note string"
+        ),
+        path,
+    )
+    got = _drain_stream(spark, path, out, ckpt)
+    assert set(got.columns) == {"id", "k", "note", "_commit_version"}
+    rows = {(r["id"], r["note"], r["_commit_version"]) for r in got.collect()}
+    assert rows == {(1, None, 1), (2, "extra", 2)}
+
+
+def test_vacuum_reclaims_compaction_parent_dirs(tmp_path, spark):
+    """Clustered compaction registers NESTED data dirs
+    ('data-compact-X/_b=N'); once vacuum drops every bucket the parent
+    (holding only its _SUCCESS marker) must be reclaimed too, not
+    orphaned forever."""
+    path = str(tmp_path / "vtbl")
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    acid.create_table(spark, df, path, stats_cols=("id",))
+    acid.compact_table(spark, path, target_partitions=3, cluster_cols=("id",))
+    compacted = acid.snapshot(path)
+    parents = {os.path.dirname(d) for d in compacted.dirs if os.path.dirname(d)}
+    assert parents, "clustered compaction should register nested dirs"
+    # two more versions so the compacted snapshot ages out of retention
+    acid.append_table(spark, df.limit(1), path)
+    acid.compact_table(spark, path, target_partitions=1)
+    acid.vacuum(path, keep_last=1)
+    for parent in parents:
+        assert not os.path.isdir(os.path.join(path, parent)), (
+            f"orphaned compaction parent {parent}"
+        )
+    # the surviving snapshot still reads fine (200 + the aging append)
+    assert acid.read_table(spark, path).count() == 201

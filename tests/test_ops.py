@@ -656,3 +656,98 @@ def test_cms_shard_sketches_and_merge_estimate(spark):
         assert est[it] >= truth[it], it           # never underestimates
         assert est[it] <= truth[it] + 0.02 * n_total, it
     assert est[10**12] <= 0.02 * n_total          # absent ~ 0 + eps*N
+
+
+def test_barrier_modes_equivalent(spark, tmp_path, monkeypatch):
+    """ops.materialize.barrier: 'reliable' (parquet round-trip under
+    SPARK_GRAFT_SCRATCH) returns the same rows as 'local'
+    (localCheckpoint), and the env knob drives the default."""
+    from turbine_maintenance_etl_spark.ops import materialize as M
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    local = M.barrier(df, "t", mode="local")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "scratch"))
+    reliable = M.barrier(df, "t", mode="reliable")
+    assert sorted(r["v"] for r in reliable.collect()) == sorted(
+        r["v"] for r in local.collect()
+    )
+    # reliable frames read from scratch parquet — no lineage to the input
+    assert (tmp_path / "scratch").exists()
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_MODE", "reliable")
+    assert M.checkpoint_mode() == "reliable"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_MODE", "bogus")
+    with pytest.raises(ValueError):
+        M.checkpoint_mode()
+
+
+def test_refresh_agg_from_cdf(spark, tmp_path):
+    """CDF-driven incremental aggregate maintenance: the rollup follows
+    the acid table through create/append/merge windows reading ONLY
+    each window's changes; a replayed refresh is a ledger no-op; a
+    merge's delete+insert pair nets to the update delta for count/sum."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    aggs = {"n": ("count", "id"), "total": ("sum", "v")}
+
+    def snap():
+        return {
+            r["k"]: (r["n"], r["total"])
+            for r in refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs).collect()
+        }
+
+    acid.create_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], "id long, k string, v double"
+        ),
+        tbl,
+    )
+    assert snap() == {"a": (2, 30.0), "b": (1, 5.0)}
+    # append window
+    acid.append_table(
+        spark, spark.createDataFrame([(4, "b", 7.0)], "id long, k string, v double"), tbl
+    )
+    assert snap() == {"a": (2, 30.0), "b": (2, 12.0)}
+    # merge window: update id=1 (delete 10.0 + insert 99.0 nets +89)
+    acid.merge_table(
+        spark,
+        spark.createDataFrame([(1, "a", 99.0)], "id long, k string, v double"),
+        tbl,
+        keys=("id",),
+        order_col="v",
+    )
+    assert snap() == {"a": (2, 119.0), "b": (2, 12.0)}
+    # no new commits -> no-op; state unchanged
+    assert snap() == {"a": (2, 119.0), "b": (2, 12.0)}
+
+
+def test_refresh_agg_from_cdf_minmax_rejects_deletes(spark, tmp_path):
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    aggs = {"lo": ("min", "v")}
+    acid.create_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10.0, 1)], "id long, k string, v double, ver long"
+        ),
+        tbl,
+    )
+    got = refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs)
+    assert got.collect()[0]["lo"] == 10.0
+    acid.merge_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 3.0, 2)], "id long, k string, v double, ver long"
+        ),
+        tbl,
+        keys=("id",),
+        order_col="ver",
+    )
+    with pytest.raises(ValueError, match="min/max"):
+        refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs)

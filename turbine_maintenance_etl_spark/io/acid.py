@@ -478,6 +478,22 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
             if d not in referenced and os.path.isdir(os.path.join(path, d)):
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
                 removed.append(d)
+                # clustered compaction registers NESTED dirs
+                # ('data-compact-X/_b=N'); once every referenced bucket
+                # is gone the parent holds only its _SUCCESS marker —
+                # reclaim it, or it leaks forever (manifests only ever
+                # name the nested paths)
+                parent = os.path.dirname(d)
+                ppath = os.path.join(path, parent)
+                if (
+                    parent
+                    and os.path.isdir(ppath)
+                    and not any(
+                        os.path.isdir(os.path.join(ppath, e))
+                        for e in os.listdir(ppath)
+                    )
+                ):
+                    shutil.rmtree(ppath, ignore_errors=True)
         os.unlink(_manifest_path(path, v))
     return removed
 

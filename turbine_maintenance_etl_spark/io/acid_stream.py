@@ -59,10 +59,13 @@ def _first_parquet_file(dir_path: str) -> str:
 
 
 class AcidTableStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting_version: int, ignore_changes: bool):
+    def __init__(
+        self, path: str, starting_version: int, ignore_changes: bool, spark_schema=None
+    ):
         self.path = path
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
+        self.spark_schema = spark_schema
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -98,13 +101,44 @@ class AcidTableStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _CommitDirPartition) -> Iterator:
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        # Schema-evolution alignment: the table's dirs may predate (or,
+        # mid-stream, postdate) the declared schema — MERGE/append with
+        # allowMissingColumns writes dirs whose column sets differ.
+        # Every batch is projected/padded to the DECLARED schema
+        # (missing columns -> nulls, extras dropped, types cast), so
+        # rows can never misalign with what downstream operators see.
+        target = None
+        if self.spark_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            declared = to_arrow_schema(self.spark_schema)
+            target = pa.schema(
+                [pa.field(f.name, f.type) for f in declared if f.name != _VERSION_COL]
+            )
+
+        def _align(batch: pa.RecordBatch) -> pa.RecordBatch:
+            if target is None or batch.schema.names == target.names:
+                return batch
+            arrays = []
+            for field in target:
+                i = batch.schema.get_field_index(field.name)
+                if i >= 0:
+                    col = batch.column(i)
+                    if col.type != field.type:
+                        col = pc.cast(col, field.type)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, field.type))
+            return pa.RecordBatch.from_arrays(arrays, schema=target)
 
         dataset = pq.ParquetDataset(partition.dir_path)
         ver = partition.version
         for fragment in dataset.fragments:
             for batch in fragment.to_batches():
-                yield batch.append_column(
+                yield _align(batch).append_column(
                     _VERSION_COL, pa.array([ver] * batch.num_rows, pa.int64())
                 )
 
@@ -127,13 +161,26 @@ class AcidTableStreamSource(DataSource):
         return path
 
     def schema(self):
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import LongType, StructField
 
+        # Schema-evolved tables hold dirs with differing column sets
+        # (MERGE allowMissingColumns / evolving appends); dirs are
+        # uuid-named, so "first dir" is arbitrary. Unify footer schemas
+        # across ALL dirs of the latest snapshot (footer reads only —
+        # no data I/O) so the declared schema is the table's evolved
+        # one, exactly like acid.read_table's mergeSchema read.
         snap = acid.snapshot(self._table_path())
-        f = _first_parquet_file(os.path.join(self._table_path(), snap.dirs[0]))
-        base = from_arrow_schema(pq.ParquetFile(f).schema_arrow)
+        footers = [
+            pq.ParquetFile(
+                _first_parquet_file(os.path.join(self._table_path(), d))
+            ).schema_arrow
+            for d in snap.dirs
+        ]
+        unified = pa.unify_schemas(footers, promote_options="permissive")
+        base = from_arrow_schema(unified)
         return base.add(StructField(_VERSION_COL, LongType(), False))
 
     def streamReader(self, schema) -> AcidTableStreamReader:
@@ -141,4 +188,5 @@ class AcidTableStreamSource(DataSource):
             self._table_path(),
             int(self.options.get("startingversion", 0)),
             str(self.options.get("ignorechanges", "false")).lower() == "true",
+            spark_schema=schema,
         )

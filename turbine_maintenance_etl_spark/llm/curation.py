@@ -11,6 +11,8 @@ last (output amplification happens after the data is smallest).
 
 from __future__ import annotations
 
+from turbine_maintenance_etl_spark.ops.materialize import barrier
+
 from pyspark.sql import DataFrame
 
 from turbine_maintenance_etl_spark.llm.dedup import exact_dedup
@@ -84,7 +86,7 @@ def curate_corpus_v2(
     # curate_corpus_v3's barrier note): exact_dedup consumes `gated`
     # from more than one plan branch, and the gate is the chain's
     # expensive stage.
-    gated = gated.localCheckpoint(eager=True)
+    gated = barrier(gated, "curation-gate")
     survivors = exact_dedup(gated, text_col, id_col)
     return chunk_documents(survivors, chunk_tokens, overlap, text_col, id_col)
 
@@ -203,16 +205,19 @@ def curate_corpus_v3(
     # the classification of the gate changed. localCheckpoint writes
     # survivors to executor-local disk (bounded: post-gate corpus),
     # far cheaper at any scale than 3x re-running the LM pipeline.
-    gated = gated.localCheckpoint(eager=True)
+    gated = barrier(gated, "curation-gate")
     nd = normalized_dedup(gated, text_col, id_col)
     # second barrier: remove_duplicated_spans consumes its input from
     # THREE plan branches (base stats, gram stream, token rebuild), so
     # an un-materialized survivors frame re-runs the normalization
     # window + semi join per branch (~3x its cost; measured with the
     # gate barrier: 13.5s -> ~9s at sf0.1)
-    survivors = gated.join(
-        nd.filter(F.col("survivor")).select(id_col), [id_col], "semi"
-    ).localCheckpoint(eager=True)
+    survivors = barrier(
+        gated.join(
+            nd.filter(F.col("survivor")).select(id_col), [id_col], "semi"
+        ),
+        "curation-survivors",
+    )
     cleaned = remove_duplicated_spans(
         survivors, n=span_n, text_col=text_col, id_col=id_col
     ).select(F.col(id_col), F.col("cleaned_text").alias(text_col))

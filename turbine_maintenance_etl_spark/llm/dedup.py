@@ -16,6 +16,8 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+from turbine_maintenance_etl_spark.ops.materialize import barrier
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -408,7 +410,7 @@ def resolve_duplicate_clusters(
         # once per round. Labels were already checkpointed per round;
         # this closes the same leak on the static side of the loop
         # (measured r5: dedup_graph_suite 5.3s -> ~2x faster at sf0.1).
-        .localCheckpoint(eager=True)
+        .transform(lambda d: barrier(d, "dedup-edges"))
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -441,9 +443,10 @@ def resolve_duplicate_clusters(
         # lineage attached — every downstream action re-executed the whole
         # candidate-pair pipeline (caught by the PLANS.md exchange count:
         # 19 shuffles in the consumer's plan vs 0 from a checkpoint).
-        new_labels = jumped.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
+        new_labels = barrier(
+            jumped.select("node", F.col("new_label").alias("label")),
+            "dedup-labels",
+        )
         changed = (
             labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
             .filter(F.col("label") != F.col("new_label"))
@@ -487,7 +490,7 @@ def containment_scores(
     and the later join share ONE execution of the upstream candidate
     pipeline instead of running LSH twice."""
     if max_pairs is not None:
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = barrier(pairs, "dedup-pairs")
         n_pairs = pairs.count()
         if n_pairs > max_pairs:
             raise ValueError(

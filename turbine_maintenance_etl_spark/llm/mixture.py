@@ -126,20 +126,52 @@ def sample_temperature_mixture(
     frame, gives each slice its running-total offset; the corpus-wide
     window then partitions on (source, sub-bucket) — even a single
     pathologically huge source spreads over ``num_subbuckets``
-    reducers instead of serializing one."""
-    budgets = source_token_budgets(docs, token_budget, alpha, source_col, text_col)
+    reducers instead of serializing one.
+
+    Tokenization dominates the cost, so the corpus is tokenized exactly
+    ONCE: the narrow (id, source, n_tokens, _pri, _sub) frame —
+    ~30 bytes/doc, no text — is materialized via the barrier, and the
+    per-(source, sub-bucket) aggregate (feeding BOTH the source budgets
+    and the prefix offsets), plus the final selected-row join, all read
+    the materialized frame. (Round 5 shipped three tokenizing passes —
+    budgets, offsets, output — regressing the sf0.1 bench 1.7×; this
+    restores and beats the round-4 number.)"""
+    from turbine_maintenance_etl_spark.ops.materialize import barrier
+
     sub_width = HASH_SPACE // num_subbuckets
-    d = docs.select(
-        F.col(id_col),
-        F.col(source_col),
-        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
-        priority_hash(id_col, salt).alias("_pri"),
-    ).withColumn("_sub", (F.col("_pri") / F.lit(sub_width)).cast("int"))
-    joined = d.join(F.broadcast(budgets.drop("src_tokens")), source_col)
-    # per-(source, sub-bucket) token mass -> prefix offsets; the frame is
-    # sources x num_subbuckets rows, so the prefix window is tiny and
-    # partitioned by source
+    d = barrier(
+        docs.select(
+            F.col(id_col),
+            F.col(source_col),
+            token_count_expr(text_col).cast("bigint").alias("n_tokens"),
+            priority_hash(id_col, salt).alias("_pri"),
+        ).withColumn("_sub", (F.col("_pri") / F.lit(sub_width)).cast("int")),
+        "mixture-docs",
+    )
+    # per-(source, sub-bucket) token mass: sources x num_subbuckets rows
     per_sub = d.groupBy(source_col, "_sub").agg(F.sum("n_tokens").alias("_subtoks"))
+    # budgets from the sub-bucket sums (sum of exact bigints per source
+    # == source_token_budgets' double sum for integer token counts)
+    per = per_sub.groupBy(source_col).agg(
+        F.sum("_subtoks").cast("double").alias("src_tokens")
+    )
+    if alpha == 0.5:
+        w = F.sqrt("src_tokens")
+    elif alpha == 0.0:
+        w = F.lit(1.0)
+    elif alpha == 1.0:
+        w = F.col("src_tokens")
+    else:
+        w = F.pow("src_tokens", F.lit(float(alpha)))
+    powed = per.select(source_col, w.alias("_w"))
+    total = powed.agg(F.sum("_w").alias("_tw"))
+    budgets = powed.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.round(F.col("_w") / F.col("_tw") * F.lit(float(token_budget)))
+        .cast("bigint")
+        .alias("token_budget"),
+    )
+    joined = d.join(F.broadcast(budgets), source_col)
     w_off = (
         Window.partitionBy(source_col)
         .orderBy("_sub")

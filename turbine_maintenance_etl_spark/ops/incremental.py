@@ -113,12 +113,25 @@ def merge_incremental_agg(
         return state  # replay: no-op
 
     partials = batch.groupBy(*keys).agg(*partial_agg_exprs(aggs))
-    if state is not None:
-        merge_exprs = [_MERGES[fn](out).alias(out) for out, (fn, _) in aggs.items()]
-        merged = state.unionByName(partials).groupBy(*keys).agg(*merge_exprs)
-    else:
-        merged = partials
+    merged = _merge_into_state(state, partials, keys, aggs)
+    return _publish(spark, state_path, merged, applied | {batch_id})
 
+
+def _merge_into_state(
+    state: DataFrame | None,
+    partials: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    if state is None:
+        return partials
+    merge_exprs = [_MERGES[fn](out).alias(out) for out, (fn, _) in aggs.items()]
+    return state.unionByName(partials).groupBy(*keys).agg(*merge_exprs)
+
+
+def _publish(
+    spark: SparkSession, state_path: str, merged: DataFrame, batch_ids: set[str]
+) -> DataFrame:
     # stage state + updated ledger together, then publish via renames:
     # current -> __old, staging -> current, drop __old. Every crash
     # window is recoverable (see _recover) and none can double-count.
@@ -127,7 +140,7 @@ def merge_incremental_agg(
         shutil.rmtree(tmp)
     merged.write.parquet(tmp)
     new_ledger = spark.createDataFrame(
-        [(b,) for b in sorted(applied | {batch_id})], "batch_id string"
+        [(b,) for b in sorted(batch_ids)], "batch_id string"
     )
     new_ledger.coalesce(1).write.parquet(f"{tmp}/{_LEDGER}")
     old = f"{state_path}__old"
@@ -137,3 +150,90 @@ def merge_incremental_agg(
     if os.path.exists(old):
         shutil.rmtree(old)
     return spark.read.parquet(state_path)
+
+
+def refresh_agg_from_cdf(
+    spark: SparkSession,
+    table_path: str,
+    state_path: str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Maintain a grouped aggregate over a TRANSACTIONAL table
+    (io/acid.py) directly from its commit log — the lakehouse last
+    mile: downstream rollups follow the table without ever re-scanning
+    it. Each call reads ``acid.table_changes`` for ONLY the commit
+    window since the last refresh (the applied cursor lives in the
+    state's batch ledger as ``cdf-v<version>`` entries), folds the
+    changes into the state, and publishes through the same
+    atomic-rename + ledger protocol as ``merge_incremental_agg`` — so
+    a crashed or replayed refresh can never double-apply a window.
+
+    Delete handling: an acid MERGE surfaces an update as
+    delete-of-old + insert-of-new, so ``count``/``sum`` fold deletes as
+    NEGATIVE contributions and the pair nets to the update delta.
+    ``min``/``max`` are not delete-invertible (a retracted minimum
+    cannot be recomputed without history); a CDF window containing
+    deletes raises for them — recompute those from the snapshot.
+
+    Scale shape: the CDF is symmetric-difference-pruned (an append of
+    1 GB to a 100 TB table diffs 1 GB), the fold is one partial agg of
+    the changed rows, and the merge touches only the
+    group-cardinality-sized state."""
+    from turbine_maintenance_etl_spark.io import acid
+
+    if state_path.startswith("file://"):
+        state_path = state_path[len("file://") :]
+    if "://" in state_path:
+        raise ValueError(
+            f"refresh_agg_from_cdf requires a local-POSIX state_path: {state_path!r}"
+        )
+    _recover(state_path)
+    state = _read_or_none(spark, state_path)
+    ledger = _read_or_none(spark, f"{state_path}/{_LEDGER}")
+    applied = (
+        {r["batch_id"] for r in ledger.collect()} if ledger is not None else set()
+    )
+    done = max(
+        (int(b.rsplit("v", 1)[1]) for b in applied if b.startswith("cdf-v")),
+        default=0,
+    )
+    latest = acid.latest_version(table_path)
+    if latest is None or latest <= done:
+        return state  # nothing committed since the last refresh
+
+    if done == 0:
+        # bootstrap: the whole first-seen snapshot is one insert window
+        ch = acid.read_table(spark, table_path, version=latest).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    else:
+        ch = acid.table_changes(spark, table_path, done, latest)
+
+    fns = {fn for fn, _ in aggs.values()}
+    unsupported = fns - set(_MERGES)
+    if unsupported:
+        raise ValueError(f"non-decomposable aggregates: {unsupported}")
+    if fns & {"min", "max"} and ch.filter(
+        F.col("_change_type") == "delete"
+    ).take(1):
+        raise ValueError(
+            "min/max cannot be incrementally maintained over a CDF window "
+            "containing deletes (not delete-invertible); recompute from the "
+            "snapshot instead"
+        )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            exprs.append(
+                F.sum(F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0)))
+                .alias(out)
+            )
+        elif fn == "sum":
+            exprs.append(F.sum(F.col(col) * sign).alias(out))
+        else:  # min/max: insert-only window, plain partials
+            exprs.append(getattr(F, fn)(col).alias(out))
+    partials = ch.groupBy(*keys).agg(*exprs)
+    merged = _merge_into_state(state, partials, keys, aggs)
+    return _publish(spark, state_path, merged, applied | {f"cdf-v{latest}"})

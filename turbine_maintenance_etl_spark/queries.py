@@ -135,6 +135,7 @@ PRIORITY_ORDER: list[str] = [
     "agg_rollup_cube",
     "agg_pivot",
     "s_acid_table_changes",
+    "s_acid_cdf_incremental_agg",
     "s_acid_stream_tail",
     "dedup_image_neardup_pairs",
     "dedup_audio_fingerprint",
@@ -186,6 +187,7 @@ PRIORITY_ORDER: list[str] = [
     "quality_classifier_filter",
     "streaming_tumbling_window",
     "streaming_foreachbatch_upsert",
+    "streaming_curation_capstone",
     "events_sliding_window",
     "dedup_exact_groups",
     "dedup_exact_survivors",

@@ -1844,3 +1844,112 @@ def text_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.filter(F.col("doc_id") % 37 != 0)
     bench = d.filter(F.col("doc_id") % 37 == 0)
     return fuzzy_decontamination(docs, bench, threshold=0.2)
+
+
+def _capstone_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """DuckDB relational twin of the two-batch streaming curation
+    capstone: quality gate -> per-batch exact dedup -> per-batch
+    in-batch LSH drop -> batch-1 probe against batch-0 survivors'
+    buckets. Shares the portable md5 minhash family with
+    ``_minhash_oracle`` (same seed, same coefficients)."""
+    rng = random.Random(seed)
+    p = (1 << 31) - 1
+    coeffs = [
+        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
+    ]
+    h = _DUCK_HASH64.format(s="s")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h % {p} * {a} + {b}) % {p}), 'min') AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, batch, {bi} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")) AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH d0 AS (
+        SELECT doc_id, source, text, doc_id % 2 AS batch, {_DUCK_TOKS} AS toks
+        FROM documents),
+    gated AS (
+        SELECT doc_id, source, text, batch, toks FROM d0
+        WHERE len(toks) >= 20
+          AND ROUND(CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+                    / NULLIF(CAST(len(toks) AS DOUBLE), 0), 4) >= 0.05),
+    ex AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY batch, md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated),
+    kept AS (SELECT doc_id, source, batch, toks FROM ex WHERE rn = 1),
+    sh AS (SELECT doc_id, batch, {_DUCK_SHINGLES} AS s FROM kept),
+    hashed AS (SELECT doc_id, batch, list_transform(s, s -> {h}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, batch, {mh_cols} FROM hashed),
+    buckets AS ({band_selects}),
+    drop_in AS (
+        SELECT DISTINCT b.doc_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bh = b.bh AND a.batch = b.batch
+         AND a.doc_id < b.doc_id),
+    kept2 AS (
+        SELECT k.doc_id, k.source, k.batch FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM drop_in)),
+    index0 AS (
+        SELECT DISTINCT bk.band, bk.bh
+        FROM buckets bk JOIN kept2 s ON s.doc_id = bk.doc_id AND s.batch = 0),
+    drop_probe AS (
+        SELECT DISTINCT bk.doc_id
+        FROM buckets bk
+        JOIN index0 i ON bk.band = i.band AND bk.bh = i.bh
+        WHERE bk.batch = 1),
+    final AS (
+        SELECT doc_id, source FROM kept2
+        WHERE batch = 0
+           OR doc_id NOT IN (SELECT doc_id FROM drop_probe))
+    SELECT doc_id, source, CAST({bands} AS BIGINT) AS n_bands FROM final
+    """
+
+
+@register("streaming_curation_capstone", _capstone_oracle())
+def streaming_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed continuous-ingest capstone, DRIVER-GRADED against a
+    relational twin: the documents table arrives as TWO acid commits
+    (doc_id parity), ``stream_incremental_curation`` drains each as a
+    micro-batch (quality gate -> per-batch exact dedup -> in-batch LSH
+    drop -> stored-index probe -> keyed-merge commits), and the final
+    curated table joined to the real on-disk LSH index (n_bands per
+    survivor) is the result. The DuckDB oracle replays the whole chain
+    relationally — portable md5 minhash family, same seed — so the
+    surviving document SET and the index's per-doc band count are both
+    hash-checked across engines. Replay idempotence of the sinks is
+    pinned separately (tests/test_acid_table.py)."""
+    import shutil
+    import tempfile
+
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        stream_incremental_curation,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_capstone_")
+    src, cur, idx = f"{tmp}/src", f"{tmp}/curated", f"{tmp}/index"
+    ckpt = f"{tmp}/ckpt"
+    try:
+        acid.create_table(spark, docs.filter(F.col("doc_id") % 2 == 0), src)
+        stream_incremental_curation(spark, src, cur, idx, ckpt, timeout_s=300)
+        acid.append_table(spark, docs.filter(F.col("doc_id") % 2 == 1), src)
+        stream_incremental_curation(spark, src, cur, idx, ckpt, timeout_s=300)
+        curated = acid.read_table(spark, cur).select("doc_id", "source")
+        bands = (
+            acid.read_table(spark, idx)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bands"))
+        )
+        out = curated.join(bands, "doc_id").select("doc_id", "source", "n_bands")
+        return spark.createDataFrame(
+            out.collect(), "doc_id bigint, source string, n_bands bigint"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

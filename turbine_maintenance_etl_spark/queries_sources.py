@@ -527,3 +527,94 @@ def s_acid_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_acid_cdf_incremental_agg",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    v1 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT * FROM v1
+           UNION ALL SELECT * FROM base WHERE o_orderkey % 3 = 1),
+    v3 AS (SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 6 = 0 THEN cents * 2 ELSE cents END AS cents
+           FROM v2)
+    SELECT 'v1' AS stage, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v2', o_orderstatus, COUNT(*), SUM(cents) FROM v2 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v3', o_orderstatus, COUNT(*), SUM(cents) FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def s_acid_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven incremental aggregate maintenance — the lakehouse
+    last mile (ops/incremental.py ``refresh_agg_from_cdf`` composed
+    with io/acid.py ``table_changes``): a per-status (count, cents-sum)
+    rollup follows the transactional table through CREATE (%3=0) ->
+    APPEND (%3=1) -> MERGE (double the cents of %6=0 keys) reading ONLY
+    each commit window's changes — the merge folds as delete+insert
+    netting to the update delta; no refresh ever re-scans the table.
+    The state after each refresh is emitted as a stage row-set the
+    DuckDB oracle recomputes relationally from raw orders. Sums are
+    exact integer cents so incremental +/- folding is bit-identical to
+    the oracle's direct GROUP BY."""
+    import shutil
+    import tempfile
+
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_cdf_agg_")
+    tbl, state = f"{tmp}/orders_acid", f"{tmp}/rollup_state"
+    aggs = {"n_orders": ("count", "o_orderkey"), "total_cents": ("sum", "cents")}
+    rows = []
+
+    def refresh(stage: str) -> None:
+        got = refresh_agg_from_cdf(spark, tbl, state, ["o_orderstatus"], aggs)
+        rows.extend(
+            (stage, r["o_orderstatus"], r["n_orders"], r["total_cents"])
+            for r in got.collect()
+        )
+
+    try:
+        acid.create_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 0).withColumn("ver", F.lit(1)),
+            tbl,
+            stats_cols=("o_orderkey",),
+        )
+        refresh("v1")
+        acid.append_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 1).withColumn("ver", F.lit(1)),
+            tbl,
+        )
+        refresh("v2")
+        upd = (
+            o.filter(F.col("o_orderkey") % 6 == 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("cents") * 2).alias("cents"),
+                F.lit(2).alias("ver"),
+            )
+        )
+        acid.merge_table(spark, upd, tbl, keys=("o_orderkey",), order_col="ver")
+        refresh("v3")
+        return spark.createDataFrame(
+            rows,
+            "stage string, o_orderstatus string, n_orders bigint, total_cents bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
