@@ -834,3 +834,25 @@ def test_vacuum_reclaims_compaction_parent_dirs(tmp_path, spark):
         )
     # the surviving snapshot still reads fine (200 + the aging append)
     assert acid.read_table(spark, path).count() == 201
+
+
+def test_orphan_sweep_reclaims_raceloser_dirs(tmp_path, spark):
+    """A data dir written but never committed (lost CAS retry, crash
+    before commit) is invisible to vacuum; orphan_sweep reclaims it
+    once older than the safety fence, and never touches referenced
+    dirs or fresh (possibly in-flight) ones."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    acid.create_table(spark, df, path)
+    # simulate a commit-race loser: data dir on disk, no manifest entry
+    orphan = os.path.join(path, "data-append-deadbeef0000")
+    df.write.parquet(orphan)
+    fresh = os.path.join(path, "data-append-deadbeef0001")
+    df.write.parquet(fresh)
+    old = os.path.getmtime(orphan) - 7200
+    os.utime(orphan, (old, old))
+    removed = acid.orphan_sweep(path, min_age_s=3600)
+    assert removed == ["data-append-deadbeef0000"]
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(fresh)  # inside the fence: untouched
+    assert acid.read_table(spark, path).count() == 1  # table intact

@@ -18,7 +18,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _rows(df, cols):
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    # None-safe sort: grouping-set rows carry NULL dimension values
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
 
 
 @pytest.mark.parametrize(
@@ -47,6 +51,10 @@ def _rows(df, cols):
          [("doc_id", "doc_id"), ("k", "cluster_id")]),
         ("dedup_graph_suite", "survivors", "dedup_neardup_survivors",
          [("doc_id", "doc_id"), ("s", "source")]),
+        # round-6 compaction: grouping suite vs the folded originals
+        ("agg_grouping_suite", "grouping", "agg_rollup_cube",
+         [("src", "src"), ("d1", "d1"), ("d2", "d2"),
+          ("gid", "gid"), ("n", "n"), ("measure", "measure")]),
     ],
 )
 def test_suite_branch_equals_original(spark, suite, variant, original, mapping):
@@ -55,3 +63,17 @@ def test_suite_branch_equals_original(spark, suite, variant, original, mapping):
     got = _rows(suite_df, [m[0] for m in mapping])
     want = _rows(orig_df, [m[1] for m in mapping])
     assert got == want, f"{suite}[{variant}] drifted from {original}"
+
+
+def test_grouping_suite_pivot_branch_equals_melted_pivot(spark):
+    """The suite's 'pivot' variant is agg_pivot's wide rows MELTED to
+    (d1=returnflag, d2=linestatus, measure=cell): differential over the
+    exact cell values."""
+    suite = REGISTRY["agg_grouping_suite"].fn(spark, SF_DIR).filter("variant = 'pivot'")
+    wide = REGISTRY["agg_pivot"].fn(spark, SF_DIR)
+    got = {(r["d1"], r["d2"]): r["measure"] for r in suite.collect()}
+    want = {}
+    for r in wide.collect():
+        want[(r["l_returnflag"], "O")] = r["qty_O"]
+        want[(r["l_returnflag"], "F")] = r["qty_F"]
+    assert got == want

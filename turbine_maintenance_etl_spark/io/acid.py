@@ -458,6 +458,43 @@ def merge_table(
     return _retrying_commit(path, build, "merge", spark)
 
 
+def orphan_sweep(path: str, min_age_s: float = 3600.0) -> list[str]:
+    """Reclaim data directories referenced by NO manifest: commit-race
+    losers and crashed builds write a ``data-*`` dir first and only
+    then attempt the CAS commit, so a lost retry or a crash between
+    write and commit leaks the dir forever — no vacuum pass can see it
+    (vacuum walks manifests, and no manifest names it).
+
+    ``min_age_s`` is the safety fence against the inherent race with
+    an IN-FLIGHT commit (its dir exists but its manifest doesn't yet):
+    only dirs whose mtime is older than the threshold are swept. Keep
+    it comfortably above the longest plausible write-to-commit window
+    (default one hour — a writer that takes longer than that between
+    finishing its parquet write and linking its manifest has already
+    lost any realistic retry loop). Returns the removed dirs."""
+    import shutil
+    import time
+
+    referenced: set[str] = set()
+    for v in _list_versions(path):
+        referenced.update(_read_manifest(path, v).dirs)
+    # nested (clustered-compaction) references also pin their parent
+    referenced.update(os.path.dirname(d) for d in referenced.copy() if os.path.dirname(d))
+    now = time.time()
+    removed = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not (name.startswith("data-") and os.path.isdir(full)):
+            continue
+        if name in referenced:
+            continue
+        if now - os.path.getmtime(full) < min_age_s:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(name)
+    return removed
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[str]:
     """Delete data directories unreferenced by the ``keep_last`` most
     recent versions, and their manifests. Returns removed dirs. Callers
