@@ -708,3 +708,36 @@ def test_span_rewrite_hypothesis_differential(spark):
         assert got == _brute_span_dedup(texts, n=3)
 
     check()
+
+
+def test_cluster_aware_split_no_leakage(spark):
+    from pyspark.sql import functions as F
+
+    """The whole point: no LSH near-dup pair may straddle train/eval;
+    membership is deterministic; unclustered docs self-represent."""
+    from turbine_maintenance_etl_spark.llm.dedup import (
+        cluster_aware_split,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = cluster_aware_split(docs)
+    assert out.count() == docs.count()
+    # every candidate pair lands on the same side
+    pairs = minhash_lsh_candidates(docs)
+    sides = out.select("doc_id", "split")
+    straddle = (
+        pairs.join(sides.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(sides.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .filter(F.col("split_a") != F.col("split"))
+    )
+    assert straddle.count() == 0
+    # deterministic: a second run assigns identical splits
+    again = cluster_aware_split(docs).select("doc_id", "split")
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again)
+        .count()
+        == 0
+    )

@@ -751,3 +751,63 @@ def test_refresh_agg_from_cdf_minmax_rejects_deletes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="min/max"):
         refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs)
+
+
+def test_refresh_agg_from_cdf_randomized_differential(spark, tmp_path):
+    """Property-style differential: a RANDOM interleaving of appends and
+    keyed merges with refreshes at random points must leave the
+    incrementally maintained state exactly equal to a direct groupBy of
+    the final table — for every prefix where a refresh ran."""
+    import random as _random
+
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    rng = _random.Random(20260814)
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    aggs = {"n": ("count", "id"), "total": ("sum", "cents")}
+    keys = ["k"]
+
+    def row(i):
+        return (i, rng.choice("abcd"), rng.randrange(100, 10_000), rng.randrange(1, 5))
+
+    schema = "id long, k string, cents long, ver long"
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        out = [row(i) for i in range(next_id, next_id + n)]
+        next_id += n
+        return out
+
+    acid.create_table(spark, spark.createDataFrame(fresh_rows(20), schema), tbl)
+    existing = list(range(20))
+    for step in range(6):
+        if rng.random() < 0.5:
+            acid.append_table(spark, spark.createDataFrame(fresh_rows(10), schema), tbl)
+            existing.extend(range(next_id - 10, next_id))
+        else:
+            # keyed merge: bump ver so the update always wins
+            upd = [
+                (i, rng.choice("abcd"), rng.randrange(100, 10_000), 99 + step)
+                for i in rng.sample(existing, 5)
+            ]
+            acid.merge_table(
+                spark, spark.createDataFrame(upd, schema), tbl,
+                keys=("id",), order_col="ver",
+            )
+        if rng.random() < 0.6 or step == 5:
+            got = {
+                r["k"]: (r["n"], r["total"])
+                for r in refresh_agg_from_cdf(spark, tbl, state, keys, aggs).collect()
+                if r["n"] != 0  # fully-drained groups may linger at zero
+            }
+            want = {
+                r["k"]: (r["n"], r["total"])
+                for r in acid.read_table(spark, tbl)
+                .groupBy("k")
+                .agg(F.count("id").alias("n"), F.sum("cents").alias("total"))
+                .collect()
+            }
+            assert got == want, f"divergence after step {step}"

@@ -739,3 +739,60 @@ def remove_duplicated_spans(
         )
     )
     return out
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    train_pct: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LEAKAGE-PROOF train/eval split: a plain id-hash split (the
+    ``hash_split`` family) lets near-duplicate documents straddle the
+    boundary — the classic train/test contamination that inflates every
+    downstream eval. Here the split key is the document's near-dup
+    CLUSTER representative (LSH candidate pairs -> connected components
+    -> min-id ``cluster_id``; unclustered docs represent themselves),
+    so an entire duplicate cluster always lands on one side.
+
+    Membership stays a pure deterministic function of content-derived
+    ids (portable md5 bucket of the representative + salt), so the
+    split is stable under repartitioning, appends of unrelated docs,
+    and engine changes — and fully oracle-checkable (the cluster step
+    replays as a recursive-CTE transitive closure).
+
+    Scale shape: LSH candidates are bucketed (never all-pairs), the
+    component resolution is O(log diameter) rounds over the edge list,
+    and attaching representatives is one id-keyed join of a
+    (doc_id, cluster_id) frame that holds only CLUSTERED docs (AQE
+    broadcasts it when small). Output: input rows + ``rep_id`` +
+    ``split`` ('train' | 'eval')."""
+    from turbine_maintenance_etl_spark.ops.sampling import hash_bucket
+
+    pairs = minhash_lsh_candidates(
+        df,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    clusters = resolve_duplicate_clusters(pairs)
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        df.join(clusters, id_col, "left")
+        .withColumn("rep_id", rep)
+        .withColumn(
+            "split",
+            F.when(hash_bucket(rep, 100, salt) < train_pct, F.lit("train")).otherwise(
+                F.lit("eval")
+            ),
+        )
+        .drop("cluster_id")
+    )

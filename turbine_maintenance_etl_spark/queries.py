@@ -206,6 +206,7 @@ PRIORITY_ORDER: list[str] = [
     "q4_priority_exists",
     "sql_api_filtered_revenue",
     "split_hash_80_20",
+    "split_cluster_aware",
     "sample_join_stable_downsample",
     "sample_weighted_topk",
     "p_melt_unpivot",

@@ -1953,3 +1953,46 @@ def streaming_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cluster_split_oracle(train_pct: int = 80) -> str:
+    pairs = _minhash_oracle()
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(rep_id AS VARCHAR) || 'split'), 1, 15))"
+        " AS BIGINT) % 100"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node),
+    clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+    SELECT doc_id, rep_id,
+           CASE WHEN {bucket} < {train_pct} THEN 'train' ELSE 'eval' END AS split
+    FROM labeled
+    """
+
+
+@register("split_cluster_aware", _cluster_split_oracle())
+def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/eval split (llm/dedup.py
+    ``cluster_aware_split``): the split key is the LSH-resolved
+    near-dup cluster representative, so no duplicate pair ever
+    straddles the boundary — the contamination a plain id-hash split
+    (split_hash_80_20) cannot prevent. Doc-level output
+    (doc_id, rep_id, split) so the oracle hash-checks EVERY assignment:
+    DuckDB replays candidate pairs, the recursive-CTE transitive
+    closure, the representative coalesce, and the salted md5 bucket."""
+    return D.cluster_aware_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "rep_id", "split"
+    )
