@@ -856,3 +856,52 @@ def test_orphan_sweep_reclaims_raceloser_dirs(tmp_path, spark):
     assert not os.path.isdir(orphan)
     assert os.path.isdir(fresh)  # inside the fence: untouched
     assert acid.read_table(spark, path).count() == 1  # table intact
+
+
+def test_stream_maintained_rollup(acid_stream_registered, tmp_path):
+    """The commit log drives the rollup: each drained stream leaves the
+    state equal to a direct groupBy of the table — through appends AND
+    a merge (which the refresh folds delete-aware even though the
+    stream only signals it)."""
+    from turbine_maintenance_etl_spark.streaming.ingest import stream_maintained_rollup
+
+    spark = acid_stream_registered
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    aggs = {"n": ("count", "id"), "total": ("sum", "cents")}
+    schema = "id long, k string, cents long, ver long"
+    acid.create_table(
+        spark,
+        spark.createDataFrame([(1, "a", 100, 1), (2, "b", 50, 1)], schema),
+        tbl,
+    )
+
+    def run(i):
+        stream_maintained_rollup(
+            spark, tbl, state, str(tmp_path / f"ckpt"), ["k"], aggs, timeout_s=120
+        )
+        got = {
+            r["k"]: (r["n"], r["total"])
+            for r in spark.read.parquet(state).collect()
+            if r["n"] != 0
+        }
+        want = {
+            r["k"]: (r["n"], r["total"])
+            for r in acid.read_table(spark, tbl)
+            .groupBy("k")
+            .agg(F.count("id").alias("n"), F.sum("cents").alias("total"))
+            .collect()
+        }
+        assert got == want, f"run {i}: {got} != {want}"
+
+    run(1)
+    acid.append_table(spark, spark.createDataFrame([(3, "a", 30, 1)], schema), tbl)
+    run(2)
+    acid.merge_table(
+        spark,
+        spark.createDataFrame([(1, "a", 999, 2)], schema),
+        tbl,
+        keys=("id",),
+        order_col="ver",
+    )
+    run(3)

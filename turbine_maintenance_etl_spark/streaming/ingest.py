@@ -608,3 +608,52 @@ def stream_incremental_curation(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def stream_maintained_rollup(
+    spark: SparkSession,
+    table_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    keys: list,
+    aggs: dict,
+    timeout_s: int = 600,
+) -> None:
+    """CONTINUOUSLY maintained rollup: the acid table's commit log
+    (``acidtable`` stream source) triggers a CDF-window refresh of the
+    aggregate state after every batch of commits — the push-based
+    complement of calling ``refresh_agg_from_cdf`` on a schedule.
+
+    The micro-batch ROWS are deliberately ignored: the stream is only
+    the commit signal (hence ``ignorechanges`` — a merge commit must
+    advance the stream, not fail it), and the refresh re-derives the
+    exact change window from ``acid.table_changes`` under its own
+    ledger cursor. That split keeps every correctness property in ONE
+    place: delete-aware folding, replay-safety, and crash-atomicity
+    all come from ``refresh_agg_from_cdf``; a replayed or overlapping
+    trigger is a ledger no-op. Per-trigger cost is the commit window's
+    changes + the group-cardinality state, never the table."""
+    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    try:
+        spark.dataSource.register(AcidTableStreamSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        refresh_agg_from_cdf(
+            batch_df.sparkSession, table_path, state_path, keys, aggs
+        )
+
+    q = (
+        spark.readStream.format("acidtable")
+        .option("ignorechanges", "true")
+        .load(table_path)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
