@@ -333,3 +333,56 @@ def test_cli_curate_decontaminate(spark, tmp_path):
     assert decon["decontaminated_docs"] < clean["input_docs"]
     assert decon["curated_chunks"] < clean["curated_chunks"]
     assert clean["decontaminated_docs"] is None
+
+
+def test_cli_curate_split_and_table_sweep_rollup(spark, tmp_path):
+    """Round-6 CLI surfaces: curate --split-eval-pct tags chunks with the
+    leakage-proof cluster-aware split; table sweep reclaims orphan data
+    dirs; table rollup maintains the CDF aggregate state."""
+    import contextlib
+    import io
+    import json
+    import os as _os
+
+    from tests.conftest import SF_DIR
+    from turbine_maintenance_etl_spark.cli import main
+    from turbine_maintenance_etl_spark.io import acid
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    out = run(
+        ["curate", "--input", f"{SF_DIR}/documents.parquet",
+         "--output", str(tmp_path / "cur"), "--split-eval-pct", "20"]
+    )
+    sc = out["split_chunks"]
+    assert set(sc) == {"train", "eval"} and sc["train"] > sc["eval"] > 0
+    chunks = spark.read.parquet(f"{tmp_path}/cur/chunks")
+    # one split per doc: chunks of a doc never straddle
+    assert (
+        chunks.groupBy("doc_id").agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1").count() == 0
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(60).selectExpr("id", "id % 3 as k", "id * 10 as v")
+    acid.create_table(spark, df, tbl)
+    orphan = _os.path.join(tbl, "data-append-orphan000000")
+    df.limit(5).write.parquet(orphan)
+    old = _os.path.getmtime(orphan) - 7200
+    _os.utime(orphan, (old, old))
+    swept = run(["table", "sweep", "--path", tbl, "--min-age-s", "3600"])
+    assert swept["removed_orphans"] == ["data-append-orphan000000"]
+
+    roll = run(
+        ["table", "rollup", "--path", tbl, "--state", str(tmp_path / "state"),
+         "--keys", "k", "--aggs", "n=count:id,total=sum:v"]
+    )
+    assert roll["groups"] == 3 and roll["table_version"] == 1
+    got = {r["k"]: (r["n"], r["total"])
+           for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert got == {0: (20, 5700), 1: (20, 5900), 2: (20, 6100)}

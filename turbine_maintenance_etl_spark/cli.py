@@ -76,13 +76,24 @@ def main(argv: list[str] | None = None) -> int:
         default=0.2,
         help="Jaccard threshold for --decontaminate (default 0.2)",
     )
+    p_cur.add_argument(
+        "--split-eval-pct",
+        type=int,
+        default=None,
+        metavar="PCT",
+        help="tag every output chunk train/eval with a LEAKAGE-PROOF "
+        "cluster-aware split (near-duplicate docs never straddle the "
+        "boundary); PCT = eval share, e.g. 20",
+    )
 
     p_tbl = sub.add_parser(
         "table",
         help="transactional table maintenance (io/acid.py): "
         "history | compact | vacuum | changes",
     )
-    p_tbl.add_argument("action", choices=["history", "compact", "vacuum", "changes"])
+    p_tbl.add_argument(
+        "action", choices=["history", "compact", "vacuum", "changes", "sweep", "rollup"]
+    )
     p_tbl.add_argument("--path", required=True, help="acid table root")
     p_tbl.add_argument("--target", type=int, default=8, help="compact: target partitions")
     p_tbl.add_argument(
@@ -94,6 +105,21 @@ def main(argv: list[str] | None = None) -> int:
     p_tbl.add_argument("--from-version", type=int, default=None, help="changes: from")
     p_tbl.add_argument("--to-version", type=int, default=None, help="changes: to (default latest)")
     p_tbl.add_argument("--out", default=None, help="changes: write the feed here as parquet")
+    p_tbl.add_argument(
+        "--min-age-s",
+        type=float,
+        default=3600.0,
+        help="sweep: only reclaim orphan data dirs older than this (safety "
+        "fence against in-flight commits)",
+    )
+    p_tbl.add_argument("--state", default=None, help="rollup: aggregate state dir")
+    p_tbl.add_argument("--keys", default=None, help="rollup: comma-separated group keys")
+    p_tbl.add_argument(
+        "--aggs",
+        default=None,
+        help="rollup: comma-separated out=fn:col specs, fn in "
+        "{count,sum,min,max} (e.g. n=count:id,total=sum:v)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -156,6 +182,34 @@ def main(argv: list[str] | None = None) -> int:
             out["inserts"] = counts.get("insert", 0)
             out["deletes"] = counts.get("delete", 0)
             print(json.dumps(out))
+        elif args.action == "sweep":
+            removed = acid.orphan_sweep(args.path, min_age_s=args.min_age_s)
+            print(json.dumps({"removed_orphans": removed}))
+        elif args.action == "rollup":
+            if not (args.state and args.keys and args.aggs):
+                ap.error("rollup requires --state, --keys and --aggs")
+            from turbine_maintenance_etl_spark.ops.incremental import (
+                refresh_agg_from_cdf,
+            )
+
+            aggs = {}
+            for spec in args.aggs.split(","):
+                out_col, fncol = spec.split("=")
+                fn, col = fncol.split(":")
+                aggs[out_col] = (fn, col)
+            state = refresh_agg_from_cdf(
+                spark, args.path, args.state, args.keys.split(","), aggs
+            )
+            n = state.count() if state is not None else 0
+            print(
+                json.dumps(
+                    {
+                        "state_path": args.state,
+                        "groups": n,
+                        "table_version": acid.latest_version(args.path),
+                    }
+                )
+            )
         return 0
 
     if args.cmd == "curate":
@@ -212,6 +266,18 @@ def main(argv: list[str] | None = None) -> int:
             ),
             max_tokens=args.max_seq_tokens,
         )
+        split_counts = None
+        if args.split_eval_pct is not None:
+            from turbine_maintenance_etl_spark.llm.dedup import cluster_aware_split
+
+            splits = cluster_aware_split(
+                docs, train_pct=100 - args.split_eval_pct
+            ).select("doc_id", "split")
+            chunks = chunks.join(splits, "doc_id")
+            split_counts = {
+                r["split"]: r["count"]
+                for r in chunks.groupBy("split").count().collect()
+            }
         out_chunks = f"{args.output}/chunks"
         out_packed = f"{args.output}/packed"
         chunks.write.mode("overwrite").parquet(out_chunks)
@@ -229,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
                     "packed_sequences": seqs.count(),
                     "chunks_path": out_chunks,
                     "packed_path": out_packed,
+                    "split_chunks": split_counts,
                 }
             )
         )
