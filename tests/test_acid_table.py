@@ -905,3 +905,43 @@ def test_stream_maintained_rollup(acid_stream_registered, tmp_path):
         order_col="ver",
     )
     run(3)
+
+
+def test_restore_table(spark, table):
+    """RESTORE commits a new version with the historic content: zero
+    data movement, stats inherited from the historic manifest, history
+    preserved, CDF across the boundary is the undo diff."""
+    df2 = spark.createDataFrame(
+        [(9, "z", 90.0, 2)], "id long, k string, v double, ver long"
+    )
+    acid.append_table(spark, df2, table)       # v2
+    acid.overwrite_table(spark, df2, table)    # v3: clobber
+    v4 = acid.restore_table(spark, table, 2)   # undo the overwrite
+    assert v4 == 4
+    assert sorted(r["id"] for r in acid.read_table(spark, table).collect()) == [1, 2, 9]
+    assert [s.operation for s in acid.history(table)] == [
+        "create", "append", "overwrite", "restore",
+    ]
+    # restore re-references, never rewrites: v4's dirs == v2's dirs
+    assert acid.snapshot(table, 4).dirs == acid.snapshot(table, 2).dirs
+    # CDF across the restore = the undo diff of the overwrite
+    ch = {(r["_change_type"], r["id"]) for r in acid.table_changes(spark, table, 3, 4).collect()}
+    assert ch == {("insert", 1), ("insert", 2)}
+    # vacuumed target refuses loudly
+    acid.vacuum(table, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="restore"):
+        acid.restore_table(spark, table, 3)
+
+
+def test_restore_inherits_stats_without_rescan(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "rtbl")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    acid.create_table(spark, df, path, stats_cols=("id",))
+    acid.overwrite_table(spark, df.filter("id < 10"), path)
+    acid.restore_table(spark, path, 1)
+    snap = acid.snapshot(path)
+    # the restored dirs carry the v1 stats (pruning still works)
+    assert snap.stats and all("id" in s["cols"] for s in snap.stats.values())
+    assert acid.read_table(spark, path, where={"id": (0, 5)}).count() == 6

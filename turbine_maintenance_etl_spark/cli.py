@@ -92,7 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         "history | compact | vacuum | changes",
     )
     p_tbl.add_argument(
-        "action", choices=["history", "compact", "vacuum", "changes", "sweep", "rollup"]
+        "action",
+        choices=["history", "compact", "vacuum", "changes", "sweep", "rollup", "restore"],
     )
     p_tbl.add_argument("--path", required=True, help="acid table root")
     p_tbl.add_argument("--target", type=int, default=8, help="compact: target partitions")
@@ -182,6 +183,11 @@ def main(argv: list[str] | None = None) -> int:
             out["inserts"] = counts.get("insert", 0)
             out["deletes"] = counts.get("delete", 0)
             print(json.dumps(out))
+        elif args.action == "restore":
+            if args.to_version is None:
+                ap.error("restore requires --to-version")
+            v = acid.restore_table(spark, args.path, args.to_version)
+            print(json.dumps({"restored_to": args.to_version, "new_version": v}))
         elif args.action == "sweep":
             removed = acid.orphan_sweep(args.path, min_age_s=args.min_age_s)
             print(json.dumps({"removed_orphans": removed}))

@@ -330,7 +330,12 @@ def create_table(
 
 
 def _retrying_commit(
-    path: str, build, op: str, spark: SparkSession | None = None, max_retries: int = 20
+    path: str,
+    build,
+    op: str,
+    spark: SparkSession | None = None,
+    max_retries: int = 20,
+    stats_hints: dict | None = None,
 ) -> int:
     """Optimistic-concurrency loop: ``build(base_snapshot) -> dirs`` is
     re-invoked against the NEW latest snapshot after every lost race, so
@@ -346,6 +351,10 @@ def _retrying_commit(
             for d in dirs:
                 if base.stats and d in base.stats:
                     stats[d] = base.stats[d]
+                elif stats_hints and d in stats_hints:
+                    # e.g. RESTORE: the dir's stats live in the historic
+                    # manifest, not the current base — inherit, don't rescan
+                    stats[d] = stats_hints[d]
                 else:
                     stats[d] = _dir_stats(spark, path, d, base.stats_cols)
         try:
@@ -493,6 +502,27 @@ def orphan_sweep(path: str, min_age_s: float = 3600.0) -> list[str]:
         shutil.rmtree(full, ignore_errors=True)
         removed.append(name)
     return removed
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE: commit a NEW version whose content is exactly the
+    historic ``version``'s — the roll-back-a-bad-write primitive
+    (Delta's RESTORE shape). Zero data movement: the commit
+    re-references the historic version's immutable dirs, and their
+    data-skipping stats are inherited from the historic manifest, so
+    restore cost is one manifest write regardless of table size. The
+    rolled-back versions stay time-travelable until vacuumed; the CDF
+    across the restore boundary is the row-level undo diff. Raises if
+    vacuum already reclaimed any of the target version's dirs."""
+    old = snapshot(path, version)
+    missing = [d for d in old.dirs if not os.path.isdir(os.path.join(path, d))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to v{version}: dirs vacuumed {missing[:3]}"
+        )
+    return _retrying_commit(
+        path, lambda base: list(old.dirs), "restore", spark, stats_hints=old.stats
+    )
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[str]:
