@@ -136,6 +136,7 @@ PRIORITY_ORDER: list[str] = [
     "agg_pivot",
     "s_acid_table_changes",
     "s_acid_cdf_incremental_agg",
+    "s_acid_table_restore",
     "s_acid_stream_tail",
     "dedup_image_neardup_pairs",
     "dedup_audio_fingerprint",

@@ -618,3 +618,59 @@ def s_acid_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_acid_table_restore",
+    """
+    WITH base AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders
+        WHERE o_orderkey % 3 = 0),
+    clobber AS (SELECT * FROM base WHERE o_orderkey % 9 = 0)
+    SELECT 'v1' AS snap, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(p), 2) AS total
+    FROM base
+    UNION ALL
+    SELECT 'clobbered', COUNT(*), ROUND(SUM(p), 2) FROM clobber
+    UNION ALL
+    SELECT 'restored', COUNT(*), ROUND(SUM(p), 2) FROM base
+    """,
+)
+def s_acid_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE proven end to end against a relational twin: CREATE
+    (orders %3=0) -> OVERWRITE with a subset (%9=0, the bad write) ->
+    RESTORE to v1 — the restored snapshot must equal the original
+    byte-for-byte (the commit re-references v1's immutable dirs; zero
+    data movement, stats inherited). Each stage reduced to
+    (count, price checksum) rows DuckDB recomputes from raw orders."""
+    import shutil
+    import tempfile
+
+    from turbine_maintenance_etl_spark.io import acid
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("p")
+    ).filter(F.col("o_orderkey") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="spark_graft_restore_")
+    path = f"{tmp}/orders_acid"
+    try:
+        acid.create_table(spark, o, path, stats_cols=("o_orderkey",))
+        acid.overwrite_table(spark, o.filter(F.col("o_orderkey") % 9 == 0), path)
+        acid.restore_table(spark, path, 1)
+
+        def summarize(tag: str, version: int | None):
+            return acid.read_table(spark, path, version).agg(
+                F.lit(tag).alias("snap"),
+                F.count("*").alias("n"),
+                F.round(F.sum("p"), 2).alias("total"),
+            )
+
+        out = (
+            summarize("v1", 1)
+            .unionByName(summarize("clobbered", 2))
+            .unionByName(summarize("restored", None))
+        )
+        return spark.createDataFrame(
+            out.collect(), "snap string, n bigint, total double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
