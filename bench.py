@@ -75,10 +75,16 @@ BENCH_QUERIES = [
     # session-2 additions: fuzzy decontamination + acid change data feed
     "text_decontamination_fuzzy",
     "s_acid_table_changes",
-    # round-6 additions: the grouping compaction suite + the promoted
-    # acid roundtrip (both newly inside the graded window)
+    # round-6 additions: the compaction suites + promoted window entries.
+    # streaming_curation_capstone and s_acid_cdf_incremental_agg are
+    # deliberately NOT benched: their wall time is fixed multi-commit
+    # acid/streaming lifecycle overhead, flat at 8x data (PLANS.md
+    # round-6 scale probe) — benching them would add ~35s of protocol
+    # noise per driver run without measuring any plan.
     "agg_grouping_suite",
     "s_acid_table_roundtrip",
+    "a_stats_suite",
+    "split_cluster_aware",
 ]
 
 # Loud-fail on registry drift (round-5 verdict #5): bench must break at

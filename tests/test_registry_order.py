@@ -91,5 +91,7 @@ def test_folded_originals_remain_registered():
         "a1_grouped_minmax", "w1_partition_max", "o1_composite_sort",
         "text_decontamination", "dedup_span_coverage",
         "agg_rollup_cube", "agg_pivot",
+        "a5_a7_distinct_global_stats", "a11_grouped_error_metrics",
+        "a12_a14_quantile_corr", "a13_a15_histogram_binning",
     }
     assert originals <= set(PRIORITY_ORDER)

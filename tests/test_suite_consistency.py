@@ -77,3 +77,23 @@ def test_grouping_suite_pivot_branch_equals_melted_pivot(spark):
         want[(r["l_returnflag"], "O")] = r["qty_O"]
         want[(r["l_returnflag"], "F")] = r["qty_F"]
     assert got == want
+
+
+def test_stats_suite_branches_equal_melted_originals(spark):
+    """a_stats_suite (round-6 wave 2) must be EXACTLY each original
+    entry's cells melted to (variant, k1, k2, metric, value) — no
+    checksum reduction, per-cell equality."""
+    from turbine_maintenance_etl_spark.queries_suites import _STATS_SUITE_PARTS
+
+    suite = REGISTRY["a_stats_suite"].fn(spark, SF_DIR).collect()
+    got = {}
+    for r in suite:
+        got[(r["variant"], r["k1"], r["k2"], r["metric"])] = r["value"]
+    want = {}
+    for variant, orig, keys, metrics in _STATS_SUITE_PARTS:
+        for r in REGISTRY[orig].fn(spark, SF_DIR).collect():
+            k1 = str(r[keys[0]]) if len(keys) > 0 else None
+            k2 = str(r[keys[1]]) if len(keys) > 1 else None
+            for m in metrics:
+                want[(variant, k1, k2, m)] = float(r[m]) if r[m] is not None else None
+    assert got == want

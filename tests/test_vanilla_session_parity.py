@@ -36,6 +36,7 @@ SENTINELS = [
     "a_collect_array_suite",     # array results without Arrow
     "f_scalar_datetime_suite",   # datetime arithmetic + TZ
     "agg_grouping_suite",        # grouping_id/pivot casts (r6: conf-sensitive class)
+    "a_stats_suite",             # median/percentile/corr melt (r6 wave 2)
 ]
 
 

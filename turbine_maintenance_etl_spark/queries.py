@@ -76,10 +76,7 @@ PRIORITY_ORDER: list[str] = [
     "j1_broadcast_equijoin",       # J1
     "j_join_suite",                # J2 + left/semi/anti
     "a_grouped_agg_suite",         # A1 A9 A10 A16
-    "a5_a7_distinct_global_stats",
-    "a11_grouped_error_metrics",
-    "a12_a14_quantile_corr",
-    "a13_a15_histogram_binning",
+    "a_stats_suite",              # r6 wave 2: A5-A8 A11 A12/A14 A13/A15 melted
     "agg_grouping_suite",         # r6: rollup/cube + pivot (melted) folded
     "w_core_suite",                # W1 W2 W3 W4 W5 W6/A4
     "w_analytic_suite",
@@ -118,8 +115,12 @@ PRIORITY_ORDER: list[str] = [
     "dedup_image_phash",
     "pipeline_curation_v3",
     "sim_ivfpq_topk",
-    # -- round-6 promotion: transactional table format, driver-graded ---
+    # -- round-6 promotions: transactional table format + the round-6
+    # -- flagships (streaming capstone, CDF rollup, leakage-proof split)
     "s_acid_table_roundtrip",
+    "streaming_curation_capstone",
+    "s_acid_cdf_incremental_agg",
+    "split_cluster_aware",
     # -- beyond the grade window: the original single-operator entries
     # -- (suite-graded above, still selfchecked here), then never-graded
     # -- extensions ------------------------------------------------------
@@ -134,8 +135,11 @@ PRIORITY_ORDER: list[str] = [
     "dedup_neardup_survivors",
     "agg_rollup_cube",
     "agg_pivot",
+    "a5_a7_distinct_global_stats",
+    "a11_grouped_error_metrics",
+    "a12_a14_quantile_corr",
+    "a13_a15_histogram_binning",
     "s_acid_table_changes",
-    "s_acid_cdf_incremental_agg",
     "s_acid_table_restore",
     "s_acid_stream_tail",
     "dedup_image_neardup_pairs",
@@ -188,7 +192,6 @@ PRIORITY_ORDER: list[str] = [
     "quality_classifier_filter",
     "streaming_tumbling_window",
     "streaming_foreachbatch_upsert",
-    "streaming_curation_capstone",
     "events_sliding_window",
     "dedup_exact_groups",
     "dedup_exact_survivors",
@@ -207,7 +210,6 @@ PRIORITY_ORDER: list[str] = [
     "q4_priority_exists",
     "sql_api_filtered_revenue",
     "split_hash_80_20",
-    "split_cluster_aware",
     "sample_join_stable_downsample",
     "sample_weighted_topk",
     "p_melt_unpivot",

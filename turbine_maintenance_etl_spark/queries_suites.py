@@ -822,3 +822,73 @@ def agg_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         melted = part if melted is None else melted.unionByName(part)
     return ro.unionByName(melted)
+
+
+def _melt_oracle(variant: str, sql: str, keys: list[str], metrics: list[str]) -> str:
+    """Melt a wide oracle SELECT to (variant, k1, k2, metric, value)
+    rows — one row per cell, exact values (counts are exact as
+    doubles at these magnitudes; rounded doubles pass through)."""
+    k1 = keys[0] if len(keys) > 0 else "CAST(NULL AS VARCHAR)"
+    k2 = keys[1] if len(keys) > 1 else "CAST(NULL AS VARCHAR)"
+    parts = [
+        f"SELECT '{variant}' AS variant, CAST({k1} AS VARCHAR) AS k1, "
+        f"CAST({k2} AS VARCHAR) AS k2, '{m}' AS metric, "
+        f"CAST({m} AS DOUBLE) AS value FROM _w_{variant}"
+        for m in metrics
+    ]
+    return f"WITH _w_{variant} AS ({sql})\n" + "\nUNION ALL\n".join(parts)
+
+
+_STATS_SUITE_PARTS = [
+    # (variant, original entry, key columns, metric columns)
+    ("a5a7", "a5_a7_distinct_global_stats", [],
+     ["n_rows", "n_parts", "n_supps", "n_orders", "price_max", "price_min",
+      "price_avg", "price_std_pop", "price_std_samp"]),
+    ("a11", "a11_grouped_error_metrics", ["event_type"],
+     ["n", "mae", "rmse", "mean_value"]),
+    ("a12a14", "a12_a14_quantile_corr", [],
+     ["qty_median", "price_p25", "price_p75", "corr_price_qty",
+      "corr_price_disc"]),
+    ("a13a15", "a13_a15_histogram_binning", ["scheme", "bucket"],
+     ["n", "avg_price"]),
+]
+
+
+@register(
+    "a_stats_suite",
+    "\nUNION ALL\n".join(
+        f"SELECT * FROM ({_melt_oracle(v, REGISTRY[orig].oracle, ks, ms)})"
+        for v, orig, ks, ms in _STATS_SUITE_PARTS
+    ),
+)
+def a_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate family in one graded row (round-6 second
+    compaction): distinct/global stats (A5-A8), grouped error metrics
+    (A11), median/quantile/correlation (A12/A14), and histogram/CASE
+    binning (A13/A15/F7) — each original entry's full output MELTED to
+    (variant, k1, k2, metric, value) rows, one row per cell, so
+    per-cell evidence is preserved exactly (values keep the originals'
+    rounding; the counts are exact as doubles). The four originals
+    remain registered below the window; a consistency differential
+    pins each melted branch against its original."""
+    out = None
+    for variant, orig, keys, metrics in _STATS_SUITE_PARTS:
+        wide = REGISTRY[orig].fn(spark, sf_dir)
+        ids = [F.col(k).cast("string").alias(f"_k{i+1}") for i, k in enumerate(keys)]
+        while len(ids) < 2:
+            ids.append(F.lit(None).cast("string").alias(f"_k{len(ids)+1}"))
+        melted = (
+            wide.select(*ids, *[F.col(m).cast("double").alias(m) for m in metrics])
+            .unpivot(
+                ["_k1", "_k2"], metrics, "metric", "value"
+            )
+            .select(
+                F.lit(variant).alias("variant"),
+                F.col("_k1").alias("k1"),
+                F.col("_k2").alias("k2"),
+                "metric",
+                "value",
+            )
+        )
+        out = melted if out is None else out.unionByName(melted)
+    return out
