@@ -121,16 +121,20 @@ def _gate_corpus(
     kept = q.filter(
         (q.n_tokens >= min_tokens) & (q.stopword_ratio >= min_stopword_ratio)
     ).select(*docs.columns)
-    # NOTE (measured, do not "optimize"): the self-perplexity LM reads
-    # `kept` from four plan branches, and persisting it here to share
-    # one materialization is ~2x SLOWER than recompute at sf0.1 — the
-    # row-cache write + deserializing full text rows per branch costs
-    # more than re-running the codegen'd narrow quality chain over
-    # columnar parquet. Recompute-over-cache also holds at scale for
-    # cheap narrow maps over a pruned scan; only the rank cut's scored
-    # frame (small: id + perplexity + doc row) is persisted, inside
-    # keep_lowest_frac.
-
+    # NOTE (measured three times, keep the history honest): the
+    # self-perplexity LM reads `kept` from four plan branches.
+    # `.persist()` (row cache) here was ~2x SLOWER than recompute at
+    # sf0.1 (round 4: cache write + per-branch row deserialization
+    # beat the codegen'd narrow chain). A localCheckpoint barrier
+    # measured ~10% faster in one round-6 A/B and exactly neutral in
+    # the replication (medians 4.57 vs 4.49s, noisy host) — i.e. at
+    # sf0.1 it is a wash. Recompute wins the tie at scale: `kept` is
+    # corpus-sized WITH full text, and materializing it to save
+    # re-running a cheap regex/filter chain over a column-pruned scan
+    # is exactly what the repo's barrier rule says NOT to do
+    # ("recompute cheap narrow maps; materialize expensive
+    # multi-consumer frames"). Only the rank cut's narrow scored frame
+    # (~16 bytes/doc) is persisted, inside keep_lowest_frac.
     ppl = scorer(kept, text_col=text_col, id_col=id_col)
     if ppl_cutoff is not None:
         # a precomputed cutoff (percentile sketch over a sample,
