@@ -811,3 +811,48 @@ def test_refresh_agg_from_cdf_randomized_differential(spark, tmp_path):
                 .collect()
             }
             assert got == want, f"divergence after step {step}"
+
+
+def test_refresh_agg_from_cdf_minmax_recompute_policy(spark, tmp_path):
+    """on_delete_minmax='recompute': count/sum fold incrementally while
+    min/max are spliced fresh from the snapshot — the state matches a
+    direct groupBy after a merge that retracts the previous minimum."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    aggs = {"n": ("count", "id"), "total": ("sum", "v"), "lo": ("min", "v")}
+    schema = "id long, k string, v long, ver long"
+    acid.create_table(
+        spark,
+        spark.createDataFrame([(1, "a", 5, 1), (2, "a", 50, 1), (3, "b", 7, 1)], schema),
+        tbl,
+    )
+    got = refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs)
+    assert {r["k"]: (r["n"], r["total"], r["lo"]) for r in got.collect()} == {
+        "a": (2, 55, 5), "b": (1, 7, 7),
+    }
+    # retract the minimum of group a (update id=1: 5 -> 100)
+    acid.merge_table(
+        spark,
+        spark.createDataFrame([(1, "a", 100, 2)], schema),
+        tbl, keys=("id",), order_col="ver",
+    )
+    got = refresh_agg_from_cdf(
+        spark, tbl, state, ["k"], aggs, on_delete_minmax="recompute"
+    )
+    want = {
+        r["k"]: (r["n"], r["total"], r["lo"])
+        for r in acid.read_table(spark, tbl)
+        .groupBy("k")
+        .agg(F.count("id").alias("n"), F.sum("v").alias("total"), F.min("v").alias("lo"))
+        .collect()
+    }
+    assert {r["k"]: (r["n"], r["total"], r["lo"]) for r in got.collect()} == want
+    assert want["a"] == (2, 150, 50)  # the retracted min is gone
+    # replay: ledger no-op regardless of policy
+    again = refresh_agg_from_cdf(
+        spark, tbl, state, ["k"], aggs, on_delete_minmax="recompute"
+    )
+    assert {r["k"]: (r["n"], r["total"], r["lo"]) for r in again.collect()} == want

@@ -158,6 +158,7 @@ def refresh_agg_from_cdf(
     state_path: str,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    on_delete_minmax: str = "error",
 ) -> DataFrame:
     """Maintain a grouped aggregate over a TRANSACTIONAL table
     (io/acid.py) directly from its commit log — the lakehouse last
@@ -173,8 +174,16 @@ def refresh_agg_from_cdf(
     delete-of-old + insert-of-new, so ``count``/``sum`` fold deletes as
     NEGATIVE contributions and the pair nets to the update delta.
     ``min``/``max`` are not delete-invertible (a retracted minimum
-    cannot be recomputed without history); a CDF window containing
-    deletes raises for them — recompute those from the snapshot.
+    cannot be recomputed without history); over a CDF window containing
+    deletes, ``on_delete_minmax`` picks the policy:
+
+    - ``"error"`` (default): raise — the caller decides when a full
+      recompute is affordable.
+    - ``"recompute"``: count/sum still fold incrementally from the
+      window; ONLY the min/max columns are recomputed per-group from
+      the current snapshot and spliced into the merged state. Cost is
+      one column-pruned scan of the min/max input columns — paid only
+      on delete windows, never on the append-dominated common path.
 
     Scale shape: the CDF is symmetric-difference-pruned (an append of
     1 GB to a 100 TB table diffs 1 GB), the fold is one partial agg of
@@ -210,17 +219,23 @@ def refresh_agg_from_cdf(
     else:
         ch = acid.table_changes(spark, table_path, done, latest)
 
+    if on_delete_minmax not in ("error", "recompute"):
+        raise ValueError(f"on_delete_minmax must be 'error' or 'recompute', got {on_delete_minmax!r}")
     fns = {fn for fn, _ in aggs.values()}
     unsupported = fns - set(_MERGES)
     if unsupported:
         raise ValueError(f"non-decomposable aggregates: {unsupported}")
-    if fns & {"min", "max"} and ch.filter(
-        F.col("_change_type") == "delete"
-    ).take(1):
+    minmax_aggs = {o: s for o, s in aggs.items() if s[0] in ("min", "max")}
+    splice_minmax = bool(
+        minmax_aggs
+        and ch.filter(F.col("_change_type") == "delete").take(1)
+    )
+    if splice_minmax and on_delete_minmax == "error":
         raise ValueError(
             "min/max cannot be incrementally maintained over a CDF window "
-            "containing deletes (not delete-invertible); recompute from the "
-            "snapshot instead"
+            "containing deletes (not delete-invertible); pass "
+            "on_delete_minmax='recompute' to splice fresh per-group min/max "
+            "from the snapshot, or recompute the whole rollup yourself"
         )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
     exprs = []
@@ -232,8 +247,24 @@ def refresh_agg_from_cdf(
             )
         elif fn == "sum":
             exprs.append(F.sum(F.col(col) * sign).alias(out))
-        else:  # min/max: insert-only window, plain partials
+        else:  # min/max: plain partials (discarded below on delete windows)
             exprs.append(getattr(F, fn)(col).alias(out))
     partials = ch.groupBy(*keys).agg(*exprs)
     merged = _merge_into_state(state, partials, keys, aggs)
+    if splice_minmax:
+        # count/sum folded incrementally above; the merged min/max
+        # columns are poisoned by the deletes — replace them with a
+        # fresh per-group aggregate over the CURRENT snapshot (column-
+        # pruned scan of just the min/max inputs). A group that
+        # vanished from the snapshot keeps its folded count/sum row
+        # with NULL min/max (the left join finds no match).
+        fresh = (
+            acid.read_table(spark, table_path, version=latest)
+            .groupBy(*keys)
+            .agg(*[
+                getattr(F, fn)(col).alias(out)
+                for out, (fn, col) in minmax_aggs.items()
+            ])
+        )
+        merged = merged.drop(*minmax_aggs).join(fresh, list(keys), "left")
     return _publish(spark, state_path, merged, applied | {f"cdf-v{latest}"})
