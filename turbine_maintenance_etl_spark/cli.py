@@ -116,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
     p_tbl.add_argument("--state", default=None, help="rollup: aggregate state dir")
     p_tbl.add_argument("--keys", default=None, help="rollup: comma-separated group keys")
     p_tbl.add_argument(
+        "--on-delete-minmax",
+        default="error",
+        choices=["error", "recompute"],
+        help="rollup: policy when a change window contains deletes and "
+        "aggs include min/max (recompute = splice fresh per-group "
+        "min/max from the snapshot)",
+    )
+    p_tbl.add_argument(
         "--aggs",
         default=None,
         help="rollup: comma-separated out=fn:col specs, fn in "
@@ -204,7 +212,8 @@ def main(argv: list[str] | None = None) -> int:
                 fn, col = fncol.split(":")
                 aggs[out_col] = (fn, col)
             state = refresh_agg_from_cdf(
-                spark, args.path, args.state, args.keys.split(","), aggs
+                spark, args.path, args.state, args.keys.split(","), aggs,
+                on_delete_minmax=args.on_delete_minmax,
             )
             n = state.count() if state is not None else 0
             print(

@@ -618,6 +618,7 @@ def stream_maintained_rollup(
     keys: list,
     aggs: dict,
     timeout_s: int = 600,
+    on_delete_minmax: str = "error",
 ) -> None:
     """CONTINUOUSLY maintained rollup: the acid table's commit log
     (``acidtable`` stream source) triggers a CDF-window refresh of the
@@ -644,7 +645,8 @@ def stream_maintained_rollup(
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
         refresh_agg_from_cdf(
-            batch_df.sparkSession, table_path, state_path, keys, aggs
+            batch_df.sparkSession, table_path, state_path, keys, aggs,
+            on_delete_minmax=on_delete_minmax,
         )
 
     q = (
