@@ -856,3 +856,102 @@ def test_refresh_agg_from_cdf_minmax_recompute_policy(spark, tmp_path):
         spark, tbl, state, ["k"], aggs, on_delete_minmax="recompute"
     )
     assert {r["k"]: (r["n"], r["total"], r["lo"]) for r in again.collect()} == want
+
+
+def test_approx_distinct_salted_and_incremental(spark, tmp_path):
+    """approx_distinct decomposes via mergeable HLL sketches: the salted
+    two-stage aggregate and the two-batch incremental state must both
+    estimate exactly what a direct one-shot sketch estimates (same
+    sketch family, same data), and land within 5% of the exact count."""
+    from turbine_maintenance_etl_spark.ops.incremental import merge_incremental_agg
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = {
+        r["event_type"]: r["est"]
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in direct.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05
+
+    salted = salted_groupby_agg(
+        events, ["event_type"], {"sk": ("approx_distinct", "user_id")}, salt_factor=8
+    )
+    got = {
+        r["event_type"]: r["est"]
+        for r in salted.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    assert got == direct  # sketch-union of salted partials is lossless
+
+    state = str(tmp_path / "state")
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+    aggs = {"sk": ("approx_distinct", "user_id")}
+    merge_incremental_agg(spark, state, b1, "b1", ["event_type"], aggs)
+    merged = merge_incremental_agg(spark, state, b2, "b2", ["event_type"], aggs)
+    got = {
+        r["event_type"]: r["est"]
+        for r in merged.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    assert got == direct  # incremental union == one-shot sketch
+
+
+def test_refresh_agg_from_cdf_approx_distinct(spark, tmp_path):
+    """approx_distinct follows the commit log: insert windows union
+    sketches incrementally; a delete window errors by default and the
+    recompute policy splices a fresh snapshot sketch."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    schema = "id long, k string, u long, ver long"
+    aggs = {"n": ("count", "id"), "sk": ("approx_distinct", "u")}
+
+    def estimates(df):
+        return {
+            r["k"]: (r["n"], r["est"])
+            for r in df.select(
+                "k", "n", F.round(F.hll_sketch_estimate("sk")).cast("long").alias("est")
+            ).collect()
+        }
+
+    acid.create_table(
+        spark,
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i % 7, 1) for i in range(40)], schema
+        ),
+        tbl,
+    )
+    got = estimates(refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs))
+    assert got == {"a": (20, 7), "b": (20, 7)}
+    acid.append_table(
+        spark,
+        spark.createDataFrame([(100, "a", 99, 1), (101, "a", 98, 1)], schema),
+        tbl,
+    )
+    got = estimates(refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs))
+    assert got["a"] == (22, 9) and got["b"] == (20, 7)
+    # delete window: default errors, recompute matches a direct sketch
+    acid.merge_table(
+        spark,
+        spark.createDataFrame([(100, "a", 5, 2)], schema),  # u 99 -> 5 (already seen)
+        tbl, keys=("id",), order_col="ver",
+    )
+    with pytest.raises(ValueError, match="recompute"):
+        refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs)
+    got = estimates(
+        refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs, on_delete_minmax="recompute")
+    )
+    assert got["a"] == (22, 8)  # distinct u for a is now {0..6, 98}

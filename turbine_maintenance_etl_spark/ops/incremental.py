@@ -2,8 +2,9 @@
 aggregate table WITHOUT recomputing history — at 100 TB you cannot
 re-scan the full fact table to refresh a rollup, you merge partials.
 
-Only decomposable aggregates participate (count/sum/min/max; avg =
-sum/count at read time — same contract as ops/skew.py, shared via
+Only decomposable aggregates participate (count/sum/min/max, plus
+approx_distinct via mergeable HLL sketches; avg = sum/count at read
+time — same contract as ops/skew.py, shared via
 ``partial_agg_exprs``). Replay safety comes from a batch ledger stored
 INSIDE the state directory under ``_ledger/`` — Spark's parquet reader
 ignores underscore-prefixed paths, and keeping ledger and state in one
@@ -25,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from turbine_maintenance_etl_spark.ops.skew import _MERGES, partial_agg_exprs
+from turbine_maintenance_etl_spark.ops.skew import _MERGES, _PARTIALS, partial_agg_exprs
 
 _LEDGER = "_ledger"
 
@@ -77,7 +78,9 @@ def merge_incremental_agg(
     """Fold ``batch`` into the aggregate state at ``state_path``.
 
     ``aggs`` maps output column -> (fn, input column), fn in
-    {count, sum, min, max}. Returns the merged state (also persisted).
+    {count, sum, min, max, approx_distinct}. approx_distinct state
+    columns hold the mergeable binary HLL sketch — read with
+    ``F.hll_sketch_estimate``. Returns the merged state (persisted).
 
     Scale shape: ONE partial aggregation of the batch (map-side
     combine), one merge agg of state ∪ partials — state is
@@ -173,17 +176,23 @@ def refresh_agg_from_cdf(
     Delete handling: an acid MERGE surfaces an update as
     delete-of-old + insert-of-new, so ``count``/``sum`` fold deletes as
     NEGATIVE contributions and the pair nets to the update delta.
-    ``min``/``max`` are not delete-invertible (a retracted minimum
-    cannot be recomputed without history); over a CDF window containing
-    deletes, ``on_delete_minmax`` picks the policy:
+    ``min``/``max``/``approx_distinct`` are not delete-invertible (a
+    retracted minimum — or an element folded into an HLL sketch —
+    cannot be removed without history); over a CDF window containing
+    deletes, ``on_delete_minmax`` picks the policy for all three:
 
     - ``"error"`` (default): raise — the caller decides when a full
       recompute is affordable.
     - ``"recompute"``: count/sum still fold incrementally from the
-      window; ONLY the min/max columns are recomputed per-group from
-      the current snapshot and spliced into the merged state. Cost is
-      one column-pruned scan of the min/max input columns — paid only
-      on delete windows, never on the append-dominated common path.
+      window; ONLY the min/max/sketch columns are recomputed per-group
+      from the current snapshot and spliced into the merged state.
+      Cost is one column-pruned scan of those input columns — paid
+      only on delete windows, never on the append-dominated path.
+
+    ``approx_distinct`` state columns hold the BINARY Datasketches HLL
+    sketch (read with ``F.hll_sketch_estimate``): ~1 KB per group
+    regardless of cardinality, merged losslessly across insert windows
+    — the 100 TB distinct-count primitive.
 
     Scale shape: the CDF is symmetric-difference-pruned (an append of
     1 GB to a 100 TB table diffs 1 GB), the fold is one partial agg of
@@ -225,7 +234,10 @@ def refresh_agg_from_cdf(
     unsupported = fns - set(_MERGES)
     if unsupported:
         raise ValueError(f"non-decomposable aggregates: {unsupported}")
-    minmax_aggs = {o: s for o, s in aggs.items() if s[0] in ("min", "max")}
+    minmax_aggs = {
+        o: s for o, s in aggs.items()
+        if s[0] in ("min", "max", "approx_distinct")
+    }
     splice_minmax = bool(
         minmax_aggs
         and ch.filter(F.col("_change_type") == "delete").take(1)
@@ -247,8 +259,9 @@ def refresh_agg_from_cdf(
             )
         elif fn == "sum":
             exprs.append(F.sum(F.col(col) * sign).alias(out))
-        else:  # min/max: plain partials (discarded below on delete windows)
-            exprs.append(getattr(F, fn)(col).alias(out))
+        else:  # min/max/approx_distinct: plain partials (discarded
+            # below on delete windows)
+            exprs.append(_PARTIALS[fn](col).alias(out))
     partials = ch.groupBy(*keys).agg(*exprs)
     merged = _merge_into_state(state, partials, keys, aggs)
     if splice_minmax:
@@ -262,7 +275,7 @@ def refresh_agg_from_cdf(
             acid.read_table(spark, table_path, version=latest)
             .groupBy(*keys)
             .agg(*[
-                getattr(F, fn)(col).alias(out)
+                _PARTIALS[fn](col).alias(out)
                 for out, (fn, col) in minmax_aggs.items()
             ])
         )

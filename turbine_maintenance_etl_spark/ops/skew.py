@@ -6,7 +6,15 @@ splits a hot key across ``salt_factor`` sub-keys, aggregates partials,
 then merges — two small shuffles instead of one straggler.
 
 Only associative aggregates decompose this way; the helper supports the
-common count/sum/min/max family (avg = sum/count at merge time).
+common count/sum/min/max family (avg = sum/count at merge time) plus
+``approx_distinct``: a Datasketches HLL sketch (``hll_sketch_agg``)
+whose partials merge losslessly via ``hll_union_agg`` — the ONLY way a
+distinct count decomposes (exact COUNT DISTINCT is not mergeable). The
+merged state column holds the BINARY sketch; read the number with
+``F.hll_sketch_estimate(col)``. At 100 TB this is the distinct-count
+primitive: ~1 KB of state per group regardless of cardinality,
+mergeable across salted partials, incremental batches, and commit
+windows alike.
 """
 
 from __future__ import annotations
@@ -19,6 +27,15 @@ _MERGES = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    "approx_distinct": F.hll_union_agg,
+}
+
+_PARTIALS = {
+    "count": F.count,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "approx_distinct": F.hll_sketch_agg,
 }
 
 
@@ -33,11 +50,10 @@ def partial_agg_exprs(
     unsupported = {fn for fn, _ in aggs.values()} - set(_MERGES)
     if unsupported:
         raise ValueError(f"non-decomposable aggregates: {unsupported}")
-    exprs: list[Column] = []
-    for out, (fn, col) in aggs.items():
-        expr = F.count(col) if fn == "count" else getattr(F, fn)(col)
-        exprs.append(expr.alias(f"{prefix}{out}"))
-    return exprs
+    return [
+        _PARTIALS[fn](col).alias(f"{prefix}{out}")
+        for out, (fn, col) in aggs.items()
+    ]
 
 
 def salted_groupby_agg(
