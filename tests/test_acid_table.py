@@ -945,3 +945,44 @@ def test_restore_inherits_stats_without_rescan(tmp_path, spark):
     # the restored dirs carry the v1 stats (pruning still works)
     assert snap.stats and all("id" in s["cols"] for s in snap.stats.values())
     assert acid.read_table(spark, path, where={"id": (0, 5)}).count() == 6
+
+
+def test_stream_source_bootstraps_from_vacuumed_history(
+    acid_stream_registered, tmp_path
+):
+    """A fresh stream over a table whose early manifests were vacuumed
+    bootstraps from the earliest retained snapshot (full dir list, op
+    check waived for that one version), then tails later appends
+    incrementally; a CHECKPOINTED stream that fell behind the retention
+    horizon errors loudly instead of silently re-emitting."""
+    spark = acid_stream_registered
+    path = str(tmp_path / "tbl")
+    acid.create_table(spark, spark.createDataFrame([(1,)], "id long"), path)
+    acid.append_table(spark, spark.createDataFrame([(2,)], "id long"), path)
+    acid.compact_table(spark, path, target_partitions=1)   # v3 rewrite
+    acid.append_table(spark, spark.createDataFrame([(3,)], "id long"), path)
+    acid.vacuum(path, keep_last=2)  # only v3 (compact) + v4 remain
+
+    got = _drain_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = {(r["id"], r["_commit_version"]) for r in got.collect()}
+    # v3's full snapshot (ids 1,2) bootstraps, v4 streams incrementally
+    assert rows == {(1, 3), (2, 3), (3, 4)}
+
+    # continued tailing stays incremental and exactly-once
+    acid.append_table(spark, spark.createDataFrame([(4,)], "id long"), path)
+    got = _drain_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = {(r["id"], r["_commit_version"]) for r in got.collect()}
+    assert rows == {(1, 3), (2, 3), (3, 4), (4, 5)}
+
+    # checkpoint behind the horizon: loud error, no silent re-emission
+    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamReader
+
+    reader = AcidTableStreamReader(path, starting_version=0, ignore_changes=False)
+    acid.append_table(spark, spark.createDataFrame([(5,)], "id long"), path)
+    acid.vacuum(path, keep_last=1)
+    with pytest.raises(ValueError, match="retention horizon"):
+        reader.partitions({"version": 4}, {"version": acid.latest_version(path)})

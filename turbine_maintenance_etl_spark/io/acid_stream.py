@@ -75,11 +75,50 @@ class AcidTableStreamReader(DataSourceStreamReader):
         return {"version": v if v is not None else self.starting_version}
 
     def partitions(self, start: dict, end: dict):
+        # Vacuumed history: retention may have dropped manifests below
+        # the earliest retained version. Versions missing INSIDE the
+        # requested range are skipped (their net effect is subsumed by
+        # the next retained snapshot's dir diff); if the range's very
+        # first retained version has no parent manifest, the stream
+        # BOOTSTRAPS from that snapshot — emits its full dir list once,
+        # op-check waived for that version only (it stands for the
+        # whole table state, not an incremental change). This matches
+        # "stream the table from its earliest available commit"; a
+        # checkpointed stream that already consumed the vacuumed range
+        # is unaffected (its offsets are past it).
+        versions = [
+            v
+            for v in acid._list_versions(self.path)
+            if start["version"] < v <= end["version"]
+        ]
         parts: list[_CommitDirPartition] = []
         prev_dirs: set[str] | None = None
-        for v in range(start["version"] + 1, end["version"] + 1):
+        bootstrap = False
+        for v in versions:
             snap = acid.snapshot(self.path, v)
-            if snap.operation not in ("create", "append") and not self.ignore_changes:
+            if prev_dirs is None:
+                try:
+                    prev_dirs = (
+                        set(acid.snapshot(self.path, v - 1).dirs) if v > 1 else set()
+                    )
+                except FileNotFoundError:
+                    if start["version"] != self.starting_version:
+                        # a CHECKPOINTED stream fell behind the
+                        # retention horizon: bootstrapping here would
+                        # silently re-emit rows it already delivered.
+                        raise ValueError(
+                            f"stream checkpoint at version {start['version']} "
+                            f"is behind the vacuum retention horizon (manifest "
+                            f"v{v - 1} is gone): reset the checkpoint or raise "
+                            "vacuum keep_last above the stream's lag"
+                        )
+                    prev_dirs = set()  # parent vacuumed: full-snapshot bootstrap
+                    bootstrap = True
+            if (
+                snap.operation not in ("create", "append")
+                and not self.ignore_changes
+                and not bootstrap
+            ):
                 raise ValueError(
                     f"version {v} is a '{snap.operation}' commit: the stream "
                     "source is append-only. Set "
@@ -87,10 +126,7 @@ class AcidTableStreamReader(DataSourceStreamReader):
                     "directories as appends (rows may be re-emitted), or "
                     "consume acid.table_changes() in a foreachBatch instead."
                 )
-            if prev_dirs is None:
-                prev_dirs = (
-                    set(acid.snapshot(self.path, v - 1).dirs) if v > 1 else set()
-                )
+            bootstrap = False
             for d in snap.dirs:
                 if d not in prev_dirs:
                     parts.append(
