@@ -741,3 +741,40 @@ def test_cluster_aware_split_no_leakage(spark):
         .count()
         == 0
     )
+
+
+def test_cluster_aware_split_stable_under_unrelated_appends(spark):
+    """The SCALING.md claim: appending documents that share no shingles
+    with the existing corpus (no new near-dup edges) leaves every
+    existing split assignment unchanged — membership is a pure function
+    of the cluster representative, and unrelated growth cannot move it."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.dedup import cluster_aware_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = {
+        r["doc_id"]: (r["rep_id"], r["split"])
+        for r in cluster_aware_split(docs).select("doc_id", "rep_id", "split").collect()
+    }
+    # disjoint vocabulary -> zero shared 3-shingles with the corpus
+    new = (
+        docs.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, 40), "
+                    "j -> concat('zzqw', doc_id, 'tok', j))"
+                ),
+                " ",
+            ),
+        )
+    )
+    grown = docs.unionByName(new.select(*docs.columns))
+    after = {
+        r["doc_id"]: (r["rep_id"], r["split"])
+        for r in cluster_aware_split(grown).select("doc_id", "rep_id", "split").collect()
+    }
+    assert {k: v for k, v in after.items() if k < 10_000_000} == before
