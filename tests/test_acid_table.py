@@ -986,3 +986,44 @@ def test_stream_source_bootstraps_from_vacuumed_history(
     acid.vacuum(path, keep_last=1)
     with pytest.raises(ValueError, match="retention horizon"):
         reader.partitions({"version": 4}, {"version": acid.latest_version(path)})
+
+
+def test_stream_source_casts_widened_types(acid_stream_registered, tmp_path):
+    """Type widening across commits: a dir written as int must stream
+    CAST to the unified (bigint) declared schema even though its column
+    NAMES match — names-only fast paths miss exactly this."""
+    spark = acid_stream_registered
+    path = str(tmp_path / "tbl")
+    acid.create_table(
+        spark, spark.createDataFrame([(1, 10)], "id long, v int"), path
+    )
+    acid.append_table(
+        spark, spark.createDataFrame([(2, 3_000_000_000)], "id long, v long"), path
+    )
+    got = _drain_stream(spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert dict(got.dtypes)["v"] == "bigint"
+    rows = {(r["id"], r["v"]) for r in got.collect()}
+    assert rows == {(1, 10), (2, 3_000_000_000)}
+
+
+def test_stream_source_startingversion_refuses_vacuumed_skip(
+    acid_stream_registered, tmp_path
+):
+    """A non-zero startingversion whose skip-boundary manifests were
+    vacuumed must error (bootstrapping would over-deliver the rows the
+    option promised to exclude), while startingversion=0 bootstraps."""
+    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamReader
+
+    spark = acid_stream_registered
+    path = str(tmp_path / "tbl")
+    acid.create_table(spark, spark.createDataFrame([(1,)], "id long"), path)
+    for i in (2, 3, 4):
+        acid.append_table(spark, spark.createDataFrame([(i,)], "id long"), path)
+    acid.vacuum(path, keep_last=1)  # only v4 retained
+    latest = {"version": acid.latest_version(path)}
+    reader = AcidTableStreamReader(path, starting_version=2, ignore_changes=False)
+    with pytest.raises(ValueError, match="cannot be honored"):
+        reader.partitions({"version": 2}, latest)
+    boot = AcidTableStreamReader(path, starting_version=0, ignore_changes=False)
+    parts = boot.partitions({"version": 0}, latest)
+    assert len(parts) == len(acid.snapshot(path).dirs)  # full bootstrap

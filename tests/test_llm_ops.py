@@ -778,3 +778,23 @@ def test_cluster_aware_split_stable_under_unrelated_appends(spark):
         for r in cluster_aware_split(grown).select("doc_id", "rep_id", "split").collect()
     }
     assert {k: v for k, v in after.items() if k < 10_000_000} == before
+
+
+def test_cluster_aware_split_custom_id_col(spark):
+    """The id_col knob must actually work: same assignments as the
+    default path modulo the renamed column."""
+    from turbine_maintenance_etl_spark.llm.dedup import cluster_aware_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    renamed = docs.withColumnRenamed("doc_id", "id")
+    got = {
+        r["id"]: (r["rep_id"], r["split"])
+        for r in cluster_aware_split(renamed, id_col="id")
+        .select("id", "rep_id", "split")
+        .collect()
+    }
+    want = {
+        r["doc_id"]: (r["rep_id"], r["split"])
+        for r in cluster_aware_split(docs).select("doc_id", "rep_id", "split").collect()
+    }
+    assert got == want

@@ -955,3 +955,42 @@ def test_refresh_agg_from_cdf_approx_distinct(spark, tmp_path):
         refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs, on_delete_minmax="recompute")
     )
     assert got["a"] == (22, 8)  # distinct u for a is now {0..6, 98}
+
+
+def test_barrier_scratch_sweep(tmp_path, monkeypatch, spark):
+    """Reliable-mode frames accumulate under the scratch dir by design;
+    sweep_scratch reclaims aged ones and spares fresh (in-flight) ones."""
+    import os as _os
+
+    from turbine_maintenance_etl_spark.ops import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "scratch"))
+    M.barrier(spark.range(5), "old", mode="reliable")
+    M.barrier(spark.range(5), "fresh", mode="reliable")
+    base = str(tmp_path / "scratch")
+    old_dir = next(n for n in _os.listdir(base) if n.startswith("old-"))
+    aged = _os.path.getmtime(_os.path.join(base, old_dir)) - 172800
+    _os.utime(_os.path.join(base, old_dir), (aged, aged))
+    removed = M.sweep_scratch(min_age_s=86400)
+    assert removed == [old_dir]
+    assert any(n.startswith("fresh-") for n in _os.listdir(base))
+
+
+def test_refresh_agg_validates_args_even_when_noop(spark, tmp_path):
+    """Bad policy/agg specs must fail on the steady-state no-op poll,
+    not only once a new commit lands."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    acid.create_table(spark, spark.createDataFrame([(1, "a")], "id long, k string"), tbl)
+    refresh_agg_from_cdf(spark, tbl, state, ["k"], {"n": ("count", "id")})
+    # no new commits: both bad specs still raise
+    with pytest.raises(ValueError, match="on_delete_minmax"):
+        refresh_agg_from_cdf(
+            spark, tbl, state, ["k"], {"n": ("count", "id")},
+            on_delete_minmax="recmpute",
+        )
+    with pytest.raises(ValueError, match="non-decomposable"):
+        refresh_agg_from_cdf(spark, tbl, state, ["k"], {"m": ("median", "id")})

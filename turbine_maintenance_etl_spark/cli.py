@@ -281,7 +281,6 @@ def main(argv: list[str] | None = None) -> int:
             ),
             max_tokens=args.max_seq_tokens,
         )
-        split_counts = None
         if args.split_eval_pct is not None:
             from turbine_maintenance_etl_spark.llm.dedup import cluster_aware_split
 
@@ -289,15 +288,22 @@ def main(argv: list[str] | None = None) -> int:
                 docs, train_pct=100 - args.split_eval_pct
             ).select("doc_id", "split")
             chunks = chunks.join(splits, "doc_id")
-            split_counts = {
-                r["split"]: r["count"]
-                for r in chunks.groupBy("split").count().collect()
-            }
         out_chunks = f"{args.output}/chunks"
         out_packed = f"{args.output}/packed"
         chunks.write.mode("overwrite").parquet(out_chunks)
         packed.write.mode("overwrite").parquet(out_packed)
-        n_chunks = spark.read.parquet(out_chunks).count()
+        written_chunks = spark.read.parquet(out_chunks)
+        n_chunks = written_chunks.count()
+        # counts from the WRITTEN parquet — the chunk+split plan already
+        # executed once for the write; don't run it a second time
+        split_counts = (
+            {
+                r["split"]: r["count"]
+                for r in written_chunks.groupBy("split").count().collect()
+            }
+            if args.split_eval_pct is not None
+            else None
+        )
         seqs = spark.read.parquet(out_packed).groupBy("shard", "seq_no").count()
         print(
             json.dumps(

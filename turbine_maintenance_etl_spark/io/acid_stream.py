@@ -102,7 +102,23 @@ class AcidTableStreamReader(DataSourceStreamReader):
                         set(acid.snapshot(self.path, v - 1).dirs) if v > 1 else set()
                     )
                 except FileNotFoundError:
-                    if start["version"] != self.starting_version:
+                    if start["version"] != self.starting_version or (
+                        self.starting_version != 0
+                    ):
+                        if start["version"] == self.starting_version:
+                            # a fresh stream asked to skip commits <=
+                            # startingversion, but the manifests needed
+                            # to honor that skip are vacuumed —
+                            # bootstrapping would over-deliver the rows
+                            # the option promised to exclude.
+                            raise ValueError(
+                                f"startingversion={self.starting_version} "
+                                f"cannot be honored: manifest v{v - 1} was "
+                                "vacuumed, so the skipped commits cannot be "
+                                "separated from the retained snapshot. Use "
+                                "startingversion=0 (full bootstrap) or a "
+                                "version within the retention window."
+                            )
                         # a CHECKPOINTED stream fell behind the
                         # retention horizon: bootstrapping here would
                         # silently re-emit rows it already delivered.
@@ -156,7 +172,10 @@ class AcidTableStreamReader(DataSourceStreamReader):
             )
 
         def _align(batch: pa.RecordBatch) -> pa.RecordBatch:
-            if target is None or batch.schema.names == target.names:
+            # fast path only on FULL schema equality (names AND types):
+            # a dir written before a type widening has matching names
+            # but narrower types and must go through the cast branch
+            if target is None or batch.schema.equals(target):
                 return batch
             arrays = []
             for field in target:

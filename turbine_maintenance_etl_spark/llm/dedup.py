@@ -783,7 +783,9 @@ def cluster_aware_split(
         id_col=id_col,
         max_bucket_size=max_bucket_size,
     )
-    clusters = resolve_duplicate_clusters(pairs)
+    # resolver output is (doc_id, cluster_id) regardless of id_col —
+    # realign so the join works for any caller-chosen id column
+    clusters = resolve_duplicate_clusters(pairs).withColumnRenamed("doc_id", id_col)
     rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
     return (
         df.join(clusters, id_col, "left")

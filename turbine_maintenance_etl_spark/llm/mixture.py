@@ -65,22 +65,19 @@ def priority_hash(id_col: str | Column, salt: str = "mix") -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
-def source_token_budgets(
-    docs: DataFrame,
+def _budgets_from_mass(
+    per: DataFrame,
     token_budget: int,
-    alpha: float = 0.5,
-    source_col: str = "source",
-    text_col: str = "text",
+    alpha: float,
+    source_col: str,
 ) -> DataFrame:
-    """Per-source token budgets under temperature ``alpha``:
-    ``budget_s = round(T_s^alpha / Σ T^alpha · token_budget)``.
-
-    Returns a tiny (one row per source) DataFrame — always broadcast
-    it back onto the corpus. ``alpha=0.5`` uses ``sqrt`` explicitly:
-    IEEE-754 requires sqrt to be correctly rounded, so the weights are
-    bit-identical across engines, which ``pow`` does not guarantee."""
-    tok = token_count_expr(text_col).cast("double")
-    per = docs.groupBy(source_col).agg(F.sum(tok).alias("src_tokens"))
+    """(source, src_tokens DOUBLE) -> (source, src_tokens BIGINT,
+    token_budget BIGINT) under temperature ``alpha`` — the ONE place
+    the alpha-weight ladder and budget rounding live, so the exact
+    sampler, the budgets API, and the DuckDB oracle cannot diverge.
+    ``alpha=0.5`` uses ``sqrt`` explicitly: IEEE-754 requires sqrt to
+    be correctly rounded, so weights are bit-identical across engines,
+    which ``pow`` does not guarantee."""
     if alpha == 0.5:
         w = F.sqrt("src_tokens")
     elif alpha == 0.0:
@@ -98,6 +95,25 @@ def source_token_budgets(
         .cast("bigint")
         .alias("token_budget"),
     )
+
+
+def source_token_budgets(
+    docs: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token budgets under temperature ``alpha``:
+    ``budget_s = round(T_s^alpha / Σ T^alpha · token_budget)``.
+
+    Returns a tiny (one row per source) DataFrame — always broadcast
+    it back onto the corpus. ``alpha=0.5`` uses ``sqrt`` explicitly:
+    IEEE-754 requires sqrt to be correctly rounded, so the weights are
+    bit-identical across engines, which ``pow`` does not guarantee."""
+    tok = token_count_expr(text_col).cast("double")
+    per = docs.groupBy(source_col).agg(F.sum(tok).alias("src_tokens"))
+    return _budgets_from_mass(per, token_budget, alpha, source_col)
 
 
 def sample_temperature_mixture(
@@ -151,25 +167,14 @@ def sample_temperature_mixture(
     # per-(source, sub-bucket) token mass: sources x num_subbuckets rows
     per_sub = d.groupBy(source_col, "_sub").agg(F.sum("n_tokens").alias("_subtoks"))
     # budgets from the sub-bucket sums (sum of exact bigints per source
-    # == source_token_budgets' double sum for integer token counts)
+    # == source_token_budgets' double sum for integer token counts);
+    # shared ladder/rounding via _budgets_from_mass so the two paths
+    # and the DuckDB oracle cannot diverge
     per = per_sub.groupBy(source_col).agg(
         F.sum("_subtoks").cast("double").alias("src_tokens")
     )
-    if alpha == 0.5:
-        w = F.sqrt("src_tokens")
-    elif alpha == 0.0:
-        w = F.lit(1.0)
-    elif alpha == 1.0:
-        w = F.col("src_tokens")
-    else:
-        w = F.pow("src_tokens", F.lit(float(alpha)))
-    powed = per.select(source_col, w.alias("_w"))
-    total = powed.agg(F.sum("_w").alias("_tw"))
-    budgets = powed.crossJoin(F.broadcast(total)).select(
-        source_col,
-        F.round(F.col("_w") / F.col("_tw") * F.lit(float(token_budget)))
-        .cast("bigint")
-        .alias("token_budget"),
+    budgets = _budgets_from_mass(per, token_budget, alpha, source_col).drop(
+        "src_tokens"
     )
     joined = d.join(F.broadcast(budgets), source_col)
     w_off = (

@@ -206,6 +206,14 @@ def refresh_agg_from_cdf(
         raise ValueError(
             f"refresh_agg_from_cdf requires a local-POSIX state_path: {state_path!r}"
         )
+    if on_delete_minmax not in ("error", "recompute"):
+        raise ValueError(
+            f"on_delete_minmax must be 'error' or 'recompute', got {on_delete_minmax!r}"
+        )
+    fns = {fn for fn, _ in aggs.values()}
+    unsupported = fns - set(_MERGES)
+    if unsupported:
+        raise ValueError(f"non-decomposable aggregates: {unsupported}")
     _recover(state_path)
     state = _read_or_none(spark, state_path)
     ledger = _read_or_none(spark, f"{state_path}/{_LEDGER}")
@@ -228,16 +236,19 @@ def refresh_agg_from_cdf(
     else:
         ch = acid.table_changes(spark, table_path, done, latest)
 
-    if on_delete_minmax not in ("error", "recompute"):
-        raise ValueError(f"on_delete_minmax must be 'error' or 'recompute', got {on_delete_minmax!r}")
-    fns = {fn for fn, _ in aggs.values()}
-    unsupported = fns - set(_MERGES)
-    if unsupported:
-        raise ValueError(f"non-decomposable aggregates: {unsupported}")
     minmax_aggs = {
         o: s for o, s in aggs.items()
         if s[0] in ("min", "max", "approx_distinct")
     }
+    if minmax_aggs:
+        # the delete probe AND the partials aggregation both read the
+        # change window; un-materialized, the CDF diff (exceptAll over
+        # the changed dirs) would execute twice — the multi-consumer
+        # case the barrier rule says to materialize. Window-sized, not
+        # table-sized.
+        from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+        ch = barrier(ch, "cdf-window")
     splice_minmax = bool(
         minmax_aggs
         and ch.filter(F.col("_change_type") == "delete").take(1)

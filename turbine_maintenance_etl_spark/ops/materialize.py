@@ -59,10 +59,39 @@ def _scratch_dir() -> str:
 def barrier(df: DataFrame, tag: str = "barrier", mode: str | None = None) -> DataFrame:
     """Materialize ``df`` so downstream multi-branch consumers never
     re-execute its lineage. ``mode=None`` reads the deployment default
-    from ``SPARK_GRAFT_CHECKPOINT_MODE`` (see module docstring)."""
+    from ``SPARK_GRAFT_CHECKPOINT_MODE`` (see module docstring).
+
+    Reliable-mode frames persist under the scratch dir for the life of
+    the JOB that reads them (the whole point — they must survive
+    executor loss), so the module cannot safely auto-delete them.
+    Run ``sweep_scratch()`` from the deployment's maintenance cadence
+    (same place vacuum/orphan_sweep run) to reclaim aged frames."""
     mode = mode or checkpoint_mode()
     if mode == "local":
         return df.localCheckpoint(eager=True)
     path = os.path.join(_scratch_dir(), f"{tag}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def sweep_scratch(min_age_s: float = 86400.0) -> list[str]:
+    """Reclaim reliable-mode barrier frames older than ``min_age_s``
+    (default one day — comfortably above any single job's lifetime;
+    lower it if your pipelines finish faster). Safe to run while jobs
+    are active: an in-flight job's frames are younger than the fence.
+    Returns the removed directory names."""
+    import shutil
+    import time
+
+    base = _scratch_dir()
+    now = time.time()
+    removed = []
+    for name in sorted(os.listdir(base)):
+        full = os.path.join(base, name)
+        if not os.path.isdir(full):
+            continue
+        if now - os.path.getmtime(full) < min_age_s:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(name)
+    return removed
