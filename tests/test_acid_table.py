@@ -1027,3 +1027,112 @@ def test_stream_source_startingversion_refuses_vacuumed_skip(
     boot = AcidTableStreamReader(path, starting_version=0, ignore_changes=False)
     parts = boot.partitions({"version": 0}, latest)
     assert len(parts) == len(acid.snapshot(path).dirs)  # full bootstrap
+
+
+def test_stats_on_timestamp_column_prune_and_merge(tmp_path, spark):
+    """Review fix: timestamp stats were stringified while probes stayed
+    native datetimes — every pruned MERGE / where-read on a timestamp
+    key crashed with TypeError. Both sides now normalize through
+    _stat_val (ISO strings: lexicographic == chronologic)."""
+    import datetime as dt
+
+    path = str(tmp_path / "tstbl")
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(hours=i), float(i))
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    acid.create_table(spark, df, path, stats_cols=("ts",))
+    # where-read with native datetime bounds: prunes, correct rows
+    got = acid.read_table(
+        spark, path,
+        where={"ts": (dt.datetime(2026, 1, 1, 10), dt.datetime(2026, 1, 1, 13))},
+    )
+    assert sorted(r["id"] for r in got.collect()) == [10, 11, 12, 13]
+    # pruned MERGE keyed on the timestamp column: no TypeError, latest wins
+    upd = spark.createDataFrame(
+        [(99, dt.datetime(2026, 1, 1, 5), 555.0)], "id long, ts timestamp, v double"
+    )
+    acid.merge_table(spark, upd, path, keys=("ts",), order_col="v")
+    got = {r["ts"]: r["v"] for r in acid.read_table(spark, path).collect()}
+    assert got[dt.datetime(2026, 1, 1, 5)] == 555.0 and len(got) == 48
+
+
+def test_pruned_merge_keeps_all_null_key_batch(tmp_path, spark):
+    """Review fix: a non-empty batch whose key column is entirely NULL
+    used to be silently DROPPED by the pruned path (min == None looked
+    like an empty batch); it now falls back to the full rewrite, same
+    as the no-stats path."""
+    path = str(tmp_path / "nulltbl")
+    df = spark.createDataFrame([(1, "a", 1)], "id long, k string, ver long")
+    acid.create_table(spark, df, path, stats_cols=("id",))
+    nulls = spark.createDataFrame([(None, "z", 2)], "id long, k string, ver long")
+    acid.merge_table(spark, nulls, path, keys=("id",), order_col="ver")
+    rows = {(r["id"], r["k"]) for r in acid.read_table(spark, path).collect()}
+    assert rows == {(1, "a"), (None, "z")}
+
+
+def test_merge_and_compact_preserve_evolved_columns(tmp_path, spark):
+    """Review fix: merge_table/compact_table read their input dirs
+    without mergeSchema, so a rewrite spanning a schema evolution could
+    silently drop the evolved column's values. Both now merge footers."""
+    path = str(tmp_path / "evtbl")
+    acid.create_table(
+        spark,
+        spark.createDataFrame([(1, 10.0, 1)], "id long, v double, ver long"),
+        path,
+        stats_cols=("id",),
+    )
+    acid.append_table(
+        spark,
+        spark.createDataFrame(
+            [(2, 20.0, 1, "keepme")], "id long, v double, ver long, note string"
+        ),
+        path,
+    )
+    # merge touching BOTH dirs (key range spans them): note must survive
+    acid.merge_table(
+        spark,
+        spark.createDataFrame([(1, 99.0, 2)], "id long, v double, ver long"),
+        path,
+        keys=("id",),
+        order_col="ver",
+    )
+    got = {
+        r["id"]: (r["v"], r["note"])
+        for r in acid.read_table(spark, path, merge_schema=True).collect()
+    }
+    assert got == {1: (99.0, None), 2: (20.0, "keepme")}
+    # compaction must also carry the evolved column
+    acid.compact_table(spark, path, target_partitions=1)
+    got = {
+        r["id"]: r["note"]
+        for r in acid.read_table(spark, path, merge_schema=True).collect()
+    }
+    assert got == {1: None, 2: "keepme"}
+    # and an all-pruned where-read still exposes the evolved schema
+    empty = acid.read_table(
+        spark, path, where={"id": (10**9, None)}, merge_schema=True
+    )
+    assert "note" in empty.columns and empty.count() == 0
+
+
+def test_create_race_surfaces_as_file_exists(tmp_path, spark, monkeypatch):
+    """Review fix: losing the v1 creation race raised CommitConflict,
+    escaping the except FileExistsError handlers the streaming callers
+    use; create_table now translates it."""
+    path = str(tmp_path / "racetbl")
+    df = spark.createDataFrame([(1,)], "id long")
+    acid.create_table(spark, df, path)
+    # simulate the race: the existence pre-check sees nothing, but the
+    # CAS finds v1 already committed
+    monkeypatch.setattr(acid, "latest_version", lambda p: None)
+    with pytest.raises(FileExistsError):
+        acid.create_table(spark, df, path)
+
+
+def test_vacuum_rejects_keep_last_zero(tmp_path, spark):
+    path = str(tmp_path / "vtbl0")
+    acid.create_table(spark, spark.createDataFrame([(1,)], "id long"), path)
+    with pytest.raises(ValueError, match="keep_last"):
+        acid.vacuum(path, keep_last=0)

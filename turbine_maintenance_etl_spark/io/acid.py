@@ -155,8 +155,13 @@ def read_table(
         # planning time — at 100 TB, only pay it on evolved tables.
         reader = reader.option("mergeSchema", "true")
     if not dirs:
-        # predicate excludes every dir: empty frame with the table schema
-        df = reader.parquet(os.path.join(path, snap.dirs[0])).limit(0)
+        # predicate excludes every dir: empty frame with the table
+        # schema — planned over ALL dirs (footer reads only via
+        # limit(0)) so an evolved table's empty result still carries
+        # the evolved columns under merge_schema
+        df = reader.parquet(
+            *[os.path.join(path, d) for d in snap.dirs]
+        ).limit(0)
     else:
         df = reader.parquet(*[os.path.join(path, d) for d in dirs])
     if where:
@@ -237,6 +242,25 @@ def _write_data_dir(df: DataFrame, path: str, op: str) -> str:
     return d
 
 
+def _stat_val(v):
+    """Normalize a min/max value for manifest storage AND probe
+    comparison — the ONE function both sides go through, so stored
+    stats and incoming probe values always compare type-consistently:
+
+    - int/float/str/bool pass through;
+    - datetime/date map to ISO strings (lexicographic == chronologic);
+    - anything else (Decimal, bytes, ...) maps to None — a declared
+      stats GAP, so pruning safely degrades to reading the dir rather
+      than comparing unorderable representations."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
 def _dir_stats(spark: SparkSession, path: str, d: str, stats_cols: tuple) -> dict:
     """Row count + per-column min/max for one freshly written data dir
     — one columnar aggregate over just-written files (column-pruned
@@ -251,12 +275,19 @@ def _dir_stats(spark: SparkSession, path: str, d: str, stats_cols: tuple) -> dic
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
     row = df.agg(*aggs).collect()[0]
 
-    def js(v):
-        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+    def rng(c):
+        lo, hi = _stat_val(row[f"_min_{c}"]), _stat_val(row[f"_max_{c}"])
+        # a bound the normalizer cannot order (e.g. Decimal) voids the
+        # column's stats for this dir — pruning must stay conservative
+        if (row[f"_min_{c}"] is not None and lo is None) or (
+            row[f"_max_{c}"] is not None and hi is None
+        ):
+            return [None, None]
+        return [lo, hi]
 
     return {
         "rows": row["_n"],
-        "cols": {c: [js(row[f"_min_{c}"]), js(row[f"_max_{c}"])] for c in present},
+        "cols": {c: rng(c) for c in present},
     }
 
 
@@ -271,6 +302,7 @@ def _may_match(dir_stats: dict | None, where: dict) -> bool:
         if not rng:
             continue
         mn, mx = rng
+        lo, hi = _stat_val(lo), _stat_val(hi)
         if hi is not None and mn is not None and mn > hi:
             return False
         if lo is not None and mx is not None and mx < lo:
@@ -308,6 +340,15 @@ def _try_commit(
         os.fsync(f.fileno())
     try:
         os.link(tmp, _manifest_path(path, version))
+        # fsync the DIRECTORY too: link(2) updates a directory entry,
+        # and without this a power loss after the caller acknowledges
+        # the commit could lose the entry — an acked version vanishing
+        # is exactly what the durability claim forbids.
+        dfd = os.open(mdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except FileExistsError as e:
         raise CommitConflict(f"version {version} already committed") from e
     finally:
@@ -325,7 +366,13 @@ def create_table(
         raise FileExistsError(f"table already exists at {path}")
     d = _write_data_dir(df, path, "create")
     stats = {d: _dir_stats(spark, path, d, stats_cols)} if stats_cols else {}
-    _try_commit(path, 1, [d], "create", 0, stats, stats_cols)
+    try:
+        _try_commit(path, 1, [d], "create", 0, stats, stats_cols)
+    except CommitConflict as e:
+        # the v1 race IS "table already exists" to a creator — surface
+        # the exception its callers' except FileExistsError handlers
+        # were written for (the loser's data dir is orphan_sweep's job)
+        raise FileExistsError(f"table already exists at {path}") from e
     return 1
 
 
@@ -343,6 +390,7 @@ def _retrying_commit(
     blindly replayed — lost-update-free by construction. Data-skipping
     stats are inherited for carried-over dirs and computed once for new
     dirs (per the table's declared ``stats_cols``)."""
+    computed: dict = {}  # per-call memo: retries must not rescan dirs
     for _ in range(max_retries):
         base = snapshot(path)
         dirs = build(base)
@@ -355,8 +403,12 @@ def _retrying_commit(
                     # e.g. RESTORE: the dir's stats live in the historic
                     # manifest, not the current base — inherit, don't rescan
                     stats[d] = stats_hints[d]
+                elif d in computed:
+                    stats[d] = computed[d]
                 else:
-                    stats[d] = _dir_stats(spark, path, d, base.stats_cols)
+                    stats[d] = computed[d] = _dir_stats(
+                        spark, path, d, base.stats_cols
+                    )
         try:
             _try_commit(
                 path, base.version + 1, dirs, op, base.version, stats, base.stats_cols
@@ -436,20 +488,40 @@ def merge_table(
                     frontier.append((mn, mx))
         return sorted(touched), sorted(set(base.dirs) - touched)
 
+    probe: dict = {}  # hoisted across retries: new_rows never changes
+
     def build(base: Snapshot) -> list[str]:
         prune = key0 in base.stats_cols
         if prune:
-            b = new_rows.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
-            lo, hi = b["lo"], b["hi"]
-            if lo is None:  # empty incoming batch: the merge is a no-op
+            if not probe:
+                probe["row"] = new_rows.agg(
+                    F.min(key0).alias("lo"),
+                    F.max(key0).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+            b = probe["row"]
+            lo, hi = _stat_val(b["lo"]), _stat_val(b["hi"])
+            if b["n"] == 0:  # empty incoming batch: the merge is a no-op
                 return list(base.dirs)
-            touched, carried = _touched_closure(base, lo, hi)
+            if lo is None or hi is None:
+                # rows exist but key bounds are unusable (all-NULL key,
+                # or a type the stat normalizer can't order): pruning
+                # would silently DROP the batch — full rewrite instead,
+                # matching the no-stats path's semantics
+                touched, carried = list(base.dirs), []
+            else:
+                touched, carried = _touched_closure(base, lo, hi)
         else:
             touched, carried = list(base.dirs), []
         # touched may be empty (all-new keys): the rewrite then dedups
-        # just the incoming batch and every existing dir is carried
+        # just the incoming batch and every existing dir is carried.
+        # mergeSchema: touched dirs may straddle a schema evolution —
+        # without it Spark infers from ONE arbitrary file and silently
+        # drops the other dirs' evolved columns from the rewrite.
         existing = (
-            spark.read.parquet(*[os.path.join(path, d) for d in touched])
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, d) for d in touched]
+            )
             if touched
             else new_rows.limit(0)
         )
@@ -515,14 +587,22 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
     across the restore boundary is the row-level undo diff. Raises if
     vacuum already reclaimed any of the target version's dirs."""
     old = snapshot(path, version)
-    missing = [d for d in old.dirs if not os.path.isdir(os.path.join(path, d))]
-    if missing:
-        raise FileNotFoundError(
-            f"cannot restore {path} to v{version}: dirs vacuumed {missing[:3]}"
-        )
-    return _retrying_commit(
-        path, lambda base: list(old.dirs), "restore", spark, stats_hints=old.stats
-    )
+
+    def build(base):
+        # re-verify INSIDE the retry loop, immediately before each
+        # commit attempt: a concurrent vacuum between an earlier check
+        # and the commit must not let restore publish a manifest that
+        # names deleted dirs (a corrupted table head)
+        missing = [
+            d for d in old.dirs if not os.path.isdir(os.path.join(path, d))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {path} to v{version}: dirs vacuumed {missing[:3]}"
+            )
+        return list(old.dirs)
+
+    return _retrying_commit(path, build, "restore", spark, stats_hints=old.stats)
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[str]:
@@ -532,6 +612,11 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
     still hold (same retention contract as Delta's VACUUM)."""
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): the latest snapshot "
+            "can never be vacuumed"
+        )
     versions = _list_versions(path)
     if len(versions) <= keep_last:
         return []
@@ -594,7 +679,12 @@ def compact_table(
     def build(base: Snapshot) -> list[str]:
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(*[os.path.join(path, d) for d in base.dirs])
+        # mergeSchema: a compaction that reads an evolved table without
+        # it would rewrite EVERY dir minus the evolved columns — total
+        # silent loss of that data
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, d) for d in base.dirs]
+        )
         if not cluster_cols:
             return [_write_data_dir(df.repartition(target_partitions), path, "compact")]
         if len(cluster_cols) == 1:
