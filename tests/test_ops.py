@@ -326,6 +326,58 @@ def test_weighted_sample_large_k_path_matches_topk_path(spark):
     assert via_topk == via_rank and len(via_topk) == 600
 
 
+def test_distributed_rank_cut_beyond_double_precision(spark):
+    """bigint keys past 2^53 whose neighbors collapse to ONE double still
+    rank exactly: bucketing may merge them (the cast is monotone, so
+    membership stays consistent) but the boundary window orders by the
+    ORIGINAL key value, not its lossy double cast."""
+    from turbine_maintenance_etl_spark.ops.rank import (
+        global_row_number,
+        keep_lowest_k,
+    )
+
+    base = 1 << 53  # above this, consecutive bigints share a double
+    rows = [(i, base + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v bigint")
+    got = sorted(
+        r["id"] for r in keep_lowest_k(df, F.col("v"), 7, "id", num_buckets=4).collect()
+    )
+    assert got == list(range(7))
+    ordinals = {
+        r["id"]: r["row_idx"]
+        for r in global_row_number(df, F.col("v"), "id", num_buckets=4).collect()
+    }
+    assert ordinals == {i: i + 1 for i in range(200)}
+
+
+def test_distributed_rank_cut_guard_rails(spark):
+    """Reserved-column clashes, sub-2 bucket counts, existing out_col,
+    and non-castable keys all fail LOUDLY instead of silently corrupting
+    or emptying the result."""
+    import pytest
+
+    from turbine_maintenance_etl_spark.ops.rank import (
+        global_row_number,
+        keep_lowest_k,
+    )
+
+    clash = spark.createDataFrame([(1, 1.0, 0)], "id int, v double, _rank_bucket int")
+    with pytest.raises(ValueError, match="reserved rank column"):
+        keep_lowest_k(clash, F.col("v"), 1, "id")
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    with pytest.raises(ValueError, match="num_buckets"):
+        keep_lowest_k(df, F.col("v"), 1, "id", num_buckets=1)
+
+    with_idx = spark.createDataFrame([(1, 1.0, 9)], "id int, v double, row_idx int")
+    with pytest.raises(ValueError, match="already exists"):
+        global_row_number(with_idx, F.col("v"), "id")
+
+    text = spark.createDataFrame([(1, "abc"), (2, "def")], "id int, v string")
+    with pytest.raises(ValueError, match="does not cast to double"):
+        keep_lowest_k(text, F.col("v"), 1, "id")
+
+
 def test_distributed_rank_cut_degenerate_single_value(spark):
     """All-equal keys collapse every quantile edge: the cut degrades to
     one ranked bucket but stays exact and deterministic via the id

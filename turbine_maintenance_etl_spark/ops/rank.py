@@ -28,10 +28,13 @@ the boundary bucket grows toward the tie mass — exactness over massive
 ties inherently requires co-locating the tied rows; the unique-id
 tie-break keeps the result deterministic either way.
 
-Cost: three passes over the input (edges, counts, final) instead of
-one — each fully parallel. Callers with an expensive upstream (e.g. a
-trained-LM scoring chain) should pass ``persist=True`` to materialize
-the input once and serve all three passes from storage.
+Cost: four input scans unpersisted (edges, counts, and the final job
+reads the kept-below and boundary branches separately — deliberately:
+folding them into one scan would hash-exchange EVERY kept row for the
+window, where the two-branch plan shuffles only the boundary bucket).
+Callers with an expensive upstream (e.g. a trained-LM scoring chain)
+should pass ``persist=True`` to materialize the keyed frame once via
+``ops.materialize.barrier`` and serve every pass from storage.
 """
 
 from __future__ import annotations
@@ -39,17 +42,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_RK = "_rank_key"
+_RK = "_rank_key"    # double-cast key: drives BUCKETING only
+_RO = "_rank_orig"   # original key value: drives ORDERING (exactness)
 _BKT = "_rank_bucket"
+_RESERVED = (_RK, _RO, _BKT, "_rn", "_offset")
 
 
 def _bucketed(df: DataFrame, key: Column, num_buckets: int, persist: bool) -> DataFrame:
-    """Attach the rank key and its content-defined quantile bucket."""
-    t = df.withColumn(_RK, key.cast("double")).filter(F.col(_RK).isNotNull())
-    if persist:
-        from pyspark.storagelevel import StorageLevel
+    """Attach the rank key and its content-defined quantile bucket.
 
-        t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    Bucketing uses the DOUBLE cast (approxQuantile needs it; the cast
+    is monotone non-decreasing, so bucket order can never contradict
+    the true key order), but exact ORDERING inside the boundary window
+    uses the ORIGINAL key value — a bigint beyond 2^53 whose neighbors
+    collapse to one double still ranks exactly. A key whose cast is
+    NULL for non-NULL values (non-numeric column) surfaces as a NULL
+    bucket, which the callers reject loudly instead of silently
+    returning an empty result."""
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    clash = [c for c in _RESERVED if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has reserved rank column(s) {clash}; rename them"
+        )
+    t = (
+        df.withColumn(_RO, key)
+        .filter(F.col(_RO).isNotNull())
+        .withColumn(_RK, F.col(_RO).cast("double"))
+    )
+    if persist:
+        from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+        # barrier (localCheckpoint / scratch parquet) instead of a raw
+        # .persist(): the storage is released when the frame is GC'd,
+        # not pinned for the session's lifetime, and the deployment's
+        # checkpoint-mode knob applies
+        t = barrier(t, "rank-keyed")
     probs = [i / num_buckets for i in range(1, num_buckets)]
     # bounded driver result: <= num_buckets-1 literal doubles
     edges = sorted(set(t.approxQuantile(_RK, probs, 1.0 / (4 * num_buckets))))
@@ -62,7 +91,23 @@ def _bucketed(df: DataFrame, key: Column, num_buckets: int, persist: bool) -> Da
         )
     else:
         bkt = F.lit(0)
-    return t.withColumn(_BKT, bkt)
+    # a non-NULL key whose double cast is NULL (non-numeric column)
+    # must NOT silently land in bucket 0 below rows it may outrank —
+    # give it a NULL bucket so _bucket_counts rejects the key loudly
+    return t.withColumn(_BKT, F.when(F.col(_RK).isNotNull(), bkt))
+
+
+def _bucket_counts(t: DataFrame) -> dict:
+    counts = {
+        r[_BKT]: r["n"]
+        for r in t.groupBy(_BKT).agg(F.count("*").alias("n")).collect()
+    }
+    if None in counts:
+        raise ValueError(
+            "rank key does not cast to double (non-numeric column?) — "
+            f"{counts[None]} non-NULL rows have no bucket"
+        )
+    return counts
 
 
 def keep_lowest_k(
@@ -82,13 +127,10 @@ def keep_lowest_k(
     Exactly equivalent to the single-partition ``row_number`` cut; see
     the module docstring for the plan shape."""
     out_cols = list(df.columns)
+    if k <= 0:  # statically empty: never scan the input
+        return df.filter(F.lit(False)).select(*out_cols)
     t = _bucketed(df, key, num_buckets, persist)
-    if k <= 0:
-        return t.filter(F.lit(False)).select(*out_cols)
-    counts = {
-        r[_BKT]: r["n"]
-        for r in t.groupBy(_BKT).agg(F.count("*").alias("n")).collect()
-    }
+    counts = _bucket_counts(t)
     return _cut_at(t, k, counts, id_col, out_cols)
 
 
@@ -107,10 +149,7 @@ def keep_lowest_frac(
     needs, so the fraction costs no extra pass."""
     out_cols = list(df.columns)
     t = _bucketed(df, key, num_buckets, persist)
-    counts = {
-        r[_BKT]: r["n"]
-        for r in t.groupBy(_BKT).agg(F.count("*").alias("n")).collect()
-    }
+    counts = _bucket_counts(t)
     k = int(frac * sum(counts.values()))
     if k <= 0:
         return t.filter(F.lit(False)).select(*out_cols)
@@ -134,7 +173,7 @@ def _cut_at(
     # the ONLY windowed slice: one bucket (~n/num_buckets rows by
     # quantile construction), with the partition column declared so the
     # exchange is a hash partitioning, never SinglePartition
-    w = Window.partitionBy(_BKT).orderBy(F.asc(_RK), F.asc(id_col))
+    w = Window.partitionBy(_BKT).orderBy(F.asc(_RO), F.asc(id_col))
     kept_boundary = (
         t.filter(F.col(_BKT) == boundary)
         .withColumn("_rn", F.row_number().over(w))
@@ -164,11 +203,10 @@ def global_row_number(
     exact contiguous ordinals, max co-located slice ~n/num_buckets.
     This is the production shape for assigning stable ordinal ids to a
     corpus (training-order assignment, stable integer doc ids)."""
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists; rename it")
     t = _bucketed(df, key, num_buckets, persist)
-    counts = sorted(
-        (r[_BKT], r["n"])
-        for r in t.groupBy(_BKT).agg(F.count("*").alias("n")).collect()
-    )
+    counts = sorted(_bucket_counts(t).items())
     offsets, acc = [], 0
     for b, n in counts:
         offsets.append((b, acc))
@@ -177,9 +215,9 @@ def global_row_number(
     off = F.broadcast(
         spark.createDataFrame(offsets, f"{_BKT} int, _offset bigint")
     )
-    w = Window.partitionBy(_BKT).orderBy(F.asc(_RK), F.asc(id_col))
+    w = Window.partitionBy(_BKT).orderBy(F.asc(_RO), F.asc(id_col))
     return (
         t.join(off, _BKT)
         .withColumn(out_col, (F.row_number().over(w) + F.col("_offset")).cast("bigint"))
-        .drop(_RK, _BKT, "_offset")
+        .drop(_RK, _RO, _BKT, "_offset")
     )
