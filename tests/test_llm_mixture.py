@@ -128,3 +128,47 @@ def test_write_hash_shards_roundtrip(docs, tmp_path):
     # partition-pruned read of one shard touches only that directory
     one = d.sparkSession.read.parquet(out).filter(F.col("shard") == 2)
     assert 0 < one.count() < d.count()
+
+
+def test_write_hash_shards_splits_each_shard_across_files(docs, tmp_path):
+    """files_per_shard > 1 must yield MULTIPLE parquet files inside each
+    shard directory (multiple writer tasks per shard — the 100 TB
+    anti-straggler property), without changing the row contents."""
+    out = os.path.join(str(tmp_path), "shards_multi")
+    d = docs.select("doc_id", "source")
+    write_hash_shards(d, out, n_shards=2, files_per_shard=4)
+    for shard_dir in ("shard=0", "shard=1"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, shard_dir))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 2, f"{shard_dir} written by a single task: {files}"
+    back = d.sparkSession.read.parquet(out)
+    assert back.count() == d.count()
+    assert "_filebkt" not in back.columns
+    with pytest.raises(ValueError, match="files_per_shard"):
+        write_hash_shards(d, out, n_shards=2, files_per_shard=0)
+
+
+def test_mixture_excludes_null_id_and_source(docs):
+    """Docs with NULL id or NULL source can never be selected (no hash /
+    no budget row) — they must also not INFLATE the budgets or offsets:
+    selection over a corpus polluted with NULL rows equals selection
+    over the clean corpus exactly, for both samplers."""
+    clean = docs.select("doc_id", "source", "text")
+    polluted = clean.unionByName(
+        clean.limit(30).select(
+            F.lit(None).cast("long").alias("doc_id"), "source", "text"
+        )
+    ).unionByName(
+        clean.limit(30).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit(None).cast("string").alias("source"),
+            "text",
+        )
+    )
+    for fn in (sample_temperature_mixture, sample_temperature_mixture_approx):
+        want = sorted(r.doc_id for r in fn(clean, 8000).collect())
+        got = sorted(r.doc_id for r in fn(polluted, 8000).collect())
+        assert got == want, fn.__name__

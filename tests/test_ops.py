@@ -709,6 +709,29 @@ def test_cms_shard_sketches_and_merge_estimate(spark):
         assert est[it] <= truth[it] + 0.02 * n_total, it
     assert est[10**12] <= 0.02 * n_total          # absent ~ 0 + eps*N
 
+    # differential pin: the executor-side byte-level merge must agree
+    # with the JVM's own mergeInPlace on EVERY estimate — this is what
+    # licenses parsing the serialized format off-driver
+    jvm = spark.sparkContext._jvm
+    ref = None
+    for r in sketches.select("cms").collect():
+        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytearray(bytes(r["cms"]))
+        )
+        ref = s if ref is None else ref.mergeInPlace(s)
+    assert est == {it: int(ref.estimateCount(it)) for it in items}
+
+    # incompatible sketches (different seed → different hash rows) refuse
+    from turbine_maintenance_etl_spark.ops.sketch import _cms_merge_bytes
+
+    other = cms_shard_sketches(
+        events, "user_id", ["event_type"], eps=0.005, confidence=0.99, seed=7
+    )
+    a = bytes(sketches.select("cms").first()["cms"])
+    b = bytes(other.select("cms").first()["cms"])
+    with pytest.raises(ValueError, match="incompatible"):
+        _cms_merge_bytes(a, b)
+
 
 def test_barrier_modes_equivalent(spark, tmp_path, monkeypatch):
     """ops.materialize.barrier: 'reliable' (parquet round-trip under
@@ -910,6 +933,99 @@ def test_refresh_agg_from_cdf_minmax_recompute_policy(spark, tmp_path):
     assert {r["k"]: (r["n"], r["total"], r["lo"]) for r in again.collect()} == want
 
 
+def test_refresh_agg_from_cdf_refuses_foreign_state(spark, tmp_path):
+    """A state with batch entries but NO cdf cursor was built by
+    merge_incremental_agg — bootstrapping the full snapshot on top of it
+    would double-count every overlapping row, so the refresh refuses."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import (
+        merge_incremental_agg,
+        refresh_agg_from_cdf,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    aggs = {"n": ("count", "id"), "total": ("sum", "v")}
+    rows = spark.createDataFrame([(1, "a", 10.0)], "id long, k string, v double")
+    acid.create_table(spark, rows, tbl)
+    # the same rows already folded manually into the shared state path
+    merge_incremental_agg(spark, state, rows, "batch-1", ["k"], aggs)
+    with pytest.raises(ValueError, match="no cdf-v"):
+        refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs)
+
+
+def test_refresh_agg_from_cdf_rebuilds_after_vacuum(spark, tmp_path):
+    """A rollup that lags past vacuum's retention loses its incremental
+    window — the refresh must rebuild from the snapshot (ground truth)
+    instead of crashing on the reclaimed manifest forever."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    aggs = {"n": ("count", "id"), "total": ("sum", "v")}
+    schema = "id long, k string, v long"
+    acid.create_table(spark, spark.createDataFrame([(1, "a", 10)], schema), tbl)
+    refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs)  # cursor = v1
+    for i in range(2, 6):
+        acid.append_table(
+            spark, spark.createDataFrame([(i, "a", 10 * i)], schema), tbl
+        )
+    acid.vacuum(tbl, keep_last=2)  # reclaims the v1 manifest
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs).collect()
+    }
+    assert got == {"a": (5, 10 + 20 + 30 + 40 + 50)}
+    # and the rebuilt cursor advances normally afterwards
+    acid.append_table(spark, spark.createDataFrame([(9, "b", 7)], schema), tbl)
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in refresh_agg_from_cdf(spark, tbl, state, ["k"], aggs).collect()
+    }
+    assert got == {"a": (5, 150), "b": (1, 7)}
+
+
+def test_refresh_agg_from_cdf_schema_evolved_table(spark, tmp_path):
+    """Aggregating a column added AFTER table creation: the bootstrap
+    and the min/max snapshot splice must read the snapshot with merged
+    schema (one arbitrary part-file's schema would drop the late column
+    nondeterministically)."""
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
+
+    tbl = str(tmp_path / "tbl")
+    acid.create_table(
+        spark,
+        spark.createDataFrame([(1, "a", 1)], "id long, k string, ver long"),
+        tbl,
+    )
+    acid.append_table(  # evolution: adds 'temp'
+        spark,
+        spark.createDataFrame(
+            [(2, "a", 1, 37.5)], "id long, k string, ver long, temp double"
+        ),
+        tbl,
+    )
+    aggs = {"n": ("count", "id"), "hi": ("max", "temp")}
+    got = refresh_agg_from_cdf(
+        spark, tbl, str(tmp_path / "s1"), ["k"], aggs
+    ).collect()
+    assert [(r["n"], r["hi"]) for r in got] == [(2, 37.5)]
+    # delete-window splice path over the evolved column
+    acid.merge_table(
+        spark,
+        spark.createDataFrame(
+            [(2, "a", 2, 12.0)], "id long, k string, ver long, temp double"
+        ),
+        tbl, keys=("id",), order_col="ver",
+    )
+    got = refresh_agg_from_cdf(
+        spark, tbl, str(tmp_path / "s1"), ["k"], aggs, on_delete_minmax="recompute"
+    ).collect()
+    assert [(r["n"], r["hi"]) for r in got] == [(2, 12.0)]
+
+
 def test_approx_distinct_salted_and_incremental(spark, tmp_path):
     """approx_distinct decomposes via mergeable HLL sketches: the salted
     two-stage aggregate and the two-batch incremental state must both
@@ -1026,6 +1142,35 @@ def test_barrier_scratch_sweep(tmp_path, monkeypatch, spark):
     removed = M.sweep_scratch(min_age_s=86400)
     assert removed == [old_dir]
     assert any(n.startswith("fresh-") for n in _os.listdir(base))
+
+
+def test_barrier_scratch_remote_uri(tmp_path, monkeypatch, spark):
+    """A scratch path with a URI scheme must NOT be os.makedirs'd as a
+    bogus local dir, and sweep must reclaim it through the Hadoop
+    FileSystem (exercised here via file:// → LocalFileSystem — the same
+    code path hdfs:// and s3a:// take)."""
+    import os as _os
+
+    from turbine_maintenance_etl_spark.ops import materialize as M
+
+    # file:// is normalized to the raw local path (single-node usage)
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", f"file://{tmp_path}/s1")
+    assert M._scratch_dir() == f"{tmp_path}/s1"
+
+    # the Hadoop sweep path: write frames, age one, sweep via the JVM FS
+    base = str(tmp_path / "s2")
+    _os.makedirs(base)
+    spark.range(5).write.parquet(f"{base}/old-abc")
+    spark.range(5).write.parquet(f"{base}/fresh-def")
+    aged = _os.path.getmtime(f"{base}/old-abc") - 172800
+    _os.utime(f"{base}/old-abc", (aged, aged))
+    removed = M._sweep_remote(f"file://{base}", min_age_s=86400)
+    assert removed == ["old-abc"]
+    assert _os.path.exists(f"{base}/fresh-def") and not _os.path.exists(
+        f"{base}/old-abc"
+    )
+    # missing remote root is a clean no-op, not a crash
+    assert M._sweep_remote(f"file://{tmp_path}/nowhere", 1.0) == []
 
 
 def test_refresh_agg_validates_args_even_when_noop(spark, tmp_path):

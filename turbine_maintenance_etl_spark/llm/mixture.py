@@ -33,9 +33,10 @@ embarrassingly parallel (no global sort, no ntile window — a global
 ORDER BY is exactly what an export job must avoid at 100 TB); token
 balance across shards follows from hash uniformity, verified by the
 ``export_hash_shards`` oracle entry and a skew test. The writer
-repartitions BY the shard column so each output directory is written
-by the tasks that own that shard — one wide exchange, then
-partition-pruned reads for downstream trainers.
+repartitions on (shard, intra-shard file bucket) so every shard
+directory is written by ``files_per_shard`` parallel tasks — one wide
+exchange, bounded file sizes, then partition-pruned reads for
+downstream trainers.
 
 Reference analog: the reference ETL materializes one monolithic
 training table (scripts/etl_pipeline.py write step); sharded,
@@ -152,18 +153,13 @@ def sample_temperature_mixture(
     the materialized frame. (Round 5 shipped three tokenizing passes —
     budgets, offsets, output — regressing the sf0.1 bench 1.7×; this
     restores and beats the round-4 number.)"""
+    sub_width = HASH_SPACE // num_subbuckets
+    d = _narrow_keyed_frame(docs, id_col, source_col, text_col, salt).withColumn(
+        "_sub", (F.col("_pri") / F.lit(sub_width)).cast("int")
+    )
     from turbine_maintenance_etl_spark.ops.materialize import barrier
 
-    sub_width = HASH_SPACE // num_subbuckets
-    d = barrier(
-        docs.select(
-            F.col(id_col),
-            F.col(source_col),
-            token_count_expr(text_col).cast("bigint").alias("n_tokens"),
-            priority_hash(id_col, salt).alias("_pri"),
-        ).withColumn("_sub", (F.col("_pri") / F.lit(sub_width)).cast("int")),
-        "mixture-docs",
-    )
+    d = barrier(d, "mixture-docs")
     # per-(source, sub-bucket) token mass: sources x num_subbuckets rows
     per_sub = d.groupBy(source_col, "_sub").agg(F.sum("n_tokens").alias("_subtoks"))
     # budgets from the sub-bucket sums (sum of exact bigints per source
@@ -216,10 +212,26 @@ def sample_temperature_mixture_approx(
 ) -> DataFrame:
     """SCALE mixture sample: hash-threshold filter, no corpus shuffle.
     Keeps ``priority_hash < (budget_s / T_s) · 2^60`` (capped at 1),
-    so expected kept token mass per source equals the budget. The
-    whole corpus is touched by exactly one narrow map — at 100 TB this
-    is the difference between a scan and a sort."""
-    budgets = source_token_budgets(docs, token_budget, alpha, source_col, text_col)
+    so expected kept token mass per source equals the budget.
+
+    The corpus is scanned and TOKENIZED exactly once: the narrow
+    (id, source, n_tokens, _pri) frame (~30 bytes/doc, no text) is
+    materialized via the barrier, and both the budget aggregate and the
+    threshold filter read it — without the barrier the thresholds
+    subplan and the selection would each tokenize the full corpus (the
+    same double-pass the exact sampler's round-5 regression measured at
+    1.7×). No shuffle of the corpus either way — the filter stays a
+    narrow map over the materialized frame."""
+    from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+    d = barrier(
+        _narrow_keyed_frame(docs, id_col, source_col, text_col, salt),
+        "mixture-approx-docs",
+    )
+    per = d.groupBy(source_col).agg(
+        F.sum("n_tokens").cast("double").alias("src_tokens")
+    )
+    budgets = _budgets_from_mass(per, token_budget, alpha, source_col)
     frac = F.least(
         F.col("token_budget").cast("double") / F.col("src_tokens"), F.lit(1.0)
     )
@@ -227,16 +239,29 @@ def sample_temperature_mixture_approx(
         source_col,
         (frac * F.lit(float(HASH_SPACE))).cast("bigint").alias("_cut"),
     )
-    d = docs.select(
-        F.col(id_col),
-        F.col(source_col),
-        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
-        priority_hash(id_col, salt).alias("_pri"),
-    )
     return (
         d.join(F.broadcast(thresholds), source_col)
         .filter(F.col("_pri") < F.col("_cut"))
         .select(id_col, source_col, "n_tokens")
+    )
+
+
+def _narrow_keyed_frame(
+    docs: DataFrame, id_col: str, source_col: str, text_col: str, salt: str
+) -> DataFrame:
+    """(id, source, n_tokens, _pri) with NULL-id / NULL-source rows
+    EXCLUDED up front: a NULL id has a NULL priority hash and a NULL
+    source has no budget row, so such docs can never be selected — but
+    left in, their token mass would silently inflate the budgets and
+    sub-bucket offsets of every real source (NULLs group and sort; the
+    later equi-joins then drop the rows), under-filling every budget."""
+    return docs.filter(
+        F.col(id_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
+        priority_hash(id_col, salt).alias("_pri"),
     )
 
 
@@ -261,14 +286,33 @@ def write_hash_shards(
     n_shards: int,
     id_col: str = "doc_id",
     salt: str = "shard",
+    files_per_shard: int = 4,
 ) -> None:
-    """Sharded training-data export: one exchange hash-partitioned on
-    the shard id, then ``partitionBy(shard)`` so every output directory
-    is written by the tasks owning that shard and trainers get
-    partition-pruned reads of ``shard=K/``."""
-    sharded = assign_hash_shards(df, n_shards, id_col, salt)
+    """Sharded training-data export: one exchange partitioned on
+    (shard, intra-shard file bucket), then ``partitionBy(shard)`` so
+    trainers get partition-pruned reads of ``shard=K/``.
+
+    Why not ``repartition(n_shards, "shard")``: that routes each
+    shard's ENTIRE data to one task (and hash collisions idle ~1/e of
+    the tasks) — at 100 TB / 1024 shards that is a single task writing
+    a ~100 GB file, a multi-hour straggler producing files downstream
+    readers must swallow whole. The intra-shard bucket (a second,
+    independent hash of the id) splits every shard across
+    ``files_per_shard`` writer tasks: parallelism scales as
+    n_shards × files_per_shard, each shard directory gets
+    ~files_per_shard similar-sized files, and no task ever owns more
+    than ~1/(n_shards·files_per_shard) of the corpus. Tune
+    files_per_shard so one file ≈ a comfortable parquet size
+    (corpus_bytes / n_shards / files_per_shard)."""
+    if files_per_shard < 1:
+        raise ValueError(f"files_per_shard must be >= 1, got {files_per_shard}")
+    sharded = assign_hash_shards(df, n_shards, id_col, salt).withColumn(
+        "_filebkt",
+        F.pmod(priority_hash(id_col, salt + "|file"), F.lit(files_per_shard)),
+    )
     (
-        sharded.repartition(n_shards, "shard")
+        sharded.repartition(n_shards * files_per_shard, "shard", "_filebkt")
+        .drop("_filebkt")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -197,7 +197,15 @@ def refresh_agg_from_cdf(
     Scale shape: the CDF is symmetric-difference-pruned (an append of
     1 GB to a 100 TB table diffs 1 GB), the fold is one partial agg of
     the changed rows, and the merge touches only the
-    group-cardinality-sized state."""
+    group-cardinality-sized state.
+
+    Vacuumed cursor: if ``vacuum`` reclaimed the manifest of the last
+    applied version while the rollup lagged, the incremental window is
+    gone — the refresh then rebuilds the whole rollup from the current
+    snapshot (replacing the state, which in CDF-only usage reflects
+    exactly the table's contents) instead of crashing unrecoverably; a
+    ledger that also holds manual ``merge_incremental_agg`` batches
+    cannot be reconciled that way and raises."""
     from turbine_maintenance_etl_spark.io import acid
 
     if state_path.startswith("file://"):
@@ -228,29 +236,62 @@ def refresh_agg_from_cdf(
     if latest is None or latest <= done:
         return state  # nothing committed since the last refresh
 
+    insert_only = False  # statically true for snapshot-as-inserts windows
     if done == 0:
+        if state is not None:
+            # a state with no cdf cursor was built some other way
+            # (merge_incremental_agg batches share this ledger);
+            # folding the full snapshot on top would double-count
+            # every row the state already reflects
+            raise ValueError(
+                f"state at {state_path} exists but has no cdf-v* cursor — "
+                "it was not built by refresh_agg_from_cdf; use a fresh "
+                "state_path (or delete the state to re-bootstrap)"
+            )
         # bootstrap: the whole first-seen snapshot is one insert window
-        ch = acid.read_table(spark, table_path, version=latest).withColumn(
-            "_change_type", F.lit("insert")
-        )
+        ch = _snapshot_as_inserts(spark, table_path, latest)
+        insert_only = True
     else:
-        ch = acid.table_changes(spark, table_path, done, latest)
+        try:
+            ch = acid.table_changes(spark, table_path, done, latest)
+        except FileNotFoundError:
+            # vacuum reclaimed the cursor version's manifest while the
+            # rollup lagged — the incremental window is gone. The
+            # snapshot is still ground truth: rebuild the rollup from
+            # it (REPLACING the state, which in pure-CDF usage only
+            # ever reflected table contents) instead of crashing
+            # unrecoverably. Mixed ledgers (manual batch-* entries)
+            # cannot be reconciled this way — refuse those.
+            manual = [b for b in applied if not b.startswith("cdf-v")]
+            if manual:
+                raise ValueError(
+                    f"cursor version v{done} was vacuumed and the ledger "
+                    f"holds non-CDF batches {manual} — cannot rebuild from "
+                    "the snapshot without dropping their contributions; "
+                    "recompute this rollup manually"
+                )
+            state = None
+            ch = _snapshot_as_inserts(spark, table_path, latest)
+            insert_only = True
 
     minmax_aggs = {
         o: s for o, s in aggs.items()
         if s[0] in ("min", "max", "approx_distinct")
     }
-    if minmax_aggs:
+    if minmax_aggs and not insert_only:
         # the delete probe AND the partials aggregation both read the
         # change window; un-materialized, the CDF diff (exceptAll over
         # the changed dirs) would execute twice — the multi-consumer
         # case the barrier rule says to materialize. Window-sized, not
-        # table-sized.
+        # table-sized. (Snapshot-as-inserts windows skip both the
+        # barrier and the probe: a table-sized scan just to find zero
+        # deletes we already know aren't there.)
         from turbine_maintenance_etl_spark.ops.materialize import barrier
 
         ch = barrier(ch, "cdf-window")
     splice_minmax = bool(
         minmax_aggs
+        and not insert_only
         and ch.filter(F.col("_change_type") == "delete").take(1)
     )
     if splice_minmax and on_delete_minmax == "error":
@@ -261,8 +302,15 @@ def refresh_agg_from_cdf(
             "from the snapshot, or recompute the whole rollup yourself"
         )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    # on a delete window the min/max/sketch partials would be discarded
+    # in favor of the snapshot splice below — don't aggregate them at
+    # all (for approx_distinct that's a full HLL sketch pass saved)
+    fold_aggs = {
+        o: s for o, s in aggs.items()
+        if not (splice_minmax and o in minmax_aggs)
+    }
     exprs = []
-    for out, (fn, col) in aggs.items():
+    for out, (fn, col) in fold_aggs.items():
         if fn == "count":
             exprs.append(
                 F.sum(F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0)))
@@ -270,25 +318,40 @@ def refresh_agg_from_cdf(
             )
         elif fn == "sum":
             exprs.append(F.sum(F.col(col) * sign).alias(out))
-        else:  # min/max/approx_distinct: plain partials (discarded
-            # below on delete windows)
+        else:  # min/max/approx_distinct on an insert-only window
             exprs.append(_PARTIALS[fn](col).alias(out))
     partials = ch.groupBy(*keys).agg(*exprs)
-    merged = _merge_into_state(state, partials, keys, aggs)
+    state_for_merge = (
+        state.drop(*minmax_aggs) if splice_minmax and state is not None else state
+    )
+    merged = _merge_into_state(state_for_merge, partials, keys, fold_aggs)
     if splice_minmax:
-        # count/sum folded incrementally above; the merged min/max
-        # columns are poisoned by the deletes — replace them with a
-        # fresh per-group aggregate over the CURRENT snapshot (column-
-        # pruned scan of just the min/max inputs). A group that
-        # vanished from the snapshot keeps its folded count/sum row
-        # with NULL min/max (the left join finds no match).
+        # count/sum folded incrementally above; the min/max columns are
+        # not delete-invertible — splice a fresh per-group aggregate
+        # over the CURRENT snapshot (column-pruned scan of just the
+        # min/max inputs). A group that vanished from the snapshot
+        # keeps its folded count/sum row with NULL min/max (the left
+        # join finds no match).
         fresh = (
-            acid.read_table(spark, table_path, version=latest)
+            acid.read_table(spark, table_path, version=latest, merge_schema=True)
             .groupBy(*keys)
             .agg(*[
                 _PARTIALS[fn](col).alias(out)
                 for out, (fn, col) in minmax_aggs.items()
             ])
         )
-        merged = merged.drop(*minmax_aggs).join(fresh, list(keys), "left")
+        merged = merged.join(fresh, list(keys), "left")
     return _publish(spark, state_path, merged, applied | {f"cdf-v{latest}"})
+
+
+def _snapshot_as_inserts(spark, table_path: str, version: int) -> DataFrame:
+    """Full snapshot labeled as one insert window — the bootstrap /
+    vacuumed-cursor rebuild input. merge_schema=True: evolved tables
+    must surface every column, the same contract table_changes and
+    merge_table already honor (schema inference from one arbitrary
+    part-file would drop late-added columns nondeterministically)."""
+    from turbine_maintenance_etl_spark.io import acid
+
+    return acid.read_table(
+        spark, table_path, version=version, merge_schema=True
+    ).withColumn("_change_type", F.lit("insert"))

@@ -52,7 +52,14 @@ def _scratch_dir() -> str:
     base = os.environ.get("SPARK_GRAFT_SCRATCH")
     if base is None:
         base = os.path.join(tempfile.gettempdir(), "spark_graft_scratch")
-    os.makedirs(base, exist_ok=True)
+    if base.startswith("file://"):
+        base = base[len("file://") :]
+    if "://" not in base:
+        # local path: create eagerly. A remote URI (hdfs://, s3a://) is
+        # left to Spark's writer — os.makedirs on it would create a
+        # bogus LOCAL directory named 'hdfs:/...' and every local-FS
+        # operation afterwards would silently act on that decoy.
+        os.makedirs(base, exist_ok=True)
     return base
 
 
@@ -79,11 +86,19 @@ def sweep_scratch(min_age_s: float = 86400.0) -> list[str]:
     (default one day — comfortably above any single job's lifetime;
     lower it if your pipelines finish faster). Safe to run while jobs
     are active: an in-flight job's frames are younger than the fence.
-    Returns the removed directory names."""
+    Returns the removed directory names.
+
+    Works on both local scratch dirs (os APIs) and remote URIs
+    (hdfs://, s3a://, ... via the Hadoop FileSystem of the active
+    SparkSession) — the remote case is exactly the preemptible-fleet
+    deployment reliable mode exists for, so the sweep must not silently
+    skip it."""
     import shutil
     import time
 
     base = _scratch_dir()
+    if "://" in base:
+        return _sweep_remote(base, min_age_s)
     now = time.time()
     removed = []
     for name in sorted(os.listdir(base)):
@@ -95,3 +110,32 @@ def sweep_scratch(min_age_s: float = 86400.0) -> list[str]:
         shutil.rmtree(full, ignore_errors=True)
         removed.append(name)
     return removed
+
+
+def _sweep_remote(base: str, min_age_s: float) -> list[str]:
+    import time
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "sweep_scratch on a remote scratch URI needs an active "
+            "SparkSession (Hadoop FileSystem access)"
+        )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    fence_ms = (time.time() - min_age_s) * 1000.0
+    removed = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        if st.getModificationTime() > fence_ms:
+            continue
+        fs.delete(st.getPath(), True)
+        removed.append(st.getPath().getName())
+    return sorted(removed)

@@ -84,25 +84,83 @@ def cms_shard_sketches(
     )
 
 
+def _cms_parse(buf: bytes):
+    """Spark's public CountMinSketch wire format (CountMinSketchImpl.
+    writeTo, big-endian DataOutputStream): int32 version(=1),
+    int64 totalCount, int32 depth, int32 width, int64[depth] hashA,
+    int64[depth*width] table."""
+    import struct
+
+    import numpy as np
+
+    version, total = struct.unpack_from(">iq", buf, 0)
+    depth, width = struct.unpack_from(">ii", buf, 12)
+    hash_end = 20 + depth * 8
+    hash_a = bytes(buf[20:hash_end])
+    table = np.frombuffer(buf, dtype=">i8", offset=hash_end, count=depth * width)
+    return version, total, depth, width, hash_a, table
+
+
+def _cms_merge_bytes(a: bytes, b: bytes) -> bytes:
+    """Elementwise-sum merge of two serialized count-min sketches —
+    mathematically identical to CountMinSketch.mergeInPlace (the table
+    is a pure counter matrix; same seed/eps/confidence means identical
+    hash rows), but runnable on executors where the JVM sketch object
+    is not reachable from Python."""
+    import struct
+
+    va, ta, da, wa, ha, tba = _cms_parse(a)
+    vb, tb, db, wb, hb, tbb = _cms_parse(b)
+    if (va, da, wa, ha) != (vb, db, wb, hb):
+        raise ValueError(
+            "incompatible count-min sketches (different eps/confidence/seed)"
+        )
+    out = bytearray(a)
+    struct.pack_into(">q", out, 4, ta + tb)
+    hash_end = 20 + da * 8
+    out[hash_end:] = (tba + tbb).astype(">i8").tobytes()
+    return bytes(out)
+
+
 def cms_merge_estimate(
     spark,
     sketches: DataFrame,
     items: list,
 ) -> dict:
-    """Merge all shard sketches (driver-side: each sketch is a bounded
-    binary, shard count is small by construction) and estimate the
-    frequency of each candidate item. CMS NEVER underestimates
-    (estimate >= true count) and overestimates by at most ε x N with
-    probability >= confidence — the right tool for heavy-hitter
-    screening where false positives get exact-verified downstream."""
-    rows = sketches.select("cms").collect()
-    jvm = spark.sparkContext._jvm
+    """Merge all shard sketches and estimate the frequency of each
+    candidate item. CMS NEVER underestimates (estimate >= true count)
+    and overestimates by at most ε x N with probability >= confidence —
+    the right tool for heavy-hitter screening where false positives get
+    exact-verified downstream.
+
+    Scale shape: each executor partition pre-merges its sketches to ONE
+    (Arrow batch in, elementwise int64 sums), so the driver collects
+    numPartitions sketches instead of every shard — at 100k shards ×
+    ~110 KB that is the difference between ~32 binaries and an 11 GB
+    driver collect with a py4j round-trip per row. The final merged
+    sketch is handed to the JVM once for estimateCount (pinned
+    equivalent to mergeInPlace by the differential test)."""
+
+    def _reduce(batches):
+        import pandas as pd
+
+        merged = None
+        for pdf in batches:
+            for buf in pdf["cms"]:
+                if buf is None:
+                    continue
+                b = bytes(buf)
+                merged = b if merged is None else _cms_merge_bytes(merged, b)
+        if merged is not None:
+            yield pd.DataFrame({"cms": [merged]})
+
+    partials = sketches.select("cms").mapInPandas(_reduce, "cms binary").collect()
     merged = None
-    for r in rows:
-        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            bytearray(bytes(r["cms"]))
-        )
-        merged = s if merged is None else merged.mergeInPlace(s)
+    for r in partials:
+        b = bytes(r["cms"])
+        merged = b if merged is None else _cms_merge_bytes(merged, b)
     if merged is None:
         return {it: 0 for it in items}
-    return {it: int(merged.estimateCount(it)) for it in items}
+    jvm = spark.sparkContext._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytearray(merged))
+    return {it: int(sk.estimateCount(it)) for it in items}
