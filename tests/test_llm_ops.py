@@ -329,6 +329,39 @@ def test_incremental_lsh_index_bucket_cap(spark):
     uncapped = D.incremental_lsh_candidates(new_batch, index, max_bucket_size=None)
     assert uncapped.count() == 29  # matches every boilerplate doc
 
+    # match_all: the saturated bucket is the match — one (new_id, NULL)
+    # row, so a continuous-ingest loop still DROPS the 30th template
+    # copy instead of admitting one per batch forever
+    hits = D.incremental_lsh_candidates(
+        new_batch, index, max_bucket_size=10, saturated_policy="match_all"
+    ).collect()
+    assert {(r["new_id"], r["existing_id"]) for r in hits} == {(1000, None)}
+
+
+def test_minhash_lsh_saturated_representative_policy(spark):
+    """Over-cap buckets under saturated_policy='representative' pair
+    every member with the bucket's min-id rep (LINEAR), so candidate-
+    level dedup still collapses a near-dup mega-cluster that exact
+    dedup cannot absorb; the default 'skip' emits nothing for them."""
+    from turbine_maintenance_etl_spark.llm import dedup as D
+
+    # 6 near-identical docs (identical text → identical signature)
+    docs = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet consectetur adipiscing") for i in range(6)],
+        "doc_id long, text string",
+    )
+    skip = D.minhash_lsh_candidates(docs, max_bucket_size=3)
+    assert skip.count() == 0  # bucket of 6 > cap: dropped under default
+    rep = D.minhash_lsh_candidates(
+        docs, max_bucket_size=3, saturated_policy="representative"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rep} == {(0, i) for i in range(1, 6)}
+    # survivorship convention (drop id_b) keeps exactly the min id
+    import pytest
+
+    with pytest.raises(ValueError, match="saturated_policy"):
+        D.minhash_lsh_candidates(docs, saturated_policy="nope")
+
 
 def test_semantic_dedup_crafted_clusters(spark):
     """Three near-identical vectors (same direction, tiny jitter) plus

@@ -526,8 +526,13 @@ def merge_table(
             else new_rows.limit(0)
         )
         merged = existing.unionByName(new_rows, allowMissingColumns=True)
+        # full-row hash tiebreak: rows TIED on order_col must resolve
+        # deterministically, or a replayed merge (streaming foreachBatch
+        # at-least-once) could pick a different winner than the original
+        # commit — identical inputs must always produce identical tables
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-            F.col(order_col).desc()
+            F.col(order_col).desc(),
+            F.xxhash64(*[F.col(c) for c in merged.columns]).desc(),
         )
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
@@ -537,6 +542,45 @@ def merge_table(
         return [*carried, _write_data_dir(latest, path, "merge")]
 
     return _retrying_commit(path, build, "merge", spark)
+
+
+def upsert_table(
+    spark: SparkSession,
+    rows: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    order_col: str,
+) -> None:
+    """Create-or-merge: the keyed contract holds from the FIRST commit.
+    A nonexistent table is created from the batch DEDUPED on ``keys``
+    (latest ``order_col`` wins, full-row-hash tiebreak — the exact
+    window ``merge_table`` applies), so intra-batch duplicate keys never
+    persist; an existing table (or a concurrent creator winning the
+    CAS) falls through to ``merge_table``. This is the single shared
+    create-or-merge every streaming sink must use — divergent copies
+    are how the first-batch dedup gets silently dropped."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if latest_version(path) is None:
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            F.col(order_col).desc(),
+            F.xxhash64(*[F.col(c) for c in rows.columns]).desc(),
+        )
+        first = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            # declare key stats at creation so every subsequent merge
+            # takes the stats-PRUNED path (rewrites only
+            # key-range-overlapping dirs)
+            create_table(spark, first, path, stats_cols=(keys[0],))
+            return
+        except FileExistsError:
+            pass  # another writer created it between check and create
+    merge_table(spark, rows, path, keys, order_col)
 
 
 def orphan_sweep(path: str, min_age_s: float = 3600.0) -> list[str]:

@@ -22,11 +22,19 @@ al., VLDB 2020 §4.3 — the shape, not the code):
   provenance; drop it if not).
 
 Rows stream out as Arrow record batches straight from the parquet
-footers (pyarrow), one InputPartition per committed directory — the
-Python-source overhead is batch-columnar, not per-row.
+files (pyarrow), one InputPartition per committed FILE — batch
+parallelism is files-per-commit (a big merge commit fans out instead
+of funneling through one worker), and the Python-source overhead is
+batch-columnar, not per-row.
 
 ``startingversion`` (default 0) controls the initial offset: 0 streams
-the table from its first commit; N skips commits <= N.
+the table from its first commit; N skips commits <= N (clamped into
+the offset even when the table has not reached N yet).
+``onvacuumedgap`` ('error' default) decides what a checkpoint stranded
+behind the vacuum retention horizon does: 'error' preserves the
+no-re-emission guarantee; 'bootstrap' re-emits the earliest retained
+snapshot and moves on — for row-agnostic consumers (commit-signal
+triggers) that tolerate re-delivery.
 """
 
 from __future__ import annotations
@@ -45,34 +53,71 @@ from turbine_maintenance_etl_spark.io import acid
 _VERSION_COL = "_commit_version"
 
 
-class _CommitDirPartition(InputPartition):
-    def __init__(self, dir_path: str, version: int):
-        self.dir_path = dir_path
+class _CommitFilePartition(InputPartition):
+    """One partition per parquet FILE of a committed directory — NOT per
+    directory: a single merge/overwrite commit writes its whole rewrite
+    into one dir, and a per-dir partition would funnel that entire
+    commit through one Python worker. Per-file planning keeps batch
+    parallelism at files-per-commit (merge_table writes one file per
+    shuffle partition, so a big commit fans out naturally)."""
+
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
         self.version = version
 
 
+def _parquet_files(dir_path: str) -> list[str]:
+    files = sorted(
+        os.path.join(dir_path, name)
+        for name in os.listdir(dir_path)
+        if name.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {dir_path}")
+    return files
+
+
 def _first_parquet_file(dir_path: str) -> str:
-    for name in sorted(os.listdir(dir_path)):
-        if name.endswith(".parquet"):
-            return os.path.join(dir_path, name)
-    raise FileNotFoundError(f"no parquet files under {dir_path}")
+    return _parquet_files(dir_path)[0]
+
+
+def register_acid_stream_source(spark) -> None:
+    """Idempotently register the ``acidtable`` streaming source on a
+    session — the one place the register-or-'already-exists' dance
+    lives."""
+    try:
+        spark.dataSource.register(AcidTableStreamSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 class AcidTableStreamReader(DataSourceStreamReader):
     def __init__(
-        self, path: str, starting_version: int, ignore_changes: bool, spark_schema=None
+        self,
+        path: str,
+        starting_version: int,
+        ignore_changes: bool,
+        spark_schema=None,
+        on_vacuumed_gap: str = "error",
     ):
         self.path = path
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
         self.spark_schema = spark_schema
+        self.on_vacuumed_gap = on_vacuumed_gap
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         v = acid.latest_version(self.path)
-        return {"version": v if v is not None else self.starting_version}
+        # clamp to starting_version: a startingversion beyond the
+        # table's current head must NOT let the checkpoint commit a
+        # smaller offset — the next batch would be (head, newer] and
+        # deliver exactly the commits the option promised to skip
+        return {"version": max(v, self.starting_version) if v is not None
+                else self.starting_version}
 
     def partitions(self, start: dict, end: dict):
         # Vacuumed history: retention may have dropped manifests below
@@ -91,7 +136,7 @@ class AcidTableStreamReader(DataSourceStreamReader):
             for v in acid._list_versions(self.path)
             if start["version"] < v <= end["version"]
         ]
-        parts: list[_CommitDirPartition] = []
+        parts: list[_CommitFilePartition] = []
         prev_dirs: set[str] | None = None
         bootstrap = False
         for v in versions:
@@ -102,9 +147,11 @@ class AcidTableStreamReader(DataSourceStreamReader):
                         set(acid.snapshot(self.path, v - 1).dirs) if v > 1 else set()
                     )
                 except FileNotFoundError:
-                    if start["version"] != self.starting_version or (
-                        self.starting_version != 0
-                    ):
+                    gap_ok = (
+                        start["version"] == self.starting_version
+                        and self.starting_version == 0
+                    ) or self.on_vacuumed_gap == "bootstrap"
+                    if not gap_ok:
                         if start["version"] == self.starting_version:
                             # a fresh stream asked to skip commits <=
                             # startingversion, but the manifests needed
@@ -121,12 +168,17 @@ class AcidTableStreamReader(DataSourceStreamReader):
                             )
                         # a CHECKPOINTED stream fell behind the
                         # retention horizon: bootstrapping here would
-                        # silently re-emit rows it already delivered.
+                        # silently re-emit rows it already delivered —
+                        # unless the caller opted in to re-emission
+                        # via onvacuumedgap=bootstrap (row-agnostic
+                        # consumers like the maintained-rollup trigger).
                         raise ValueError(
                             f"stream checkpoint at version {start['version']} "
                             f"is behind the vacuum retention horizon (manifest "
-                            f"v{v - 1} is gone): reset the checkpoint or raise "
-                            "vacuum keep_last above the stream's lag"
+                            f"v{v - 1} is gone): reset the checkpoint, raise "
+                            "vacuum keep_last above the stream's lag, or — if "
+                            "re-emitted rows are acceptable — set "
+                            ".option('onvacuumedgap', 'bootstrap')"
                         )
                     prev_dirs = set()  # parent vacuumed: full-snapshot bootstrap
                     bootstrap = True
@@ -145,13 +197,12 @@ class AcidTableStreamReader(DataSourceStreamReader):
             bootstrap = False
             for d in snap.dirs:
                 if d not in prev_dirs:
-                    parts.append(
-                        _CommitDirPartition(os.path.join(self.path, d), v)
-                    )
+                    for f in _parquet_files(os.path.join(self.path, d)):
+                        parts.append(_CommitFilePartition(f, v))
             prev_dirs = set(snap.dirs)
         return parts
 
-    def read(self, partition: _CommitDirPartition) -> Iterator:
+    def read(self, partition: _CommitFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -183,19 +234,33 @@ class AcidTableStreamReader(DataSourceStreamReader):
                 if i >= 0:
                     col = batch.column(i)
                     if col.type != field.type:
-                        col = pc.cast(col, field.type)
+                        try:
+                            col = pc.cast(col, field.type)
+                        except pa.ArrowInvalid as exc:
+                            # history holds values WIDER than the latest
+                            # schema (a type-narrowing rewrite): a safe
+                            # cast cannot represent them — surface what
+                            # happened instead of a bare Arrow error
+                            # replayed on every restart
+                            raise ValueError(
+                                f"column {field.name!r} in historical file "
+                                f"{partition.file_path} has type "
+                                f"{col.type} with values the table's "
+                                f"current type {field.type} cannot hold "
+                                "(type-narrowing history); stream from a "
+                                "later startingversion or widen the "
+                                f"table's type: {exc}"
+                            ) from exc
                     arrays.append(col)
                 else:
                     arrays.append(pa.nulls(batch.num_rows, field.type))
             return pa.RecordBatch.from_arrays(arrays, schema=target)
 
-        dataset = pq.ParquetDataset(partition.dir_path)
-        ver = partition.version
-        for fragment in dataset.fragments:
-            for batch in fragment.to_batches():
-                yield _align(batch).append_column(
-                    _VERSION_COL, pa.array([ver] * batch.num_rows, pa.int64())
-                )
+        ver_scalar = pa.scalar(partition.version, pa.int64())
+        for batch in pq.ParquetFile(partition.file_path).iter_batches():
+            yield _align(batch).append_column(
+                _VERSION_COL, pa.repeat(ver_scalar, batch.num_rows)
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; manifests are immutable
@@ -239,9 +304,15 @@ class AcidTableStreamSource(DataSource):
         return base.add(StructField(_VERSION_COL, LongType(), False))
 
     def streamReader(self, schema) -> AcidTableStreamReader:
+        gap = str(self.options.get("onvacuumedgap", "error")).lower()
+        if gap not in ("error", "bootstrap"):
+            raise ValueError(
+                f"onvacuumedgap must be 'error' or 'bootstrap', got {gap!r}"
+            )
         return AcidTableStreamReader(
             self._table_path(),
             int(self.options.get("startingversion", 0)),
             str(self.options.get("ignorechanges", "false")).lower() == "true",
             spark_schema=schema,
+            on_vacuumed_gap=gap,
         )

@@ -215,6 +215,7 @@ def incremental_lsh_candidates(
     id_col: str = "doc_id",
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    saturated_policy: str = "skip",
 ) -> DataFrame:
     """Near-dup candidates of an INCOMING BATCH against an EXISTING
     corpus index (``lsh_band_buckets`` output) — the production ingest
@@ -227,32 +228,54 @@ def incremental_lsh_candidates(
     split keeps this join's build side strictly index rows.
 
     ``max_bucket_size`` mirrors the batch path's mega-bucket guard:
-    index buckets holding more docs than the cap are near-100% mutual
-    duplicates (boilerplate) that exact-dedup should have absorbed —
-    probing them would fan every matching new doc out to the whole
-    bucket. Capped via one aggregation over the index (vocabulary-sized
-    relative to the corpus), not a window over the join."""
+    probing an over-cap index bucket would fan every matching new doc
+    out to the whole bucket. ``saturated_policy`` decides what hitting
+    one MEANS: ``"skip"`` (default) ignores the bucket — but in a
+    continuous-ingest loop that is self-defeating: once a bucket
+    saturates, every future near-duplicate landing in it is admitted
+    forever. ``"match_all"`` emits one ``(new_id, existing_id=NULL)``
+    row per new doc that hits a saturated bucket — the bucket AS A
+    WHOLE is the match (a ≥cap-member band collision is near-certainly
+    the same boilerplate cluster), linear cost, and the ingest loop
+    stays closed. Capped via one aggregation over the index
+    (vocabulary-sized relative to the corpus), not a window over the
+    join."""
+    if saturated_policy not in ("skip", "match_all"):
+        raise ValueError(
+            f"saturated_policy must be 'skip' or 'match_all', "
+            f"got {saturated_policy!r}"
+        )
     new_buckets = lsh_band_buckets(
         new_docs, num_hashes, bands, n, text_col, id_col, seed
-    )
+    ).select(F.col(id_col).alias("new_id"), "band", "bh")
     idx = index.select(
         F.col(id_col).alias("existing_id"), F.col("band"), F.col("bh")
     )
+    sat_hits = None
     if max_bucket_size is not None:
-        ok = (
-            idx.groupBy("band", "bh")
-            .agg(F.count("*").alias("_sz"))
-            .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
+        sizes = idx.groupBy("band", "bh").agg(F.count("*").alias("_sz"))
+        ok = sizes.filter(F.col("_sz") <= max_bucket_size).drop("_sz")
+        if saturated_policy == "match_all":
+            sat = sizes.filter(F.col("_sz") > max_bucket_size).drop("_sz")
+            sat_hits = (
+                new_buckets.join(sat, ["band", "bh"], "left_semi")
+                .select(
+                    "new_id",
+                    F.lit(None).cast(index.schema[id_col].dataType)
+                    .alias("existing_id"),
+                )
+                .distinct()
+            )
         idx = idx.join(ok, ["band", "bh"], "left_semi")
-    return (
-        new_buckets.select(F.col(id_col).alias("new_id"), "band", "bh")
-        .join(idx, ["band", "bh"])
+    out = (
+        new_buckets.join(idx, ["band", "bh"])
         .filter(F.col("new_id") != F.col("existing_id"))
         .select("new_id", "existing_id")
         .distinct()
     )
+    if sat_hits is not None:
+        out = out.unionByName(sat_hits)
+    return out
 
 
 def minhash_lsh_candidates(
@@ -264,6 +287,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    saturated_policy: str = "skip",
 ) -> DataFrame:
     """LSH candidate pairs: split the K-slot signature into ``bands``
     bands of K/bands rows each, hash every band, and group documents by
@@ -276,11 +300,22 @@ def minhash_lsh_candidates(
     self-join would execute it per side). The quadratic blowup of a
     pathological mega-bucket is capped BY DEFAULT via ``max_bucket_size``
     (a boilerplate-heavy 100 TB corpus can put millions of docs in one
-    bucket → one O(b^2) collect_list row → executor OOM). Docs in a
-    capped bucket are near-100% mutual duplicates and are better handled
-    by exact-dedup first; pass ``max_bucket_size=None`` only for small
-    corpora where the full pair set is genuinely wanted."""
+    bucket → one O(b^2) collect_list row → executor OOM).
+
+    ``saturated_policy`` decides what an over-cap bucket contributes:
+    ``"skip"`` (default) drops it — right when exact-dedup ran first and
+    the full pair set is wanted elsewhere; ``"representative"`` pairs
+    every member with the bucket's min-id representative — LINEAR in the
+    bucket, so a near-dup mega-cluster (templated docs differing only in
+    timestamps, which exact-dedup cannot absorb) still collapses to one
+    survivor instead of silently passing uncapped through a
+    candidate-level dedup chain."""
     assert num_hashes % bands == 0
+    if saturated_policy not in ("skip", "representative"):
+        raise ValueError(
+            f"saturated_policy must be 'skip' or 'representative', "
+            f"got {saturated_policy!r}"
+        )
     buckets = lsh_band_buckets(df, num_hashes, bands, n, text_col, id_col, seed)
     grouped = buckets.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
@@ -301,12 +336,34 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    return (
+    out = (
         grouped.filter(F.size(ids) > 1)
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
+    if max_bucket_size is not None and saturated_policy == "representative":
+        # over-cap buckets: LINEAR pairing against the bucket's min-id
+        # representative instead of dropping the bucket entirely —
+        # an aggregate (count, min) per bucket, never a collect_list,
+        # so the OOM the cap guards against cannot reappear. Costs one
+        # extra execution of the signature pipeline (two aggregations
+        # over `buckets`); callers on an expensive upstream should
+        # materialize the input first.
+        big = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count("*").alias("_sz"), F.min(id_col).alias("_rep"))
+            .filter(F.col("_sz") > max_bucket_size)
+            .select("band", "bh", "_rep")
+        )
+        rep_pairs = (
+            buckets.join(big, ["band", "bh"])
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+            .distinct()
+        )
+        out = out.unionByName(rep_pairs).distinct()
+    return out
 
 
 def minhash_lsh_bucket_stats(

@@ -490,14 +490,11 @@ def s_acid_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from turbine_maintenance_etl_spark.io import acid
-    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
+    from turbine_maintenance_etl_spark.io.acid_stream import (
+        register_acid_stream_source,
+    )
 
-    try:
-        spark.dataSource.register(AcidTableStreamSource)
-    except Exception as e:
-        if "already" not in str(e).lower():
-            raise
-
+    register_acid_stream_source(spark)
     ev = _t(spark, sf_dir, "events").select(
         "event_id", F.round("value", 4).alias("value")
     )

@@ -396,37 +396,17 @@ def stream_acid_upsert_sink(
     job) can run against the same table without lost updates, and
     readers always see a complete snapshot. Replayed batches (restart
     from checkpoint) re-merge idempotently: same keys, same order_col →
-    same winning rows. The first batch creates the table."""
+    same winning rows, with order_col TIES resolved by a deterministic
+    full-row hash (``merge_table``'s tiebreak, applied by
+    ``acid.upsert_table`` to the first batch too — without it a
+    replayed first batch could crown a different tied row than the
+    original create committed). The first batch creates the table with
+    key stats declared, so every later merge takes the stats-pruned
+    path."""
     from turbine_maintenance_etl_spark.io import acid
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import Window
-
-        spark = batch_df.sparkSession
-        if acid.latest_version(path) is None:
-            # The keyed contract holds from the FIRST commit: an upsert
-            # stream commonly carries intra-batch duplicate keys, and
-            # create-verbatim would persist them until a later merge
-            # happened to touch that key range. Apply the same
-            # latest-wins dedup merge_table applies.
-            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-                F.col(order_col).desc()
-            )
-            first = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            try:
-                # declare key stats at creation so every subsequent
-                # micro-batch merge takes the stats-PRUNED path
-                # (rewrites only key-range-overlapping dirs — per-batch
-                # merge cost tracks the batch, not the table)
-                acid.create_table(spark, first, path, stats_cols=(keys[0],))
-                return
-            except FileExistsError:
-                pass  # another writer created it between check and create
-        acid.merge_table(spark, batch_df, path, keys, order_col)
+        acid.upsert_table(batch_df.sparkSession, batch_df, path, keys, order_col)
 
     q = (
         events.writeStream.foreachBatch(merge_batch)
@@ -462,13 +442,30 @@ def make_curation_batch_processor(
     crash after the curated/index commits but before the checkpoint
     commit — the exact window at-least-once delivery exists for —
     would duplicate every replayed survivor under plain appends. Both
-    sinks are therefore keyed MERGEs (``acid.merge_table``): curated on
-    ``(id_col,)``, index on ``(id_col, band)``; re-delivering the same
-    rows rewrites them in place. Both tables carry
+    sinks are therefore keyed MERGEs (``acid.upsert_table``): curated
+    on ``(id_col,)``, index on ``(id_col, band)``; re-delivering the
+    same rows rewrites them in place. Both tables carry
     ``stats_cols=(id_col,)`` from creation so every merge takes the
     stats-pruned path — per-batch merge cost tracks the batch's key
     range, not the table size (new doc ids are typically monotone, so
-    the touched-directory closure stays small at 100 TB)."""
+    the touched-directory closure stays small at 100 TB).
+
+    **Re-ingested ids stay COHERENT.** A corpus may legally re-commit a
+    doc_id with changed text. Both merges order on the batch's
+    ``_commit_version`` (0 for hand-fed batches), so the later commit's
+    version wins in the curated table AND in every one of its index
+    band rows together — ordering the index merge per-band (e.g. on the
+    band hash) would assemble a chimera signature mixing both versions,
+    matching neither. Same-id collisions WITHIN one batch are resolved
+    before the merge (max version, then max text-hash — deterministic).
+
+    **Saturated buckets stay closed.** In-batch mega-buckets collapse
+    to their min-id representative (LINEAR pairing, not a skip —
+    ``saturated_policy="representative"``), and new docs probing an
+    over-cap INDEX bucket are treated as duplicates of the bucket
+    (``"match_all"``): with the default skip policies a bucket that
+    crossed ``max_bucket_size`` would admit one more near-duplicate of
+    its template in EVERY subsequent batch, forever."""
     from turbine_maintenance_etl_spark.io import acid
     from turbine_maintenance_etl_spark.llm.dedup import (
         exact_dedup,
@@ -482,19 +479,16 @@ def make_curation_batch_processor(
         num_hashes=num_hashes, bands=bands, n=n,
         text_col=text_col, id_col=id_col,
     )
-
-    def _merge_or_create(bspark, rows, path, keys, order_col):
-        if acid.latest_version(path) is None:
-            try:
-                acid.create_table(bspark, rows, path, stats_cols=(keys[0],))
-                return
-            except FileExistsError:
-                pass  # concurrent creator won the CAS; fall through
-        acid.merge_table(bspark, rows, path, keys, order_col)
+    _VER = "_commit_version"
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
         bspark = batch_df.sparkSession
-        docs = batch_df.drop("_commit_version")
+        if _VER in batch_df.columns:
+            docs = batch_df.withColumn(_VER, F.col(_VER).cast("long"))
+        else:  # hand-fed batch (tests, backfills): one flat version
+            docs = batch_df.withColumn(_VER, F.lit(0).cast("long"))
         if not docs.take(1):
             return
         q = add_quality_signals(docs, text_col)
@@ -502,19 +496,33 @@ def make_curation_batch_processor(
             (q.n_tokens >= min_tokens) & (q.stopword_ratio >= min_stopword_ratio)
         ).select(*docs.columns)
         kept = exact_dedup(kept, text_col, id_col)
+        # a batch may carry the same id twice with DIFFERENT text (a
+        # re-ingest landing in the same window): resolve to one row per
+        # id before anything downstream sees it — deterministic winner
+        # (max version, then max text hash)
+        w_id = Window.partitionBy(id_col).orderBy(
+            F.col(_VER).desc(), F.xxhash64(F.col(text_col)).desc()
+        )
+        kept = (
+            kept.withColumn("_rn", F.row_number().over(w_id))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         # batch-local barrier: `kept` feeds the in-batch LSH, the index
         # probe, AND the surviving-row merge — the multi-consumer case
         # the measured localCheckpoint rule says to materialize
         kept = kept.localCheckpoint(eager=True)
         in_pairs = minhash_lsh_candidates(
-            kept, max_bucket_size=max_bucket_size, **lsh_kw
+            kept, max_bucket_size=max_bucket_size,
+            saturated_policy="representative", **lsh_kw
         )
         drop_in = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
         kept = kept.join(drop_in, id_col, "left_anti")
         if acid.latest_version(index_path) is not None:
             index = acid.read_table(bspark, index_path)
             hits = incremental_lsh_candidates(
-                kept, index, max_bucket_size=max_bucket_size, **lsh_kw
+                kept, index, max_bucket_size=max_bucket_size,
+                saturated_policy="match_all", **lsh_kw
             )
             kept = kept.join(
                 hits.select(F.col("new_id").alias(id_col)).distinct(),
@@ -524,12 +532,15 @@ def make_curation_batch_processor(
         survivors = kept.localCheckpoint(eager=True)
         if not survivors.take(1):
             return
-        # keyed merges, not appends: replay-idempotent (see docstring).
-        # order_col is the key itself — replayed rows are identical, so
-        # "latest wins" degenerates to rewrite-in-place.
-        _merge_or_create(bspark, survivors, curated_path, (id_col,), id_col)
-        buckets = lsh_band_buckets(survivors, **lsh_kw)
-        _merge_or_create(bspark, buckets, index_path, (id_col, "band"), "bh")
+        # keyed merges, not appends: replay-idempotent (see docstring);
+        # ordered on the commit version so re-ingested ids update both
+        # tables coherently (replayed rows are identical either way —
+        # "latest wins" degenerates to rewrite-in-place on replay)
+        acid.upsert_table(bspark, survivors, curated_path, (id_col,), _VER)
+        buckets = lsh_band_buckets(survivors, **lsh_kw).join(
+            survivors.select(id_col, _VER), id_col
+        )
+        acid.upsert_table(bspark, buckets, index_path, (id_col, "band"), _VER)
 
     return process
 
@@ -578,14 +589,11 @@ def stream_incremental_curation(
     alone cannot provide this, and tests/test_acid_table.py for the
     double-invocation replay pin).
     """
-    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
+    from turbine_maintenance_etl_spark.io.acid_stream import (
+        register_acid_stream_source,
+    )
 
-    try:
-        spark.dataSource.register(AcidTableStreamSource)
-    except Exception as e:
-        if "already" not in str(e).lower():
-            raise
-
+    register_acid_stream_source(spark)
     process = make_curation_batch_processor(
         curated_path,
         index_path,
@@ -607,7 +615,7 @@ def stream_incremental_curation(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
 
 
 def stream_maintained_rollup(
@@ -634,14 +642,12 @@ def stream_maintained_rollup(
     all come from ``refresh_agg_from_cdf``; a replayed or overlapping
     trigger is a ledger no-op. Per-trigger cost is the commit window's
     changes + the group-cardinality state, never the table."""
-    from turbine_maintenance_etl_spark.io.acid_stream import AcidTableStreamSource
+    from turbine_maintenance_etl_spark.io.acid_stream import (
+        register_acid_stream_source,
+    )
     from turbine_maintenance_etl_spark.ops.incremental import refresh_agg_from_cdf
 
-    try:
-        spark.dataSource.register(AcidTableStreamSource)
-    except Exception as e:
-        if "already" not in str(e).lower():
-            raise
+    register_acid_stream_source(spark)
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
         refresh_agg_from_cdf(
@@ -652,10 +658,28 @@ def stream_maintained_rollup(
     q = (
         spark.readStream.format("acidtable")
         .option("ignorechanges", "true")
+        # the rows are ignored (commit-signal only) and the refresh
+        # self-heals a vacuumed cursor from the snapshot, so a
+        # checkpoint stranded behind the retention horizon must
+        # re-bootstrap, not hard-fail the rollup forever
+        .option("onvacuumedgap", "bootstrap")
         .load(table_path)
         .writeStream.foreachBatch(refresh)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
+
+
+def _await_drained(q, timeout_s: int) -> None:
+    """Block until the availableNow query terminates; a drain exceeding
+    the timeout must FAIL loudly, not return with the query still
+    running and the work silently incomplete (a query exception still
+    surfaces through awaitTermination as usual)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {q.name or q.id} did not drain within {timeout_s}s; "
+            "raise timeout_s or investigate the backlog"
+        )
