@@ -116,3 +116,23 @@ def test_pca_project_is_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_fit_pca_rejects_empty_and_skips_nulls(spark):
+    """Trainer edge inputs: NULL vectors are excluded from the sample,
+    an all-NULL/empty input raises a clear error instead of a numpy
+    AxisError deep in the SVD."""
+    import pytest
+
+    from turbine_maintenance_etl_spark.llm.embed import fit_pca
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comp, var = fit_pca(mixed, k=1)
+    assert len(mean) == 2 and len(comp) == 1
+
+    empty = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        fit_pca(empty, k=1)

@@ -831,3 +831,91 @@ def test_cluster_aware_split_custom_id_col(spark):
         for r in cluster_aware_split(docs).select("doc_id", "rep_id", "split").collect()
     }
     assert got == want
+
+
+def test_similarity_tolerates_null_and_zero_vectors(spark):
+    """NULL embeddings and zero vectors must neither crash the numpy
+    kernels nor surface as rank-k 'neighbors' with NULL cosine, across
+    every top-k path; pq_encode emits NULL codes for NULL vectors."""
+    from turbine_maintenance_etl_spark.llm import similarity as S
+
+    good = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0, 0.5]) for i in range(40)]
+    bad = [(100, None), (101, [0.0, 0.0, 0.0, 0.0])]
+    cand = spark.createDataFrame(good + bad, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 0.5]), (200, None), (201, [0.0] * 4)],
+        "query_id long, embedding array<double>",
+    )
+    for fn, kw in (
+        (S.brute_force_topk, {}),
+        (S.lsh_bucketed_topk, {"dim": 4, "num_planes": 2}),
+        (S.lsh_multiprobe_topk, {"dim": 4, "num_planes": 2}),
+        (S.ivf_topk, {"n_clusters": 2, "n_probe": 2}),
+        (S.pq_topk, {"dim": 4, "m": 2, "nbits": 2}),
+        (S.ivfpq_topk, {"dim": 4, "n_clusters": 2, "n_probe": 2, "m": 2, "nbits": 2}),
+    ):
+        rows = fn(cand, queries, k=3, **kw).collect()
+        assert rows, fn.__name__
+        assert all(r["cosine"] is not None for r in rows), fn.__name__
+        ids = {r["neighbor_id"] for r in rows}
+        assert 100 not in ids and 101 not in ids, fn.__name__
+
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in S.pq_encode(
+            cand, S.fit_pq(cand, dim=4, m=2, nbits=2)
+        ).collect()
+    }
+    assert codes[100] is None and codes[0] is not None
+
+
+def test_srp_buckets_exact_past_plane_31(spark):
+    """Bucket ids are bigint: plane 31+ contributions must stay exact
+    powers of two (an int accumulator saturates at 2^31-1 under the
+    ANSI-off session and silently collides sign patterns)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm import similarity as S
+
+    dim = 33
+    planes = [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(dim)]
+    # vector positive on plane 32 only vs positive on ALL planes
+    rows = [
+        (1, [1.0 if j == 32 else -1.0 for j in range(dim)]),
+        (2, [1.0] * dim),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", S.srp_bucket_expr(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    assert got[1] == 1 << 32
+    assert got[2] == (1 << dim) - 1
+    with pytest.raises(ValueError, match="num_planes"):
+        S.srp_bucket_expr(F.col("embedding"), [[0.0] * dim] * 53)
+
+
+def test_topk_scale_paths_guard_broadcast_query_side(spark):
+    """The LSH/IVF/PQ paths broadcast the query frame; a corpus-sized
+    query set must be rejected loudly (max_queries), not OOM the
+    driver."""
+    import pytest
+
+    from turbine_maintenance_etl_spark.llm import similarity as S
+
+    cand = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(30)], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_queries=None"):
+        S.lsh_bucketed_topk(cand, q, dim=2, max_queries=10)
+    with pytest.raises(ValueError, match="max_queries=None"):
+        S.ivf_topk(cand, q, max_queries=10)
+    # None disables the guard
+    assert S.lsh_bucketed_topk(cand, q, dim=2, max_queries=None).count() >= 0

@@ -112,21 +112,27 @@ def fit_pca(
     max_train_vectors: int = 100_000,
 ):
     """Fit a PCA model on a BOUNDED, DETERMINISTIC sample of the vector
-    column (lowest ``max_train_vectors`` ids — deterministic so refits
-    reproduce; driver memory is capped at sample x dim doubles, the same
-    contract as the IVF trainer). Returns ``(mean, components,
-    explained_var)`` as plain Python lists: mean is dim-long, components
-    is k x dim (rows = principal axes, orthonormal, sign-canonicalized
-    so the largest-|coordinate| entry is positive), explained_var the
-    per-axis sample variances."""
+    column (``max_train_vectors`` rows in id-HASH order — a
+    deterministic pseudo-random sample, so ids that encode ingest order
+    don't fit the axes to the oldest shard only; driver memory is capped
+    at sample x dim doubles, the same contract as the IVF trainer).
+    NULL vectors are excluded; an empty sample raises. Returns
+    ``(mean, components, explained_var)`` as plain Python lists: mean is
+    dim-long, components is k x dim (rows = principal axes, orthonormal,
+    sign-canonicalized so the largest-|coordinate| entry is positive),
+    explained_var the per-axis sample variances."""
     import numpy as np
+    from pyspark.sql import functions as F
 
     rows = (
         df.select(id_col, vec_col)
-        .orderBy(id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(id_col), id_col)
         .limit(max_train_vectors)
         .collect()
     )
+    if not rows:
+        raise ValueError("fit_pca: no non-NULL vectors to train on")
     X = np.array([r[1] for r in rows], dtype=np.float64)
     mean = X.mean(axis=0)
     Xc = X - mean
@@ -153,40 +159,46 @@ def pca_project(
 ) -> DataFrame:
     """Project vectors onto fitted principal axes, optionally whitening
     (divide each coordinate by sqrt(explained variance) -> unit-variance
-    isotropic output). JVM-literal matmul: one nested-array literal for
-    the component matrix, ``aggregate`` dot products per axis — no UDF,
-    no shuffle, O(k x dim) per row."""
+    isotropic output). JVM-literal matmul — with the model embedded as
+    ONE nested-array literal traversed by an indexed ``transform``
+    (the `_centroid_dists` pattern): a per-axis ``F.array(*[F.lit(v)
+    ...])`` forest is k*dim separate Literal nodes (~200k at k=256,
+    dim=768) and makes Catalyst analysis + codegen dominate every fresh
+    query, the exact pathology the SRP/centroid expressions already
+    fixed. No UDF, no shuffle, O(k x dim) per row."""
     from pyspark.sql import functions as F
 
     if whiten and explained_var is None:
         raise ValueError("whiten=True requires explained_var from fit_pca")
     from turbine_maintenance_etl_spark.llm.text import bind_once
 
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    mean_lit = F.lit([float(m) for m in mean])
     centered_expr = F.zip_with(
         F.transform(F.col(vec_col), lambda x: x.cast("double")),
         mean_lit,
         lambda x, m: x - m,
     )
+    comp_lit = F.lit([[float(v) for v in row] for row in components])
+    if whiten:
+        inv_sd = [
+            1.0 / (float(v) ** 0.5) if float(v) > 0 else 1.0
+            for v in explained_var[: len(components)]
+        ]
+    else:
+        inv_sd = [1.0] * len(components)
+    scale_lit = F.lit(inv_sd)
 
-    def axis_expr(centered: Column, j: int) -> Column:
-        c = F.array(*[F.lit(float(v)) for v in components[j]])
-        dot = F.aggregate(
-            F.zip_with(centered, c, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        if whiten:
-            sd = float(explained_var[j]) ** 0.5
-            dot = dot / F.lit(sd if sd > 0 else 1.0)
-        return F.round(dot, round_to) if round_to is not None else dot
+    def project(centered: Column) -> Column:
+        def axis(c_row: Column, j: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(centered, c_row, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ) * F.element_at(scale_lit, j + 1)
+            return F.round(dot, round_to) if round_to is not None else dot
+
+        return F.transform(comp_lit, axis)
 
     # centering is lambda-bound so the k axis dot products share ONE
     # evaluation of (v - mean) instead of re-subtracting per axis
-    proj = bind_once(
-        centered_expr,
-        lambda centered: F.array(
-            *[axis_expr(centered, j) for j in range(len(components))]
-        ),
-    )
-    return df.withColumn(out_col, proj)
+    return df.withColumn(out_col, bind_once(centered_expr, project))

@@ -498,7 +498,17 @@ def bloom_decontamination(
     cand = candidates.select(
         F.col(id_col), F.explode_outer(shingles(text_col, n)).alias("sh")
     )
-    totals = cand.groupBy(id_col).agg(F.count("sh").alias("n_shingles"))
+    # per-doc shingle count comes from a NARROW map (shingles() is
+    # already array_distinct, never NULL: size of the array == what the
+    # exploded count would see) + a doc-count-row aggregate — NOT from a
+    # second full-corpus explode whose shuffle carries every shingle
+    totals = (
+        candidates.select(
+            F.col(id_col), F.size(shingles(text_col, n)).alias("_n")
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_n").cast("bigint").alias("n_shingles"))
+    )
     probed = cand.where(F.col("sh").isNotNull()).where(
         maybe_in_bloom(_bloom_positions(F.col("sh"), m, kk))
     )

@@ -45,6 +45,35 @@ def as_double_array(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _nonzero_vectors(df: DataFrame, vec_alias: str) -> DataFrame:
+    """Drop NULL and zero-norm vectors before scoring/bucketing: they
+    have no cosine to anything (``cosine_expr`` yields NULL), so left in
+    they surface as rank-k 'neighbors' with NULL scores, crash the
+    numpy-batched PQ kernels (np.stack over a None element), and — the
+    scale hazard — deterministically collide into ONE SRP bucket (every
+    plane dot is 0/NULL), turning e.g. millions of empty-text embeddings
+    into a quadratic mega-bucket."""
+    v = F.col(vec_alias)
+    return df.filter(v.isNotNull() & (_norm(v) > 0))
+
+
+def _guard_query_count(queries: DataFrame, max_queries: int | None, op: str) -> None:
+    """The topk paths BROADCAST the query frame — fine for the
+    small-query-set contract, catastrophic for a corpus-sized query side
+    (the 8 GB broadcast limit / driver OOM). One count job on the (small
+    by contract) query side enforces the contract loudly."""
+    if max_queries is None:
+        return
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"{op} got {n_q} query vectors (> {max_queries}): the query side "
+            "is broadcast, so a corpus-sized query set must be restructured "
+            "(batch the queries, or self-join via semantic_dedup's bucketed "
+            "shape); pass max_queries=None to force it"
+        )
+
+
 def brute_force_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -78,12 +107,19 @@ def brute_force_topk(
                 "max_queries=None to force it"
             )
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        _nonzero_vectors(
+            queries.select(
+                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            ),
+            "_qv",
         )
     )
-    c = ensure_parallelism(candidates).select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
     )
     scored = (
         c.crossJoin(q)
@@ -117,15 +153,30 @@ def srp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     per-plane literal forest (planes x dim Literal nodes) made Catalyst
     analysis + codegen the dominant cost of every fresh query at small
     scale; the single-literal form plans in milliseconds and executes
-    identically (still JVM-side, still a map-only pass)."""
+    identically (still JVM-side, still a map-only pass).
+
+    Buckets are BIGINT: an int accumulator saturates at plane 31
+    (pow(2,31) casts to 2^31-1 under the repo's ANSI-off session) and
+    silently collides/splits sign patterns — auto_num_planes reaches 32
+    near 1e12 vectors, squarely inside the design range. Plane counts
+    past 52 would exceed the double-exact integer range feeding the
+    cast, so they are rejected."""
+    if len(planes) > 52:
+        raise ValueError(
+            f"num_planes={len(planes)} > 52: bucket ids are built from "
+            "exact powers of two in a double (2^53 ceiling) — use fewer "
+            "planes (2^52 buckets is far past any corpus)"
+        )
     lit_planes = F.lit([[float(v) for v in p] for p in planes])
     contrib = F.transform(
         lit_planes,
         lambda p, i: F.when(
-            _dot(vec, p) >= 0, F.pow(F.lit(2.0), i).cast("int")
-        ).otherwise(F.lit(0)),
+            _dot(vec, p) >= 0, F.pow(F.lit(2.0), i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
     )
-    return F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v).cast("int")
+    return F.aggregate(
+        contrib, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    ).cast("bigint")
 
 
 def lsh_bucketed_topk(
@@ -138,17 +189,28 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = 500_000,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, equi-join on the bucket
     id (the shuffle key — replaces the cross join), exact cosine within
     buckets, window top-k. Recall < 1 by construction; raise recall via
-    fewer planes or multi-probe."""
+    fewer planes or multi-probe. The query side is broadcast and guarded
+    by ``max_queries`` (the scale axis this path buys is candidate-side
+    N, not Q)."""
+    _guard_query_count(queries, max_queries, "lsh_bucketed_topk")
     planes = random_hyperplanes(dim, num_planes, seed)
-    c = ensure_parallelism(candidates).select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
     ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
-    q = queries.select(
-        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    q = _nonzero_vectors(
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        ),
+        "_qv",
     ).withColumn("bucket", srp_bucket_expr(F.col("_qv"), planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -185,6 +247,31 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
             i.alias("cid"),
         ),
     )
+
+
+def _collect_train_sample(
+    df: DataFrame, id_alias: str, vec_alias: str, max_train_vectors: int,
+    op: str = "trainer",
+):
+    """Bounded deterministic PSEUDO-RANDOM training sample: TakeOrdered
+    on xxhash64(id) (one Spark job, driver memory capped at
+    max_train_vectors x dim doubles). Hash order matters: ids usually
+    encode ingest order, so 'lowest max_train_vectors ids' would train
+    the quantizer/PCA exclusively on the corpus's oldest shard and
+    silently misrepresent a drifted distribution. NULL vectors are
+    excluded; an empty sample raises instead of crashing in numpy."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(vec_alias).isNotNull())
+        .orderBy(F.xxhash64(id_alias), id_alias)
+        .limit(max_train_vectors)
+        .select(vec_alias)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"{op}: no non-NULL vectors to train on")
+    return np.array([r[vec_alias] for r in rows], dtype=np.float64)
 
 
 def _kmeans_lloyd(X, k: int, max_iter: int, seed: int):
@@ -226,6 +313,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = 500_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path (FAISS IVF-Flat shape, on Spark):
@@ -245,19 +333,23 @@ def ivf_topk(
        n_clusters) instead of O(Q x N).
 
     Recall < 1 by construction; raise ``n_probe`` to trade compute for
-    recall. Deterministic given ``seed`` (sample rows are taken in id
-    order, Lloyd's is seeded numpy). Not SQL-expressible (iterative
-    k-means) -> registry records the weaker rows-only check; recall vs
+    recall. Deterministic given ``seed`` (sample rows are taken in
+    id-HASH order — a deterministic pseudo-random sample, so a corpus
+    whose ids encode ingest order doesn't train the quantizer on its
+    oldest shard only; Lloyd's is seeded numpy). Not SQL-expressible
+    (iterative k-means) -> registry records the weaker rows-only check;
+    recall vs
     brute force is pytest-asserted instead."""
-    import numpy as np
-
-    c = ensure_parallelism(candidates).select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    _guard_query_count(queries, max_queries, "ivf_topk")
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
     )
     train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
-    # deterministic bounded collect: TakeOrdered on the id, one Spark job
-    sample_rows = train.orderBy("neighbor_id").limit(max_train_vectors).select("_cv").collect()
-    X = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
+    X = _collect_train_sample(train, "neighbor_id", "_cv", max_train_vectors, "ivf_topk")
     centroids = [
         [float(x) for x in ctr] for ctr in _kmeans_lloyd(X, n_clusters, max_iter, seed)
     ]
@@ -265,8 +357,11 @@ def ivf_topk(
     cc = c.withColumn(
         "_cid", F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"]
     )
-    q = queries.select(
-        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    q = _nonzero_vectors(
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        ),
+        "_qv",
     ).withColumn(
         "_cid",
         F.explode(
@@ -342,8 +437,16 @@ def semantic_dedup(
     from turbine_maintenance_etl_spark.llm.dedup import resolve_duplicate_clusters
 
     planes = random_hyperplanes(dim, num_planes, seed)
-    base = ensure_parallelism(emb).select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    # NULL/zero vectors are excluded from bucketing (they'd ALL collide
+    # into one bucket — e.g. millions of empty-text embeddings forming a
+    # quadratic mega-bucket whose every cosine is NULL anyway); they
+    # still appear in the output as their own singleton clusters via the
+    # final left join against the full input
+    base = _nonzero_vectors(
+        ensure_parallelism(emb).select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+        ),
+        "_v",
     ).withColumn("_bucket", srp_bucket_expr(F.col("_v"), planes))
     if max_bucket_size is not None:
         # window count over _bucket reuses the bucket shuffle instead of
@@ -401,6 +504,7 @@ def lsh_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = 500_000,
 ) -> DataFrame:
     """Multi-probe SRP top-k: each query probes its own bucket PLUS all
     Hamming-distance-1 neighbors (one sign bit flipped) — the standard
@@ -413,16 +517,24 @@ def lsh_multiprobe_topk(
     candidate lives in exactly one bucket and a query's probe values
     are pairwise-distinct integers, so every (query, candidate) pair
     joins through at most one probe row by construction."""
+    _guard_query_count(queries, max_queries, "lsh_multiprobe_topk")
     planes = random_hyperplanes(dim, num_planes, seed)
-    c = ensure_parallelism(candidates).select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
     ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
     # compute the base bucket ONCE per query row, then derive the probe
     # set from the column reference — inlining the SRP expression into
     # every array slot would pay (1+H) x H x dim multiplications per row
     q = (
-        queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        _nonzero_vectors(
+            queries.select(
+                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            ),
+            "_qv",
         )
         .withColumn("_b", srp_bucket_expr(F.col("_qv"), planes))
         .select(
@@ -478,20 +590,18 @@ def fit_pq(
     that turns a cluster-wide ANN index into something one executor
     core's cache can scan. The codebooks themselves are tiny
     (m * 2^nbits * dim/m floats) and embed as plan literals."""
-    import numpy as np
-
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub, ksub = dim // m, 1 << nbits
-    rows = (
-        ensure_parallelism(candidates)
-        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
-        .orderBy(id_col)
-        .limit(max_train_vectors)
-        .select("_v")
-        .collect()
+    X = _collect_train_sample(
+        ensure_parallelism(candidates).select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+        ),
+        id_col,
+        "_v",
+        max_train_vectors,
+        "fit_pq",
     )
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
     books = []
     for s in range(m):
         sub = X[:, s * dsub : (s + 1) * dsub]
@@ -499,6 +609,21 @@ def fit_pq(
         books.append([[float(x) for x in c] for c in centers])
     return books
 
+
+
+def _assign_nearest(X, C):
+    """Nearest-centroid assignment via the x^2 + c^2 - 2xC' expansion:
+    an (n, k) distance matrix, never the (n, k, dim) float64 cube — the
+    cube is ~15.7 GB per 10k-row Arrow batch at (256 clusters, dim 768),
+    the same OOM _kmeans_lloyd and _pq_codes already avoid."""
+    import numpy as np
+
+    d = (
+        (X**2).sum(1)[:, None]
+        + (C**2).sum(1)[None, :]
+        - 2.0 * (X @ C.T)
+    )
+    return d.argmin(1)
 
 
 def _pq_codes(X, B):
@@ -555,10 +680,20 @@ def pq_encode(
 
     def _encode(vecs: pd.Series) -> pd.Series:
         B = bc.value
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        X = np.stack(vecs.to_numpy()).astype(np.float64).reshape(len(vecs), m, dsub)
-        return pd.Series(list(_pq_codes(X, B)))
+        arr = vecs.to_numpy()
+        mask = np.array([v is not None for v in arr], dtype=bool)
+        result = [None] * len(arr)
+        if mask.any():
+            # NULL embeddings encode to NULL codes instead of crashing
+            # the whole batch inside np.stack
+            X = (
+                np.stack(arr[mask])
+                .astype(np.float64)
+                .reshape(int(mask.sum()), m, dsub)
+            )
+            for i, code in zip(np.flatnonzero(mask), _pq_codes(X, B)):
+                result[i] = code
+        return pd.Series(result, dtype=object)
 
     _encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     enc_udf = pandas_udf("array<int>")(_encode)
@@ -588,10 +723,14 @@ def pq_decode(
 
     def _decode(codes: pd.Series) -> pd.Series:
         B = bc.value
-        if len(codes) == 0:
-            return pd.Series([], dtype=object)
-        C = np.stack(codes.to_numpy())  # (n, m)
-        return pd.Series(list(_pq_recon(C, B)))
+        arr = codes.to_numpy()
+        mask = np.array([v is not None for v in arr], dtype=bool)
+        result = [None] * len(arr)
+        if mask.any():  # NULL codes decode to NULL, not a batch crash
+            C = np.stack(arr[mask])  # (n, m)
+            for i, rv in zip(np.flatnonzero(mask), _pq_recon(C, B)):
+                result[i] = rv
+        return pd.Series(result, dtype=object)
 
     _decode.__annotations__ = {"codes": pd.Series, "return": pd.Series}
     dec_udf = pandas_udf("array<double>")(_decode)
@@ -610,6 +749,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = 500_000,
 ) -> DataFrame:
     """Approximate top-k over the COMPRESSED index: asymmetric distance
     (query vs reconstructed candidate) — the candidate side never
@@ -650,17 +790,27 @@ def pq_topk(
 
     _recon.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     recon_udf = pandas_udf("array<double>")(_recon)
-    enc = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        recon_udf(as_double_array(F.col(vec_col))).alias("_rv"),
-    )
-    q = queries.select(
-        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    _guard_query_count(queries, max_queries, "pq_topk")
+    enc = _nonzero_vectors(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
+    ).select("neighbor_id", recon_udf(F.col("_cv")).alias("_rv"))
+    q = _nonzero_vectors(
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        ),
+        "_qv",
     )
     scored = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
+        # a quantized reconstruction can in principle collapse to the
+        # zero vector: NULL cosines never rank as neighbors
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -685,6 +835,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = 500_000,
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN index (FAISS IVFPQ) —
     IVF's coarse quantizer prunes WHICH candidates get scored
@@ -716,15 +867,17 @@ def ivfpq_topk(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub, ksub = dim // m, 1 << nbits
 
-    c = ensure_parallelism(candidates).select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("_cv")
+    _guard_query_count(queries, max_queries, "ivfpq_topk")
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
     )
-    sample_rows = c.orderBy("neighbor_id").limit(max_train_vectors).select("_cv").collect()
-    X = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
+    X = _collect_train_sample(c, "neighbor_id", "_cv", max_train_vectors, "ivfpq_topk")
     centers = _kmeans_lloyd(X, n_clusters, max_iter, seed)  # (C, dim)
-    assign = (
-        ((X[:, None, :] - centers[None]) ** 2).sum(-1).argmin(1)
-    )
+    assign = _assign_nearest(X, centers)
     resid = X - centers[assign]
     books = np.stack(
         [
@@ -740,7 +893,7 @@ def ivfpq_topk(
         if len(vecs) == 0:
             return pd.DataFrame({"cid": pd.Series([], dtype="int32"), "rv": []})
         Xb = np.stack(vecs.to_numpy()).astype(np.float64)
-        cid = ((Xb[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+        cid = _assign_nearest(Xb, C)
         R = (Xb - C[cid]).reshape(len(Xb), m, dsub)
         recon = C[cid] + _pq_recon(_pq_codes(R, B), B)
         return pd.DataFrame({"cid": cid.astype("int32"), "rv": list(recon)})
@@ -752,8 +905,11 @@ def ivfpq_topk(
     )
 
     centroids = [[float(x) for x in ctr] for ctr in centers]
-    q = queries.select(
-        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    q = _nonzero_vectors(
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        ),
+        "_qv",
     ).withColumn(
         "_cid",
         F.explode(
@@ -769,6 +925,7 @@ def ivfpq_topk(
         enc.join(F.broadcast(q), "_cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
+        .filter(F.col("cosine").isNotNull())  # zero-vector reconstructions
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
