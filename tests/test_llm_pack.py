@@ -61,3 +61,25 @@ def test_pack_sequences_budget_invariant(spark):
     ]
     for k in range(2, int(out["seq_no"].max()) + 1):
         assert by_seq[k - 1] + firsts[k] > 256
+
+
+def test_pack_sequences_derives_types_from_input(spark):
+    """String doc ids and non-string shards must round-trip — output
+    types are derived from the input schema, not hardcoded."""
+    import pytest
+
+    from turbine_maintenance_etl_spark.llm.pack import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(7, "doc-a", 0, 30), (7, "doc-a", 1, 30), (7, "doc-b", 0, 50)],
+        "shard int, doc_id string, chunk_id int, chunk_tokens int",
+    )
+    got = pack_sequences(chunks, max_tokens=64).collect()
+    assert {r["doc_id"] for r in got} == {"doc-a", "doc-b"}
+    assert all(isinstance(r["shard"], int) for r in got)
+    seqs = {(r["doc_id"], r["chunk_id"]): r["seq_no"] for r in got}
+    assert seqs[("doc-a", 0)] == 1 and seqs[("doc-a", 1)] == 1
+    assert seqs[("doc-b", 0)] == 2  # 30+30+50 > 64 → new sequence
+
+    with pytest.raises(ValueError, match="lacks column"):
+        pack_sequences(chunks.drop("chunk_tokens"))

@@ -319,3 +319,102 @@ def test_fuzzy_decontamination_broadcasts_benchmark(spark):
     # bucket probe + shingle verify both build on the benchmark side
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_text_signals_null_caps_and_whitespace_edges(spark):
+    """NULL text reads as an EMPTY document (n_tokens 0, 'und' language,
+    NULL ratios) — under the ANSI-off session an unguarded size(NULL)
+    is -1 and previously classified NULL docs as English with
+    stopword_ratio 1.0. Stopwords match case-insensitively, and
+    mean_token_len is exact under multi-space text."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.text import (
+        add_language_scores,
+        add_quality_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "THE REPORT OF THE BOARD WAS READ TO THE MEMBERS"),
+            (3, "  hi   there  "),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in add_quality_signals(df).collect()}
+    assert q[1]["n_tokens"] == 0 and q[1]["stopword_ratio"] is None
+    assert q[2]["stopword_ratio"] is not None and q[2]["stopword_ratio"] >= 0.3
+    assert abs(q[3]["mean_token_len"] - (2 + 5) / 2) < 1e-9  # hi, there
+
+    lang = {r["doc_id"]: r for r in add_language_scores(df).collect()}
+    assert lang[1]["lang_pred"] == "und"
+    assert lang[2]["lang_pred"] == "en"
+
+
+def test_normalized_dedup_preserves_unicode_scripts(spark):
+    """Two different non-Latin documents must NOT collapse into one
+    dedup class (an ASCII-only normalization regex mapped every
+    non-Latin doc to the empty string — mass false-positive dedup),
+    and punctuation-only docs each survive as their own class."""
+    from turbine_maintenance_etl_spark.llm.text import normalized_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "风力涡轮机需要定期维护"),
+            (2, "数据管道每天处理大量文件"),
+            (3, "Die Turbine läuft über Nacht"),
+            (4, "die turbine lauft uber nacht"),  # NOT the same (umlauts differ)
+            (5, "!!! ... ???"),
+            (6, "--- ,,, ;;;"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["norm_hash"], r["survivor"]) for r in normalized_dedup(df).collect()}
+    assert got[1][0] != got[2][0] and got[1][1] and got[2][1]
+    assert got[3][0] != got[4][0]  # accented letters preserved, not stripped
+    assert got[5][0] is None and got[6][0] is None  # empty normalization
+    assert got[5][1] and got[6][1]  # each its own survivor
+
+
+def test_corpus_report_without_source_lang_columns(spark):
+    """The generic (df, text_col, id_col) signature must work on a
+    corpus without 'source'/'lang' — diversity metrics appear only for
+    columns the frame carries."""
+    from turbine_maintenance_etl_spark.llm.text import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    metrics = {r["metric"] for r in corpus_report(df).collect()}
+    assert "n_docs" in metrics and "total_tokens" in metrics
+    assert "n_sources" not in metrics and "n_langs" not in metrics
+
+
+def test_lm_broadcast_knob_degrades_to_shuffle_join(spark, monkeypatch):
+    """SPARK_GRAFT_LM_BROADCAST=off drops the model-table broadcast
+    hints so Catalyst may shuffle-join on the gram key — the graceful
+    degradation the module promises for web-scale n-gram tables."""
+    from turbine_maintenance_etl_spark.llm.lm import (
+        score_perplexity,
+        train_bigram_counts,
+        vocab_size,
+    )
+
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    bigrams, hist = train_bigram_counts(docs)
+    v = vocab_size(bigrams)
+
+    on = score_perplexity(docs, bigrams, hist, v)
+    plan_on = on._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_on
+
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", "off")
+    off = score_perplexity(docs, bigrams, hist, v)
+    # values identical either way (the hint is a strategy, not semantics)
+    a = sorted(map(tuple, on.collect()))
+    b = sorted(map(tuple, off.collect()))
+    assert a == b

@@ -128,8 +128,10 @@ def bpe_token_stats(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, n_words, n_bpe_tokens) per document under the trained
-    merges — ``mapInPandas`` with a per-batch word cache, Arrow-batched,
-    deterministic on any partitioning."""
+    merges — ``mapInPandas`` with a BOUNDED per-partition word cache,
+    Arrow-batched, deterministic on any partitioning (the cache only
+    memoizes a pure function, so its size/reset policy can never change
+    a result)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
     # the id passes through untouched, so its output type is whatever
     # the input schema says (string doc ids work too) — never a
@@ -147,7 +149,13 @@ def bpe_token_stats(
         # (e.g.  ) that training treats as part of the word, which
         # would desync apply-side words from the trained frequency table
         ws = re.compile(r"\s+", re.ASCII)
+        # the cache spans the whole input partition (not one batch), so
+        # it must be BOUNDED: web-scale partitions carry effectively
+        # unbounded distinct 'words' (urls, hex ids, typos) and an
+        # uncapped dict grows until the Python worker OOMs. Zipf says
+        # the hot words that matter are cached long before the cap.
         cache: dict[str, int] = {}
+        cache_cap = 2_000_000  # ~100 MB ceiling at avg word sizes
 
         def count_tokens(text: str) -> tuple[int, int]:
             words = [w for w in ws.split((text or "").lower()) if w]
@@ -156,6 +164,8 @@ def bpe_token_stats(
                 n = cache.get(w)
                 if n is None:
                     n = len(encode_word(w, ranks))
+                    if len(cache) >= cache_cap:
+                        cache.clear()  # cheap reset; hot words re-enter fast
                     cache[w] = n
                 total += n
             return len(words), total

@@ -44,6 +44,27 @@ from pyspark.sql import functions as F
 from turbine_maintenance_etl_spark.llm.text import tokens_expr
 from turbine_maintenance_etl_spark.util import ensure_parallelism
 
+
+def _count_hint(df: DataFrame) -> DataFrame:
+    """Join hint for the MODEL COUNT tables (distinct-ngram-sized, not
+    vocabulary-sized): broadcast by default — measured fastest at every
+    tested SF, and count pruning keeps the tables small at moderate
+    scale. At web scale distinct n-grams are billions of rows even
+    pruned, and an explicit broadcast hint would override the session
+    threshold straight into the 8 GB broadcast hard limit — set
+    ``SPARK_GRAFT_LM_BROADCAST=off`` to drop the hint and let
+    Catalyst/AQE pick the join (a gram-keyed shuffle join), which is
+    the real graceful-degradation path. The 1-row scalar frames stay
+    unconditionally broadcast (they cannot grow)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LM_BROADCAST", "on").lower() in (
+        "off", "0", "false",
+    ):
+        return df
+    return F.broadcast(df)
+
+
 BOS = "<s>"  # beginning-of-sentence pseudo-token: every doc contributes
 # one (BOS, first-word) bigram so single-token documents still score.
 
@@ -121,10 +142,10 @@ def score_perplexity(
     would silently shrink the corpus).
 
     Plan: doc bigrams LEFT JOIN bigram counts on (w1,w2), LEFT JOIN
-    history counts on w1, per-doc aggregate. Both model tables get a
-    broadcast hint — vocabulary-sized by construction; remove the hint
-    only if |V| outgrows executor memory, in which case Catalyst falls
-    back to a gram-keyed shuffle join."""
+    history counts on w1, per-doc aggregate. Model tables are
+    broadcast-hinted by default via ``_count_hint`` — set
+    ``SPARK_GRAFT_LM_BROADCAST=off`` when distinct n-grams outgrow the
+    broadcast limit and the joins shuffle on the gram key instead."""
     return _score_bigram(
         docs, bigrams, histories, F.lit(float(v)), k, text_col, id_col
     )
@@ -147,8 +168,8 @@ def _score_bigram(
     if scalars is not None:
         grams = grams.crossJoin(F.broadcast(scalars))
     scored = (
-        grams.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(histories), ["w1"], "left")
+        grams.join(_count_hint(bigrams), ["w1", "w2"], "left")
+        .join(_count_hint(histories), ["w1"], "left")
         .withColumn("_lp", _logprob(F.col("c12"), F.col("c1"), v_col, k))
     )
     per_doc = scored.groupBy(id_col).agg(
@@ -366,10 +387,10 @@ def _score_sb3(
     if scalars is not None:
         grams = grams.crossJoin(F.broadcast(scalars))
     scored = (
-        grams.join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(hist2), ["w1", "w2"], "left")
+        grams.join(_count_hint(tri), ["w1", "w2", "w3"], "left")
+        .join(_count_hint(hist2), ["w1", "w2"], "left")
         .join(
-            F.broadcast(
+            _count_hint(
                 pair2.select(
                     F.col("wa").alias("w2"), F.col("wb").alias("w3"),
                     F.col("cb2").alias("_cb2"),
@@ -379,12 +400,12 @@ def _score_sb3(
             "left",
         )
         .join(
-            F.broadcast(hist1.select(F.col("w").alias("w2"), F.col("ch1").alias("_ch1"))),
+            _count_hint(hist1.select(F.col("w").alias("w2"), F.col("ch1").alias("_ch1"))),
             ["w2"],
             "left",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w3"), F.col("cu").alias("_cu"))),
+            _count_hint(uni.select(F.col("w").alias("w3"), F.col("cu").alias("_cu"))),
             ["w3"],
             "left",
         )

@@ -34,11 +34,22 @@ def pack_sequences(
     One shuffle on the shard key; each shard packs sequentially inside
     a single Arrow batch. Shard granularity is the parallelism knob —
     at 100 TB shard by (source, hash-bucket) so no single shard
-    dominates."""
-    schema = (
-        f"{shard_col} string, {order_cols[0]} long, {order_cols[1]} long, "
-        f"{token_col} long, seq_no long"
+    dominates.
+
+    Output types are DERIVED from the input schema (the column names
+    are parameters, so the types must follow — a hardcoded ``doc_id
+    long`` would crash the Arrow conversion for every corpus with
+    string doc ids, which ``bpe_token_stats`` explicitly supports);
+    only the token column is normalized to long."""
+    in_schema = {f.name: f for f in chunks.schema.fields}
+    missing = [c for c in (shard_col, *order_cols, token_col) if c not in in_schema]
+    if missing:
+        raise ValueError(f"pack_sequences: input lacks column(s) {missing}")
+    typed = ", ".join(
+        f"{c} {in_schema[c].dataType.simpleString()}"
+        for c in (shard_col, *order_cols)
     )
+    schema = f"{typed}, {token_col} long, seq_no long"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(list(order_cols), kind="mergesort")

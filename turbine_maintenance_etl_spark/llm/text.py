@@ -37,9 +37,17 @@ def bind_once(col: Column, f) -> Column:
 
 def tokens_expr(text: Column | str) -> Column:
     """Whitespace tokens with empties dropped — split + higher-order
-    ``filter``, no UDF."""
+    ``filter``, no UDF. TOTAL: NULL text yields an EMPTY array, never
+    NULL — under the repo's ANSI-off session ``size(NULL)`` is -1
+    (legacy sizeOfNull), so an un-coalesced NULL token array poisons
+    every downstream count/ratio (n_tokens = -1, stopword_ratio = 1.0,
+    language scores = (-1)/(-1) = 1.0 'english') instead of reading as
+    the empty document it is."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+    return F.coalesce(
+        F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")),
+        F.array().cast("array<string>"),
+    )
 
 
 def add_tokens(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
@@ -64,19 +72,30 @@ def bpe_ish_token_count_expr(text: Column | str) -> Column:
 
 def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring signals: token count, mean token length,
-    punctuation ratio, stopword ratio, uppercase ratio."""
+    punctuation ratio, stopword ratio, uppercase ratio.
+
+    Stopwords match CASE-INSENSITIVELY (an all-caps but fluent document
+    must not read as stopword-free and fail the gate — language ID
+    already lowercases; the two signals must agree on the same text).
+    mean_token_len is EXACT (non-whitespace chars / tokens — identical
+    to the sum of token lengths); the old (n_char - n_tok + 1)/n_tok
+    shortcut assumed exactly one single-space separator and inflated the
+    signal on multi-space/newline/indented text, precisely the
+    boilerplate the signal exists to flag. NULL text reads as an empty
+    document: n_tokens 0, ratios NULL."""
     t = F.col(text_col)
     toks = tokens_expr(t)
     n_tok = F.size(toks)
     n_char = F.length(t)
     sw = STOPWORDS["en"]
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*sw)))
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*sw)))
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
     safe_tok = F.nullif(n_tok.cast("double"), F.lit(0.0))
     return (
         df.withColumn("n_tokens", n_tok)
-        .withColumn("mean_token_len", F.round((n_char - n_tok + 1) / safe_tok, 4))
+        .withColumn("mean_token_len", F.round(n_nonspace / safe_tok, 4))
         .withColumn("punct_ratio", F.round(n_punct / F.nullif(n_char.cast("double"), F.lit(0.0)), 4))
         .withColumn("stopword_ratio", F.round(n_stop / safe_tok, 4))
         .withColumn("upper_ratio", F.round(n_upper / F.nullif(n_char.cast("double"), F.lit(0.0)), 4))
@@ -215,6 +234,15 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     q = add_quality_signals(df, text_col).withColumn(
         "_h", F.md5(F.coalesce(F.col(text_col), F.lit("")))
     )
+    # diversity metrics only for columns the corpus actually carries —
+    # the generic (df, text_col, id_col) signature must not crash on a
+    # single-source crawl or a chunked frame without 'source'/'lang'
+    diversity = [
+        F.countDistinct(c).cast("double").alias(f"n_{c}s"
+                                                if c != "lang" else "n_langs")
+        for c in ("source", "lang")
+        if c in df.columns
+    ]
     agg = q.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0))
@@ -223,8 +251,7 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.sum("n_tokens").cast("double").alias("total_tokens"),
         F.avg("n_tokens").alias("mean_tokens_per_doc"),
         F.countDistinct("_h").cast("double").alias("n_distinct_texts"),
-        F.countDistinct("source").cast("double").alias("n_sources"),
-        F.countDistinct("lang").cast("double").alias("n_langs"),
+        *diversity,
         F.avg("stopword_ratio").alias("mean_stopword_ratio"),
         F.avg("punct_ratio").alias("mean_punct_ratio"),
         F.avg(
@@ -238,7 +265,9 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     metrics = [
         "n_docs", "n_empty_docs", "total_tokens", "mean_tokens_per_doc",
-        "n_distinct_texts", "exact_dup_frac", "n_sources", "n_langs",
+        "n_distinct_texts", "exact_dup_frac",
+        *(["n_sources"] if "source" in df.columns else []),
+        *(["n_langs"] if "lang" in df.columns else []),
         "mean_stopword_ratio", "mean_punct_ratio", "quality_pass_frac",
     ]
     stack_args = ", ".join(f"'{m}', ROUND({m}, 4)" for m in metrics)
@@ -253,11 +282,17 @@ def normalize_text_expr(col: Column | str) -> Column:
     of codegen'd regexp/string expressions — the canonical form two
     near-identical documents (case, numbering, punctuation variants)
     collapse to before EXACT dedup. Portable Java-regex/RE2 classes
-    only, so the DuckDB oracle applies the identical normalization."""
+    only, so the DuckDB oracle applies the identical normalization.
+
+    UNICODE-preserving: the kept class is ``\\p{L}\\p{N}`` (any letter or
+    digit, any script), not ``[a-z0-9]`` — an ASCII-only class would
+    normalize every non-Latin document (and every accented word) to the
+    same empty/mangled string, mass-false-positive-deduping a
+    multilingual corpus."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
-    c = F.regexp_replace(c, r"[0-9]", "0")
-    c = F.regexp_replace(c, r"[^a-z0 ]", " ")
+    c = F.regexp_replace(c, r"\p{N}", "0")
+    c = F.regexp_replace(c, r"[^\p{L}0 ]", " ")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c
 
@@ -271,9 +306,21 @@ def normalized_dedup(
     variants plain exact dedup misses, at exactly the same cost — one
     shuffle keyed on the 16-byte digest; the normalization itself is a
     narrow codegen map. Output: (id, norm_hash, survivor) for every
-    input row (survivor = false rows are the drop set)."""
-    h = F.md5(normalize_text_expr(text_col)).alias("norm_hash")
-    w = Window.partitionBy("norm_hash")
+    input row (survivor = false rows are the drop set).
+
+    Docs whose normalization is EMPTY (punctuation-only / NULL text)
+    carry a NULL norm_hash and each survives as its own class: they are
+    not copies of one another, and at 100 TB a shared empty-class hash
+    would both false-positive-drop them all and pile every such row
+    into one window partition."""
+    norm = normalize_text_expr(text_col)
+    h = F.when(norm != "", F.md5(norm)).alias("norm_hash")
+    # NULL-hash docs get a per-doc partition key: no skew, no window
+    # mass — their survivor flag is statically true
+    key = F.coalesce(
+        F.col("norm_hash"), F.concat(F.lit("__empty__"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key)
     return (
         df.select(F.col(id_col), h)
         .withColumn("_min", F.min(id_col).over(w))

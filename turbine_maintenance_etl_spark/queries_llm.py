@@ -94,7 +94,7 @@ _EN_SQL = ", ".join(f"'{w}'" for w in _EN)
                  / NULLIF(CAST(len(toks) AS DOUBLE), 0), 4) AS mean_token_len,
            ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                  / NULLIF(CAST(length(text) AS DOUBLE), 0), 4) AS punct_ratio,
-           ROUND(CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+           ROUND(CAST(len(list_filter(toks, x -> lower(x) IN ({_EN_SQL}))) AS DOUBLE)
                  / NULLIF(CAST(len(toks) AS DOUBLE), 0), 4) AS stopword_ratio,
            ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
                  / NULLIF(CAST(length(text) AS DOUBLE), 0), 4) AS upper_ratio
@@ -331,7 +331,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT doc_id, text, toks FROM q
         WHERE len(toks) >= 20
-          AND CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+          AND CAST(len(list_filter(toks, x -> lower(x) IN ({_EN_SQL}))) AS DOUBLE)
               / NULLIF(CAST(len(toks) AS DOUBLE), 0) >= 0.05),
     surv AS (
         SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
@@ -554,7 +554,7 @@ def text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROUND(len(list_filter(
                        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
                        x -> list_contains(
-                           ['the','a','of','and','to','in','is','that','it','for'], x)
+                           ['the','a','of','and','to','in','is','that','it','for'], lower(x))
                    )) / CAST(n_tokens AS DOUBLE), 4)
                END AS stopword_ratio,
                CASE WHEN length(text) > 0 THEN
@@ -611,12 +611,16 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(
-                   regexp_replace(
-                       regexp_replace(lower(text), '[0-9]', '0', 'g'),
-                       '[^a-z0 ]', ' ', 'g'),
-                   '\\s+', ' ', 'g'))) AS norm_hash
-        FROM documents
+               CASE WHEN norm <> '' THEN md5(norm) END AS norm_hash
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(text), '\\p{N}', '0', 'g'),
+                           '[^\\p{L}0 ]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        )
     )
     SELECT doc_id, norm_hash,
            doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS survivor
@@ -1228,7 +1232,7 @@ def text_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT doc_id, text, toks FROM q
         WHERE len(toks) >= 20
-          AND CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+          AND CAST(len(list_filter(toks, x -> lower(x) IN ({_EN_SQL}))) AS DOUBLE)
               / NULLIF(CAST(len(toks) AS DOUBLE), 0) >= 0.05),
     lmtoks AS (
         SELECT doc_id,
@@ -1876,7 +1880,7 @@ def _capstone_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> st
     gated AS (
         SELECT doc_id, source, text, batch, toks FROM d0
         WHERE len(toks) >= 20
-          AND ROUND(CAST(len(list_filter(toks, x -> x IN ({_EN_SQL}))) AS DOUBLE)
+          AND ROUND(CAST(len(list_filter(toks, x -> lower(x) IN ({_EN_SQL}))) AS DOUBLE)
                     / NULLIF(CAST(len(toks) AS DOUBLE), 0), 4) >= 0.05),
     ex AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY batch, md5(text)
