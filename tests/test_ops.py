@@ -1191,3 +1191,150 @@ def test_refresh_agg_validates_args_even_when_noop(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="non-decomposable"):
         refresh_agg_from_cdf(spark, tbl, state, ["k"], {"m": ("median", "id")})
+
+
+def test_asof_join_null_and_tie_semantics(spark):
+    """SQL-ASOF-consistent edges: NULL-ts/NULL-key right rows match
+    nothing (un-filtered, a NULL-ts right row sorted FIRST and its value
+    forward-filled everything); a genuinely-NULL right value still wins
+    as the latest state (struct fill, not per-column ignorenulls); ties
+    at one (key, ts) resolve deterministically; keyless joins raise."""
+    from turbine_maintenance_etl_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 30), (None, 10), ("k", None)],
+        "key string, ts int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", None, 99.0),   # NULL ts: must match nothing
+            (None, 5, 77.0),     # NULL key: must match nothing
+            ("k", 8, 5.0),
+            ("k", 20, None),     # genuine NULL value: the state AT ts>=20
+        ],
+        "key string, ts int, v double",
+    )
+    got = {
+        (r["key"], r["ts"]): r["asof_v"]
+        for r in asof_join(left, right, on=["key"], tie_break="ts").collect()
+    }
+    assert got[("k", 10)] == 5.0
+    assert got[("k", 30)] is None      # latest state IS null, not stale 5.0
+    assert got[(None, 10)] is None     # NULL key matches nothing
+    assert got[("k", None)] is None    # NULL left ts matches nothing
+
+    # duplicate right rows at one (key, ts): same winner on every run
+    dup_right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 5, 2.0)], "key string, ts int, v double"
+    )
+    winners = {
+        asof_join(left.filter("ts = 10"), dup_right, on=["key"])
+        .collect()[0]["asof_v"]
+        for _ in range(3)
+    }
+    assert len(winners) == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one join key"):
+        asof_join(left, right, on=[])
+
+
+def test_range_join_left_no_row_ids_and_explosion_cap(spark):
+    """The left path carries the range predicate inside ONE outer join
+    (no synthetic row ids — monotonically_increasing_id is not stable
+    across plan-subtree re-evaluations), and a sentinel-ended interval
+    fails loudly instead of sequencing millions of bucket rows."""
+    import pytest
+
+    from turbine_maintenance_etl_spark.ops.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 05:00:00"), (2, "2024-01-01 05:00:00")],
+        "pid int, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("w1", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "w string, s string, e string",
+    ).select("w", F.col("s").cast("timestamp").alias("w_start"),
+             F.col("e").cast("timestamp").alias("w_end"))
+    got = range_join(pts, iv, how="left").collect()
+    # matched point once, each unmatched duplicate point once, NULL-padded
+    assert len(got) == 3
+    by_pid = sorted((r["pid"], r["w"]) for r in got)
+    assert by_pid == [(1, "w1"), (2, None), (2, None)]
+    # plan: no monotonically_increasing_id anywhere
+    plan = range_join(pts, iv, how="left")._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically" not in plan
+
+    sentinel = spark.createDataFrame(
+        [("w2", "2024-01-01 00:00:00", "9999-12-31 00:00:00")],
+        "w string, s string, e string",
+    ).select("w", F.col("s").cast("timestamp").alias("w_start"),
+             F.col("e").cast("timestamp").alias("w_end"))
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        range_join(pts, sentinel, how="inner").collect()
+
+
+def test_scd2_survives_null_timestamps(spark):
+    """An open row with NULL valid_from must never vanish: no update →
+    untouched; a timestamped update → closed+reopened. NULL-ts updates
+    are no-ops on existing keys but insert brand-new keys."""
+    from turbine_maintenance_etl_spark.ops.scd import scd2_apply, scd2_bootstrap
+
+    snap = spark.createDataFrame(
+        [("a", "x", None), ("b", "y", 10)], "k string, v string, ts int"
+    )
+    dim = scd2_bootstrap(snap, ["k"], ["v"])
+    # no updates at all: both rows survive
+    empty = spark.createDataFrame([], "k string, v string, ts int")
+    kept = scd2_apply(dim, empty, ["k"], ["v"])
+    assert sorted(r["k"] for r in kept.collect()) == ["a", "b"]
+    # a real update to the NULL-valid_from key closes + reopens it
+    upd = spark.createDataFrame([("a", "x2", 20), ("c", "z", None)],
+                                "k string, v string, ts int")
+    out = scd2_apply(dim, upd, ["k"], ["v"]).collect()
+    a_rows = sorted(
+        ((r["v"], r["is_current"]) for r in out if r["k"] == "a"),
+    )
+    assert a_rows == [("x", False), ("x2", True)]
+    # NULL-ts insert for a brand-new key still lands (open, NULL start)
+    assert [(r["v"], r["is_current"]) for r in out if r["k"] == "c"] == [("z", True)]
+
+
+def test_hash_split_total_over_null_ids(spark):
+    """A split must PARTITION its input: NULL-id rows land
+    deterministically in exactly one half instead of vanishing from
+    both."""
+    from turbine_maintenance_etl_spark.ops.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,), (None,)], "doc_id int"
+    )
+    train, eva = hash_split(df, "doc_id")
+    n_train, n_eval = train.count(), eva.count()
+    assert n_train + n_eval == 102  # nothing vanished
+    # deterministic: same assignment on a rerun
+    t2, e2 = hash_split(df, "doc_id")
+    assert t2.count() == n_train and e2.count() == n_eval
+
+
+def test_salted_agg_salt_is_content_defined(spark):
+    """The salt must be a pure function of the row (retry-safe): the
+    plan contains no rand(), and results equal the direct aggregate."""
+    from turbine_maintenance_etl_spark.ops.skew import salted_groupby_agg
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    aggs = {"n": ("count", "event_id"), "total": ("sum", "value")}
+    got = salted_groupby_agg(e, ["event_type"], aggs)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rand(" not in plan
+    want = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in e.groupBy("event_type")
+        .agg(F.count("event_id").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {
+        r["event_type"]: (r["n"], round(r["total"], 6)) for r in got.collect()
+    } == want

@@ -6,12 +6,26 @@ For each left row, attach the most recent right row with
 quote-to-trade / last-known-state join for time-series work).
 
 Plan shape: union both sides tagged → ONE shuffle on the key → one
-window sort on (ts, side) → ``last(value, ignorenulls)`` forward fill →
+window sort on (ts, side) → forward fill of the right-row STRUCT →
 filter back to left rows. This beats the bucketize-and-range-filter
 alternative when right-side density is unbounded, and it never builds a
 quadratic range join. Ties (equal ts) count the right row as visible,
 matching standard ASOF semantics (right rows sort before left rows at
 the same timestamp).
+
+Semantics at the edges (all SQL-ASOF-consistent, pinned by tests):
+
+- Right rows with a NULL key or NULL timestamp match NOTHING (they are
+  filtered out — left un-filtered, a NULL-ts right row sorts first and
+  its value would forward-fill EVERY row of its key).
+- Left rows with a NULL key or NULL timestamp get NULL as-of values.
+- A right row whose VALUE is genuinely NULL still wins as the latest
+  state: values forward-fill inside one struct per right row, so 'no
+  preceding row' (struct NULL) is distinguishable from 'latest value is
+  NULL' (struct present, field NULL) — a bare last(ignorenulls) per
+  value column would skip the NULL and resurrect stale state.
+- Duplicate right rows at the same (key, ts) resolve deterministically
+  (content-hash order; the last one in hash order wins).
 """
 
 from __future__ import annotations
@@ -34,24 +48,54 @@ def asof_join(
     left row's timestamp (NULL when no right row precedes it).
     ``tie_break`` optionally names a unique left column used to keep the
     window order fully deterministic."""
+    if not on:
+        # partitionBy() with no columns is a single-partition global
+        # sort of the entire union — the exact 100 TB failure mode this
+        # operator exists to avoid. A keyless as-of needs an explicit
+        # constant key so the caller owns that decision.
+        raise ValueError(
+            "asof_join requires at least one join key; for a keyless "
+            "point-in-time join add an explicit constant key column to "
+            "both sides (and accept the single-reducer sort it implies)"
+        )
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
 
-    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"_v_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
+    l_tagged = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+        .withColumn(
+            "_rv",
+            F.lit(None).cast(
+                "struct<" + ", ".join(
+                    f"`{c}`: {right.schema[c].dataType.simpleString()}"
+                    for c in value_cols
+                ) + ">"
+            ),
+        )
+    )
+    # right rows that can never match under SQL equality/ordering
+    # semantics are dropped up front: a NULL key equals no left key, and
+    # a NULL timestamp precedes no left timestamp (un-filtered it sorts
+    # FIRST and forward-fills everything)
+    r_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        r_clean = r_clean.filter(F.col(k).isNotNull())
+    r_tagged = r_clean.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
     for c in left.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
-    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    # third key: content hash of the right struct — duplicate right rows
+    # at one (key, ts) resolve to the max-hash row on every run/replan
+    # instead of whichever the sort happened to emit last
+    order = [F.col("_ts").asc(), F.col("_side").asc(), F.xxhash64("_rv").asc()]
     if tie_break:
         order.append(F.col(tie_break).asc_nulls_first())
     w = (
@@ -59,12 +103,16 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    key_ok = F.lit(True)
+    for k in on:
+        key_ok = key_ok & F.col(k).isNotNull()
+    fill = F.when(
+        key_ok & F.col("_ts").isNotNull(),
+        F.last("_rv", ignorenulls=True).over(w),
+    )
     filled = unioned.select(
         *left.columns,
         F.col("_side"),
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *[fill[c].alias(f"asof_{c}") for c in value_cols],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")

@@ -17,8 +17,16 @@ from pyspark.sql import functions as F
 
 def hash_bucket(col: Column, num_buckets: int = 100, salt: str = "") -> Column:
     """Deterministic bucket in [0, num_buckets): md5-prefix of the id
-    (portable across engines, unlike murmur3 ``F.hash``) mod buckets."""
-    h = F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15), 16, 10)
+    (portable across engines, unlike murmur3 ``F.hash``) mod buckets.
+
+    TOTAL over NULL ids: a NULL id hashes the sentinel string instead of
+    propagating NULL — a NULL bucket fails BOTH halves of a split
+    predicate, so NULL-id rows would silently vanish from train AND
+    eval (a split must partition its input). All NULL ids share one
+    deterministic bucket; callers that consider NULL ids invalid should
+    filter or raise upstream."""
+    s = F.coalesce(col.cast("string"), F.lit("\x00null"))
+    h = F.conv(F.substring(F.md5(F.concat(s, F.lit(salt))), 1, 15), 16, 10)
     return (h.cast("bigint") % num_buckets).cast("int")
 
 

@@ -52,21 +52,33 @@ def scd2_apply(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
         F.col(ts_col).alias("_u_ts"),
+        F.lit(True).alias("_upd"),
     )
     cond = [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in key_cols]
-    joined = open_rows.join(upd, cond, "full_outer")
+    joined = open_rows.withColumn("_dim", F.lit(True)).join(upd, cond, "full_outer")
 
     same = None
     for c in tracked_cols:
         eq = F.col(c).eqNullSafe(F.col(f"_u_{c}"))
         same = eq if same is None else (same & eq)
 
-    has_dim = F.col("valid_from").isNotNull()
-    has_upd = F.col("_u_ts").isNotNull()
+    # presence comes from explicit flags, NOT from nullable data columns
+    # (valid_from / ts can legitimately be NULL — using them as join
+    # sentinels silently deleted any open row with a NULL valid_from and
+    # discarded NULL-ts inserts for new keys)
+    has_dim = F.col("_dim").isNotNull()
+    has_upd = F.col("_upd").isNotNull()
     # stale guard: an update not strictly newer than the open row's
     # valid_from is already superseded — applying it would produce a
     # corrupt interval (valid_to <= valid_from). Treat it as a no-op.
-    fresh = F.col("_u_ts") > F.col("valid_from")
+    # NULL-safe three-way: an open row with NULL valid_from accepts any
+    # timestamped update (its start is unknown, the update supersedes);
+    # an update with a NULL ts is never fresh (it cannot be ordered) —
+    # left as raw comparisons the NULLs would make EVERY branch filter
+    # false and the row would vanish from the dimension entirely.
+    fresh = F.when(F.col("valid_from").isNull(), F.lit(True)).otherwise(
+        F.coalesce(F.col("_u_ts") > F.col("valid_from"), F.lit(False))
+    )
 
     # open rows with no update, a no-op update, or a stale update: unchanged
     untouched = joined.filter(has_dim & (~has_upd | same | ~fresh)).select(

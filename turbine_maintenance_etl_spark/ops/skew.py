@@ -67,9 +67,17 @@ def salted_groupby_agg(
     ``aggs`` maps output name -> (function, input column) with function
     in {count, sum, min, max}. Stage 1 groups by (key, salt) — hot keys
     split across ``salt_factor`` reducers; stage 2 merges partials by
-    key. The salt is random-per-row but the result is exact because
-    every aggregate is associative."""
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_factor).cast("int"))
+    key. The salt is CONTENT-DEFINED (full-row hash mod factor), not
+    F.rand(): a nondeterministic salt re-rolls on task retry / fetch-
+    failure recompute, so reducers that already consumed the original
+    map output double-count or lose rows (the SPARK-23207 class of
+    silent corruption). A content salt recomputes identically; the one
+    trade is that EXACTLY identical rows share a salt bucket — counts
+    stay exact, and hot KEYS (the case salting exists for) still spread
+    because their non-key columns vary."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_factor))
+    )
     partials = salted.groupBy(*group_cols, "_salt").agg(
         *partial_agg_exprs(aggs, prefix="_p_")
     )
