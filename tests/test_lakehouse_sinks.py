@@ -152,3 +152,56 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 20
     assert merged.filter(F.col("score").isNull()).count() == 10
     assert merged.filter(F.col("score") == 1.5).count() == 10
+
+
+def test_upsert_by_key_writer_level_dynamic_overwrite(spark, tmp_path):
+    """The partitioned upsert must keep untouched partitions even when
+    the SESSION conf is static — the dynamic mode rides on the writer."""
+    from turbine_maintenance_etl_spark.io.sinks import upsert_by_key
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "A", 1.0, 10), (2, "B", 2.0, 10)], "id long, part string, v double, ts long"
+    )
+    upsert_by_key(spark, base, path, keys=("id",), order_col="ts",
+                  partition_cols=("part",))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        upd = spark.createDataFrame(
+            [(2, "B", 9.0, 20)], "id long, part string, v double, ts long"
+        )
+        upsert_by_key(spark, upd, path, keys=("id",), order_col="ts",
+                      partition_cols=("part",))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 9.0}  # partition A survived static session conf
+
+
+def test_compact_parquet_refuses_remote_and_partitioned(spark, tmp_path):
+    import pytest
+
+    from turbine_maintenance_etl_spark.io.sinks import (
+        compact_parquet,
+        write_partitioned_parquet,
+    )
+
+    with pytest.raises(ValueError, match="remote URI"):
+        compact_parquet(spark, "s3a://bucket/x", 2)
+    p = str(tmp_path / "parted")
+    write_partitioned_parquet(
+        spark.createDataFrame([(1, "a")], "id long, dataset string"), p
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, p, 2)
+
+
+def test_zorder_rejects_bit_overflow(spark):
+    import pytest
+
+    from turbine_maintenance_etl_spark.io.sinks import zorder_expr
+
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_expr(df, ("a", "b", "c") * 3, bits_per_dim=8)  # 9 dims x 8 bits

@@ -196,3 +196,77 @@ def test_video_frame_signatures_collapse_and_distinguish(spark):
     assert out[12]["sig"] != out[10]["sig"]  # sampled frame 0 differs
     assert out[13]["sig"] != out[10]["sig"]  # corrupt frame 2 (sampled) -> NULL slot
     assert all(r["n_frames_sampled"] == 3 for r in out.values())
+
+
+def test_video_signature_survives_large_ids_and_deep_frames(spark):
+    """The (video, frame) key must be total: 64-bit content ids and
+    frame_idx >= 2^20 previously overflowed/bled through an arithmetic
+    pack into the NEXT video's keyspace, merging distinct videos."""
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        encode_png,
+        video_frame_signatures,
+    )
+
+    # distinct GRADIENT patterns (constant images share a dHash of 0 —
+    # the hash is gradient-based, so brightness alone cannot differ)
+    ramp = np.tile(np.arange(0, 64, 8, dtype=np.uint8), (8, 1))
+    img_a = encode_png(np.stack([ramp] * 3, axis=-1))
+    img_b = encode_png(np.stack([ramp.T] * 3, axis=-1))
+    big_a = (1 << 53) + 17          # far past the 2^43 overflow horizon
+    big_b = (1 << 53) + 18
+    deep = 1 << 21                  # frame_idx past the 2^20 bleed point
+    frames = spark.createDataFrame(
+        [
+            (big_a, 0, img_a), (big_a, deep, img_a),
+            (big_b, 0, img_b), (big_b, deep, img_b),
+        ],
+        "video_id long, frame_idx long, media binary",
+    )
+    out = {
+        r["video_id"]: (r["n_frames_sampled"], r["sig"], r["survivor"])
+        for r in video_frame_signatures(frames, every_nth=1).collect()
+    }
+    assert set(out) == {big_a, big_b}          # no cross-video bleed
+    assert out[big_a][0] == 2 and out[big_b][0] == 2
+    assert out[big_a][1] != out[big_b][1]      # different content, different sig
+    assert out[big_a][2] and out[big_b][2]
+
+
+def test_phash_near_dup_pairs_guards(spark):
+    """Pigeonhole precondition enforced; over-cap band buckets are
+    dropped instead of going quadratic."""
+    import pytest
+
+    from turbine_maintenance_etl_spark.llm.multimodal import phash_near_dup_pairs
+
+    ph = spark.createDataFrame(
+        [(i, 0) for i in range(20)], "doc_id long, dhash long"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(ph, max_hamming=7, n_bands=7)
+    # 20 identical all-zero hashes: capped at 10 → no pairs emitted
+    assert phash_near_dup_pairs(ph, max_bucket_size=10).count() == 0
+    # cap lifted: full pair set
+    assert phash_near_dup_pairs(ph, max_bucket_size=None).count() == 20 * 19 // 2
+
+
+def test_extract_image_features_poison_pill_real_decoder(spark):
+    """One corrupt row under the REAL decoder reads as NULL metadata
+    instead of failing the task (and the whole job) four times."""
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        encode_png,
+        extract_image_features,
+    )
+
+    ok = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, ok), (2, b"\x89PNG\r\n\x1a\ntruncated"), (3, b"JFIF-not-png")],
+        "doc_id long, media binary",
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["n_bytes"])
+        for r in extract_image_features(df, use_fake_decoder=False).collect()
+    }
+    assert got[1][0] == 4
+    assert got[2][0] is None and got[2][1] > 0
+    assert got[3][0] is None

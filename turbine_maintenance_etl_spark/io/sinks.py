@@ -99,27 +99,35 @@ def upsert_by_key(
     twin of this call (same latest-wins semantics, atomic
     create-exclusive commits, optimistic re-applying retry) — when
     multiple concurrent writers are a requirement."""
-    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
-    # Detect an existing table by actually reading it — a filename
-    # heuristic misses tables partitioned by arbitrary columns (e.g.
-    # model_name=...) and breaks on non-local (S3/HDFS) paths; silently
-    # treating those as empty would drop their rows in the rewrite.
-    try:
-        existing = spark.read.parquet(path)
-    except AnalysisException:
-        existing = None  # path absent or no parquet data yet
-    if existing is not None:
+    # Existence is probed through the Hadoop FileSystem (works on local
+    # AND object-store paths), NOT by catching the read's
+    # AnalysisException: a table half-destroyed by a mid-write crash
+    # also fails the read, and treating it as 'never existed' would
+    # commit a rewrite containing only the current batch — silent total
+    # data loss on exactly the retry the docstring promises survives.
+    if _dataset_has_files(spark, path):
+        existing = spark.read.parquet(path)  # unreadable table -> raise
         if partition_cols:
             # touch only affected partitions: semi-join existing rows
-            # down to the partitions the new batch writes
+            # down to the partitions the new batch writes. CONTRACT: the
+            # partition columns must be IMMUTABLE per key — if a key can
+            # move between partition values across batches, its old-
+            # partition row is never read here and survives as a stale
+            # duplicate; use io/acid.py:merge_table (stats-pruned,
+            # key-range-closed) for movable keys.
             parts = new_rows.select(*partition_cols).distinct()
             existing = existing.join(F.broadcast(parts), list(partition_cols), "left_semi")
         merged = existing.unionByName(new_rows, allowMissingColumns=True)
     else:
         merged = new_rows
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
+    # full-row-hash tiebreak: rows tied on order_col must resolve to the
+    # same winner on every run/retry (same rule as acid.merge_table)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(order_col).desc(),
+        F.xxhash64(*[F.col(c) for c in merged.columns]).desc(),
+    )
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -131,9 +139,28 @@ def upsert_by_key(
     latest = latest.localCheckpoint(eager=True)
     writer = latest.write.mode("overwrite")
     if partition_cols:
+        # per-writer dynamic overwrite: relying on the SESSION conf means
+        # any caller outside get_spark() (default = static) TRUNCATES the
+        # whole base path and deletes every untouched partition
+        writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_cols)
-    # dynamic overwrite keeps untouched partitions when partition_cols set
     writer.parquet(path)
+
+
+def _dataset_has_files(spark, path: str) -> bool:
+    """True iff ``path`` exists and contains at least one file — the
+    existence probe for read-modify-write sinks. A present-but-EMPTY
+    directory counts as 'no table yet'; a present directory whose read
+    then fails is corruption and must surface, never be treated as
+    empty. Hadoop FileSystem API, so s3a://hdfs:// paths work."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)  # recursive: partition dirs nest files
+    return it.hasNext()
 
 
 def compact_parquet(spark, path: str, target_partitions: int, sort_cols: tuple[str, ...] = ()) -> int:
@@ -142,20 +169,50 @@ def compact_parquet(spark, path: str, target_partitions: int, sort_cols: tuple[s
     restore min/max row-group pruning). Streaming appends and per-batch
     upserts accrete small files; at 100 TB the file count — not the
     byte count — is what kills scan planning. Returns the file count
-    written."""
+    written.
+
+    LOCAL-PATH, FLAT-LAYOUT ONLY (enforced): the swap is os-level
+    renames, so object-store URIs are refused (use
+    ``io/acid.py:compact_table`` — manifest-committed, works anywhere),
+    and a ``partitionBy`` layout is refused rather than silently
+    rewritten flat (which would destroy the pruning dirs). The swap is
+    rename-based (path→__old, tmp→path, drop __old) instead of
+    delete-then-move: no crash window in which the dataset is simply
+    gone — a leftover __old/__compact_tmp is recoverable by hand."""
+    import os
+    import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet swaps via local renames; {path!r} is a "
+            "remote URI — use io/acid.py tables + compact_table there"
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    part_dirs = [
+        n for n in os.listdir(local)
+        if "=" in n and os.path.isdir(os.path.join(local, n))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"dataset at {path} is hive-partitioned ({part_dirs[:3]}...): a "
+            "flat rewrite would silently destroy the pruning layout — "
+            "compact each partition directory, or use acid compact_table"
+        )
     df = spark.read.parquet(path)
     out = df.repartition(target_partitions)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    tmp = local.rstrip("/") + "__compact_tmp"
+    old = local.rstrip("/") + "__old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     out.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
-    import os
-
-    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    shutil.move(local, old)
+    shutil.move(tmp, local)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(local) if f.endswith(".parquet"))
 
 
 def write_range_clustered(
@@ -189,6 +246,14 @@ def zorder_expr(
     unlike lexicographic multi-column sort, where only the leading
     column prunes. This is the ZORDER BY of lakehouse engines, as plain
     expressions."""
+    if bits_per_dim * len(cols) > 63:
+        raise ValueError(
+            f"bits_per_dim={bits_per_dim} x {len(cols)} columns = "
+            f"{bits_per_dim * len(cols)} interleaved bits > 63: bit 63 is "
+            "the long's sign bit and higher shifts wrap mod 64 (Java "
+            "shift semantics), silently corrupting the Morton order — "
+            "lower bits_per_dim"
+        )
     n_buckets = 1 << bits_per_dim
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # ONE sample pass computes every column's cutpoints (per-column

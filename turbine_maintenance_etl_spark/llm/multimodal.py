@@ -153,7 +153,18 @@ def extract_image_features(
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                meta = decode(bytes(r[binary_col]) if r[binary_col] is not None else b"")
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                try:
+                    meta = decode(data)
+                except (ValueError, NotImplementedError, struct.error, zlib.error):
+                    # poison-pill doctrine (same as every sibling decode
+                    # operator): one corrupt/non-PNG row must not fail
+                    # the task 4x and kill a corpus-wide job — it reads
+                    # as NULL metadata with its true byte count
+                    meta = {
+                        "width": None, "height": None, "channels": None,
+                        "n_bytes": len(data),
+                    }
                 rows.append({id_col: r[id_col], **meta})
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "channels", "n_bytes"])
 
@@ -514,9 +525,12 @@ def image_phash(
     survive as NULL hashes with an error tag.
 
     Output: (id, dhash bigint, ahash bigint, width int, height int,
-    err string)."""
+    err string). The id passes through untouched, so its output type is
+    the INPUT's type (string/composite ids work — video_frame_signatures
+    routes a composite key through here)."""
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} bigint, dhash bigint, ahash bigint, "
+        f"{id_col} {id_type}, dhash bigint, ahash bigint, "
         "width int, height int, err string"
     )
 
@@ -549,8 +563,17 @@ def phash_dedup(ph: DataFrame, hash_col: str = "dhash", id_col: str = "doc_id") 
     = min id per hash value (same survivor rule as the text exact
     dedup). One 8-byte-keyed shuffle; decode failures (NULL hash) pass
     through as their own survivors — dropping undecodable media is a
-    policy decision, not a dedup side effect."""
-    w = Window.partitionBy(hash_col)
+    policy decision, not a dedup side effect. The window key coalesces
+    NULL hashes to a per-doc sentinel: at corpus scale a few percent of
+    undecodable media would otherwise ALL shuffle into the single
+    hash=NULL window partition — one straggler task holding the whole
+    failure set just to compute a min the isNull branch discards (same
+    fix as normalized_dedup's empty class)."""
+    key = F.coalesce(
+        F.col(hash_col).cast("string"),
+        F.concat(F.lit("__nohash__"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(key)
     flagged = ph.withColumn(
         "survivor",
         F.col(hash_col).isNull() | (F.col(id_col) == F.min(id_col).over(w)),
@@ -565,6 +588,7 @@ def phash_near_dup_pairs(
     n_bands: int = 7,
     band_bits: int = 8,
     max_hamming: int = 6,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate image candidate pairs at Hamming distance <=
     ``max_hamming``: split the 56-bit hash into ``n_bands`` bands of
@@ -574,7 +598,21 @@ def phash_near_dup_pairs(
     — the SimHash banding trick (llm/dedup.py:simhash) applied to
     pixels. Verification is one bit_count(xor) per candidate.
 
+    The pigeonhole PRECONDITION is enforced: completeness requires
+    ``max_hamming < n_bands`` (a pair may put one differing bit into
+    each band — with distance >= n_bands no band need match and the
+    equi-join silently misses real pairs). ``max_bucket_size`` caps
+    pathological band-value buckets (near-constant images — masks,
+    black frames — all share bv=0 bands and would drive the self-join
+    quadratic), same doctrine as the text LSH cap.
+
     Output: (id_a, id_b, hamming)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: the banding "
+            "equi-join is only complete for distances < n_bands "
+            "(pigeonhole) — raise n_bands or lower max_hamming"
+        )
     mask = (1 << band_bits) - 1
     bands = ph.select(
         F.col(id_col), F.col(hash_col).alias("_h")
@@ -592,6 +630,16 @@ def phash_near_dup_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "_h", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    if max_bucket_size is not None:
+        # window count rides the band shuffle (run-once doctrine) —
+        # over-cap (band, bv) buckets are near-constant-image mass whose
+        # pair expansion would be quadratic; exact dedup absorbs them
+        w_sz = Window.partitionBy("band", "bv")
+        exploded = (
+            exploded.withColumn("_sz", F.count("*").over(w_sz))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "band", "bv"
     )
@@ -717,15 +765,27 @@ def video_frame_signatures(
 
     Output: (video_id, n_frames_sampled, sig, survivor)."""
     sampled = sample_frames(frames, every_nth, frame_col)
+    # composite STRING key through the hash pass — an arithmetic pack
+    # (video_id * 2^20 + frame_idx) overflows for 64-bit content ids and
+    # silently bleeds frame_idx >= 2^20 into the NEXT video's keyspace,
+    # merging distinct videos; a delimited string is total for any id
+    video_type = frames.schema[video_col].dataType.simpleString()
+    frame_type = frames.schema[frame_col].dataType.simpleString()
+    sep = "\x1f"
     hashed = image_phash(
         sampled.select(
             F.col(video_col), F.col(frame_col), F.col(binary_col)
-        ).withColumn("_fid", F.col(video_col) * F.lit(1 << 20) + F.col(frame_col)),
+        ).withColumn(
+            "_fid",
+            F.concat_ws(
+                sep, F.col(video_col).cast("string"), F.col(frame_col).cast("string")
+            ),
+        ),
         binary_col=binary_col,
         id_col="_fid",
     ).select(
-        (F.col("_fid") / F.lit(1 << 20)).cast("bigint").alias(video_col),
-        F.pmod(F.col("_fid"), F.lit(1 << 20)).alias(frame_col),
+        F.split(F.col("_fid"), sep).getItem(0).cast(video_type).alias(video_col),
+        F.split(F.col("_fid"), sep).getItem(1).cast(frame_type).alias(frame_col),
         "dhash",
     )
     sigs = (
