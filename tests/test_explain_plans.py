@@ -289,9 +289,17 @@ def test_perceptual_dedup_plans_are_narrow(spark):
             r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition", plan
         ), name
         assert "WindowExec: No Partition Defined" not in plan, name
-        # survivor window shuffles on the fingerprint key
-        key = "dhash" if name == "dedup_image_phash" else "afp"
-        assert re.search(rf"Exchange hashpartitioning\({key}", plan), name
+        # survivor window shuffles on the fingerprint key — now wrapped
+        # in the NULL-skew coalesce (undecodable rows get per-doc keys
+        # instead of piling into one hash=NULL partition); the coalesce
+        # projects into a window expression (_w0) that the exchange
+        # hashes on, so pin: a hash exchange exists AND the projected
+        # key is the coalesced fingerprint
+        if name == "dedup_image_phash":
+            assert re.search(r"Exchange hashpartitioning\(_w\d", plan), name
+            assert re.search(r"coalesce\(cast\(dhash", plan), name
+        else:  # audio survivor window partitions on the raw fingerprint
+            assert re.search(r"Exchange hashpartitioning\(afp", plan), name
 
     vf = REGISTRY["dedup_video_frames"].fn(spark, SF_DIR)
     vplan = vf._jdf.queryExecution().executedPlan().toString()

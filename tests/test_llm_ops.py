@@ -692,8 +692,11 @@ def test_ivfpq_recall_floor_and_determinism(spark):
 def _brute_span_dedup(texts: dict[int, str], n: int, min_count: int = 2) -> dict:
     """Direct transcription of the ExactSubstr rewrite semantics:
     duplicated = span content occurring >= min_count corpus-wide;
-    canonical = smallest (doc_id, pos); token dropped iff covered by any
-    marked (non-canonical) occurrence."""
+    canonical = smallest (doc_id, pos); token dropped iff covered by a
+    marked (non-canonical) occurrence AND NOT covered by any canonical
+    occurrence (canonical protection — one COMPLETE surviving copy per
+    span content, even when occurrences overlap). Unaffected docs pass
+    through with their original text."""
     from collections import defaultdict
 
     toks = {d: t.split() for d, t in texts.items()}
@@ -702,14 +705,22 @@ def _brute_span_dedup(texts: dict[int, str], n: int, min_count: int = 2) -> dict
         tk = toks[d]
         for i in range(len(tk) - n + 1):
             occs[tuple(tk[i : i + n])].append((d, i))
-    removed = defaultdict(set)
+    marked_cov = defaultdict(set)
+    canon_cov = defaultdict(set)
     for g, occ in occs.items():
         if len(occ) >= min_count:
-            for d, i in sorted(occ)[1:]:
-                removed[d].update(range(i, i + n))
+            occ_sorted = sorted(occ)
+            d0, i0 = occ_sorted[0]
+            canon_cov[d0].update(range(i0, i0 + n))
+            for d, i in occ_sorted[1:]:
+                marked_cov[d].update(range(i, i + n))
     out = {}
     for d, tk in toks.items():
-        kept = [w for idx, w in enumerate(tk) if idx not in removed[d]]
+        removed = marked_cov[d] - canon_cov[d]
+        if not removed:
+            out[d] = (len(tk), 0, texts[d])
+            continue
+        kept = [w for idx, w in enumerate(tk) if idx not in removed]
         out[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
     return out
 

@@ -45,12 +45,25 @@ def weak_quality_labels(
     min_stopword_ratio: float = 0.10,
 ) -> DataFrame:
     """Bootstrap labels from heuristic signals: quality=1 iff the doc
-    is long enough AND reads like natural prose (stopword mass).
-    Deterministic, so the training set is reproducible."""
+    is long enough AND reads like natural prose in SOME supported
+    language — the fluency signal is the MAX stopword-occurrence ratio
+    across every language list, not English alone (an English-only
+    bootstrap labels every fluent non-English doc negative, and the
+    trained classifier then filters non-English content wholesale;
+    CCNet bootstraps per language for the same reason). Deterministic,
+    so the training set is reproducible."""
+    from turbine_maintenance_etl_spark.llm.text import STOPWORDS, tokens_expr
+
     q = add_quality_signals(docs, text_col)
+    toks = tokens_expr(F.col(text_col))
+    n_tok = F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+    per_lang = [
+        F.size(F.filter(toks, lambda x: F.lower(x).isin(*words))) / n_tok
+        for words in STOPWORDS.values()
+    ]
+    fluency = F.coalesce(F.greatest(*per_lang), F.lit(0.0))
     label = (
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        (F.col("n_tokens") >= min_tokens) & (fluency >= min_stopword_ratio)
     ).cast("double")
     return q.withColumn("label", label).select(*docs.columns, "label")
 

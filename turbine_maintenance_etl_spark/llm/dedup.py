@@ -63,22 +63,45 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(bind_once(tokens_expr(text), grams))
 
 
+def _content_key(text_col: str, id_col: str) -> Column:
+    """Dedup class key: md5 of the text, with NULL-text rows keyed
+    PER DOC. NULL text is absent content, not shared content — grouping
+    it (md5(NULL) = NULL partitions as one key) would both delete
+    millions of distinct failed-extraction rows as 'duplicates' of text
+    that was never compared AND pile them into a single hot window
+    partition. '\\x00null:' cannot collide with a 32-hex digest."""
+    return F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+    )
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: md5(text) → (content hash, surviving id =
     min id, multiplicity). One hash-shuffle; at 100 TB group on the digest
-    (16 bytes), never the raw text."""
+    (16 bytes), never the raw text. NULL-text rows are their own
+    singleton groups (content_hash NULL)."""
+    key = _content_key(text_col, id_col)
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
-        .groupBy("content_hash")
+        df.select(key.alias("_k"), F.col(id_col))
+        .groupBy("_k")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .select(
+            F.when(~F.col("_k").startswith("\x00null:"), F.col("_k")).alias(
+                "content_hash"
+            ),
+            "keep_id",
+            "dup_count",
+        )
     )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Survivor rows after exact dedup (deterministic: min id per content
     hash wins — not ``dropDuplicates``, whose surviving row is
-    partition-order dependent)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    partition-order dependent). NULL-text rows all survive (their own
+    singleton classes — see ``_content_key``)."""
+    w = Window.partitionBy(_content_key(text_col, id_col)).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
@@ -165,15 +188,24 @@ def minhash_signatures(
 
 def _band_struct_expr(bands: int, rows: int) -> Column:
     """array<struct<band,bh>> of per-band hashes over a ``signature``
-    column: band bi hashes signature slots [bi*rows, (bi+1)*rows)."""
+    column: band bi hashes signature slots [bi*rows, (bi+1)*rows).
+
+    A doc with ZERO shingles (< n tokens) has all-NULL signature slots;
+    its band hash is NULL — never md5('') (concat_ws skips NULLs), which
+    would put EVERY short/empty doc into one shared bucket in every band
+    and emit quadratic false pairs between totally dissimilar docs."""
     return F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col("signature")[bi * rows + r] for r in range(rows)]
-                    )
+                F.when(
+                    F.col("signature")[bi * rows].isNotNull(),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[F.col("signature")[bi * rows + r] for r in range(rows)],
+                        )
+                    ),
                 ).alias("bh"),
             )
             for bi in range(bands)
@@ -200,9 +232,15 @@ def lsh_band_buckets(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
-    return sigs.select(
-        F.col(id_col), F.explode(_band_struct_expr(bands, rows)).alias("b")
-    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    return (
+        sigs.select(
+            F.col(id_col), F.explode(_band_struct_expr(bands, rows)).alias("b")
+        )
+        .select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        # shingle-less docs emit NO bucket rows: they cannot be
+        # near-duplicate candidates of anything (see _band_struct_expr)
+        .filter(F.col("bh").isNotNull())
+    )
 
 
 def incremental_lsh_candidates(
@@ -401,7 +439,7 @@ def minhash_lsh_bucket_stats(
 
 def simhash(
     df: DataFrame,
-    bits: int = 64,
+    bits: int = 60,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -409,8 +447,16 @@ def simhash(
     votes +1/-1; the sign vector packs into a bigint. Near-duplicate
     texts land at small Hamming distance. Expressed as ``bits``
     aggregate-free columnar expressions over the token-hash array (60
-    usable bits from the portable hash)."""
-    bits = min(bits, 60)
+    usable bits from the portable hash — more raises instead of a
+    silent clamp). Token-less docs (empty/NULL text) get a NULL
+    fingerprint, never 0: millions of empty docs all sitting at Hamming
+    distance 0 from each other would blow up any near-dup join on the
+    hot fingerprint 0."""
+    if bits > 60:
+        raise ValueError(
+            f"bits={bits} > 60: the portable md5-fold hash provides 60 "
+            "usable bits; pass bits <= 60"
+        )
     hashed = F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: md5_hash64(t))
     def bit_vote(b: int) -> Column:
         votes = F.aggregate(
@@ -423,7 +469,8 @@ def simhash(
     for b in range(bits):
         packed = bit_vote(b) if packed is None else packed + bit_vote(b)
     return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).withColumn("_h", hashed).select(
-        F.col(id_col), packed.cast("bigint").alias("simhash")
+        F.col(id_col),
+        F.when(F.size("_h") > 0, packed.cast("bigint")).alias("simhash"),
     )
 
 
@@ -597,9 +644,11 @@ def duplicated_span_stats(
     2. enumerate positional n-grams via ``transform`` over an index
        ``sequence`` + ``slice`` (guarded for short docs — Spark's
        ``sequence(1, 0)`` counts DOWN, so the span list is built only
-       when ``len >= n``), hashing each span to a portable 60-bit int
-       (``md5_hash64`` — an 8-byte shuffle key, not the 32-char hex
-       digest and never the raw span text);
+       when ``len >= n``), hashing each span to its FULL md5 digest (a 32-char key — at
+       100 TB the corpus holds ~2^44 distinct spans, where a 60-bit
+       key's birthday collisions number ~10^8 and every one deletes
+       legitimate unique text; 128 bits puts the expected count below
+       one);
     3. ONE hash-shuffle on the span key marks duplicated positions: a
        per-key window count (no ordering frame) instead of a
        groupBy-count + join-back — the gram pipeline (the expensive
@@ -611,13 +660,11 @@ def duplicated_span_stats(
        (doc, index) — interval union without any per-doc sort.
 
     Scale shape: everything is linear in corpus token count; shuffles key
-    on 8-byte hashes; no driver collect, no quadratic pair stage (unlike
+    on 32-byte digests; no driver collect, no quadratic pair stage (unlike
     Jaccard verification this needs no candidate cap). A corpus-dominant
     boilerplate span is a hot key under any keyed-by-span plan; the
     min_count filter drops it immediately after the count, so the hot
-    partition does O(its rows) work and emits them filtered. The
-    false-positive rate of a 60-bit hash over realistic corpora (< 2^30
-    distinct spans) is negligible (~2^-60 per pair).
+    partition does O(its rows) work and emits them filtered.
     """
     toks = df.select(
         F.col(id_col), tokens_expr(text_col).alias("_toks")
@@ -630,10 +677,10 @@ def duplicated_span_stats(
             F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
             lambda i: F.struct(
                 i.alias("pos"),
-                md5_hash64(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
+                F.md5(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
     grams = toks.select(
         id_col, F.explode(span_structs).alias("s")
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
@@ -686,13 +733,21 @@ def remove_duplicated_spans(
 
     Semantics (deterministic, oracle-checkable):
       - a span = n consecutive tokens; duplicated if its content occurs
-        >= ``min_count`` times corpus-wide (60-bit md5 span key, like
-        the stats pass);
+        >= ``min_count`` times corpus-wide (full-md5 span key, like the
+        stats pass — collision-free at any realistic corpus size);
       - the canonical occurrence of each duplicated span is the one with
         the smallest (doc_id, pos) — every OTHER occurrence is marked;
-      - a token is dropped iff covered by >= 1 marked occurrence;
-        remaining tokens re-join in order (single-space separator — the
-        tokenizer's inverse up to whitespace).
+      - a token is dropped iff covered by >= 1 marked occurrence AND NOT
+        covered by any canonical occurrence — the canonical-protection
+        clause is what makes 'exactly one surviving occurrence per span
+        content' TRUE under overlap (periodic text like 'a a a ... a'
+        marks occurrences that overlap the canonical one; without
+        protection their removal punches holes through the canonical
+        copy and the corpus can retain ZERO complete occurrences);
+      - affected docs re-join surviving tokens in order (single-space
+        separator); UNAFFECTED docs pass through with their ORIGINAL
+        text — re-joining them would collapse newlines/indentation
+        corpus-wide for a rewrite that touched nothing.
 
     Plan shape:
       1. the gram pipeline (tokenize + positional slice + md5) runs ONCE
@@ -716,8 +771,9 @@ def remove_duplicated_spans(
     O(occurrences) with no pair expansion.
     """
     toks = df.select(
-        F.col(id_col), tokens_expr(text_col).alias("_toks")
-    ).select(id_col, "_toks", F.size("_toks").alias("n_tokens"))
+        F.col(id_col), F.col(text_col).alias("_text"),
+        tokens_expr(text_col).alias("_toks"),
+    ).select(id_col, "_text", "_toks", F.size("_toks").alias("n_tokens"))
 
     span_structs = F.when(
         F.col("n_tokens") >= n,
@@ -725,10 +781,10 @@ def remove_duplicated_spans(
             F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
             lambda i: F.struct(
                 i.alias("pos"),
-                md5_hash64(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
+                F.md5(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
     grams = toks.select(
         id_col, F.explode(span_structs).alias("s")
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
@@ -740,20 +796,23 @@ def remove_duplicated_spans(
         F.count("*").over(w).alias("_cnt"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).over(w).alias("_first"),
     )
-    marked = occ.filter(
-        (F.col("_cnt") >= min_count)
-        & ~(
-            (F.col("_first")[id_col] == F.col(id_col))
-            & (F.col("_first")["pos"] == F.col("pos"))
-        )
+    is_first = (F.col("_first")[id_col] == F.col(id_col)) & (
+        F.col("_first")["pos"] == F.col("pos")
     )
-    removed = (
-        marked.select(
+    dup = occ.filter(F.col("_cnt") >= min_count)
+    marked = dup.filter(~is_first)
+    canonical = dup.filter(is_first)
+
+    def _coverage(o):
+        return o.select(
             id_col,
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
-        )
-        .distinct()
-    )
+        ).distinct()
+
+    # canonical protection: tokens inside a canonical occurrence are
+    # never removed, even when an overlapping marked occurrence covers
+    # them — this is what keeps one COMPLETE copy of every span content
+    removed = _coverage(marked).join(_coverage(canonical), [id_col, "idx"], "anti")
 
     affected = removed.select(id_col).distinct()
     tok_stream = (
@@ -779,7 +838,9 @@ def remove_duplicated_spans(
         )
     )
     # a fully-removed affected doc has no surviving tokens and therefore
-    # no rebuilt row — it must emit empty text, not pass through unchanged
+    # no rebuilt row — it must emit empty text, not pass through
+    # unchanged; UNAFFECTED docs emit their ORIGINAL text (the rewrite
+    # touched nothing, so it must not collapse their whitespace)
     out = (
         toks.join(affected.withColumn("_hit", F.lit(1)), id_col, "left")
         .join(rebuilt, id_col, "left")
@@ -790,7 +851,7 @@ def remove_duplicated_spans(
             .otherwise(F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
             .cast("bigint")
             .alias("n_removed_tokens"),
-            F.when(F.col("_hit").isNull(), F.array_join("_toks", " "))
+            F.when(F.col("_hit").isNull(), F.coalesce(F.col("_text"), F.lit("")))
             .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
             .alias("cleaned_text"),
         )
@@ -808,6 +869,7 @@ def cluster_aware_split(
     bands: int = 8,
     n: int = 3,
     max_bucket_size: int | None = 1000,
+    saturated_policy: str = "representative",
 ) -> DataFrame:
     """LEAKAGE-PROOF train/eval split: a plain id-hash split (the
     ``hash_split`` family) lets near-duplicate documents straddle the
@@ -828,7 +890,16 @@ def cluster_aware_split(
     and attaching representatives is one id-keyed join of a
     (doc_id, cluster_id) frame that holds only CLUSTERED docs (AQE
     broadcasts it when small). Output: input rows + ``rep_id`` +
-    ``split`` ('train' | 'eval')."""
+    ``split`` ('train' | 'eval').
+
+    ``saturated_policy`` defaults to 'representative' HERE (unlike the
+    raw candidate generator): a mega-cluster whose band buckets exceed
+    ``max_bucket_size`` is exactly the highest-duplication content — a
+    skip policy would emit no pairs for it and scatter the whole
+    template cluster ~80/20 across the boundary, silently forfeiting
+    the leakage guarantee for the content that needs it most. The
+    representative pairing is linear (count/min aggregate, no
+    collect_list), so the cap's OOM protection is intact."""
     from turbine_maintenance_etl_spark.ops.sampling import hash_bucket
 
     pairs = minhash_lsh_candidates(
@@ -839,6 +910,7 @@ def cluster_aware_split(
         text_col=text_col,
         id_col=id_col,
         max_bucket_size=max_bucket_size,
+        saturated_policy=saturated_policy,
     )
     # resolver output is (doc_id, cluster_id) regardless of id_col —
     # realign so the join works for any caller-chosen id column

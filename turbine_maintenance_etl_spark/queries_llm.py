@@ -37,10 +37,14 @@ _DUCK_HASH64 = (
 @register(
     "dedup_exact_groups",
     """
-    SELECT md5(text) AS content_hash,
+    SELECT CASE WHEN k NOT LIKE chr(0) || '%' THEN k END AS content_hash,
            MIN(doc_id) AS keep_id,
            COUNT(*)    AS dup_count
-    FROM documents GROUP BY md5(text)
+    FROM (SELECT doc_id,
+                 COALESCE(md5(text),
+                          chr(0) || 'null:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents)
+    GROUP BY k
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +56,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, source FROM (
         SELECT doc_id, lang, source,
-               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               ROW_NUMBER() OVER (
+                   PARTITION BY COALESCE(md5(text),
+                                         chr(0) || 'null:' || CAST(doc_id AS VARCHAR))
+                   ORDER BY doc_id) AS rn
         FROM documents) WHERE rn = 1
     """,
 )
@@ -1370,11 +1377,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_scores(docs, pairs)
 
 
-_DUCK_SPAN_HASH = (
-    "list_reduce(list_transform(string_split(substr(md5("
-    "array_to_string(t[i:i+7], ' ')), 1, 15), ''),"
-    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
-)
+_DUCK_SPAN_HASH = "md5(array_to_string(t[i:i+7], ' '))"
 
 
 @register(
@@ -1420,8 +1423,8 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_span_rewrite",
     f"""
     WITH toks AS (
-        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
-    ), base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+        SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+    ), base AS (SELECT doc_id, text, t, len(t) AS n_tokens FROM toks),
     grams AS (
         SELECT doc_id, i AS pos, {_DUCK_SPAN_HASH} AS g
         FROM base, UNNEST(generate_series(1, n_tokens - 7)) AS u(i)
@@ -1434,9 +1437,16 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grams
     ),
     marked AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
-    removed AS (
+    canon AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn = 1),
+    canon_cov AS (
         SELECT DISTINCT doc_id, idx
-        FROM marked, UNNEST(generate_series(pos, pos + 7)) AS v(idx)
+        FROM canon, UNNEST(generate_series(pos, pos + 7)) AS v(idx)
+    ),
+    removed AS (
+        SELECT DISTINCT m.doc_id, m.idx
+        FROM (SELECT DISTINCT doc_id, idx
+              FROM marked, UNNEST(generate_series(pos, pos + 7)) AS v(idx)) m
+        ANTI JOIN canon_cov c ON m.doc_id = c.doc_id AND m.idx = c.idx
     ),
     affected AS (SELECT DISTINCT doc_id FROM removed),
     tok_stream AS (
@@ -1458,7 +1468,7 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN a.doc_id IS NULL THEN 0
                      ELSE b.n_tokens - COALESCE(r.kept_n, 0) END AS BIGINT)
                AS n_removed_tokens,
-           CASE WHEN a.doc_id IS NULL THEN array_to_string(b.t, ' ')
+           CASE WHEN a.doc_id IS NULL THEN b.text
                 ELSE COALESCE(r.clean, '') END AS cleaned_text
     FROM base b
     LEFT JOIN affected a USING (doc_id)
