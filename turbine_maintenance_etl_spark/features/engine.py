@@ -36,15 +36,32 @@ KEY_COLS = ("dataset", "unit_nr", "time_cycles")
 def constant_columns(df: DataFrame, candidates: list[str]) -> list[str]:
     """Columns with <= 1 distinct non-null value — the reference's
     constant-sensor drop (``nunique(dropna=True) <= 1``,
-    scripts/etl_turbofan.py:74-78). One aggregation pass over all
-    candidates (single job, map-side partial aggs), never one job per
-    column."""
+    scripts/etl_turbofan.py:74-78). Detected via (min, max, count) per
+    candidate — NOT countDistinct: Catalyst rewrites N distinct
+    aggregates through an Expand that replicates every input row N
+    times into the shuffle (~21x the scan just to detect constants at
+    corpus scale), while min/max/count stay one plain map-side-combined
+    pass. ``count==0`` (all NULL) or ``min==max`` (one value, NULLs
+    ignored) is exactly ``nunique(dropna=True) <= 1``."""
     if not candidates:
         return []
-    row = df.agg(
-        *[F.countDistinct(F.col(c)).alias(c) for c in candidates]
-    ).collect()[0]
-    return [c for c in candidates if row[c] <= 1]
+    aggs = []
+    for c in candidates:
+        aggs += [
+            F.min(c).alias(f"_mn_{c}"),
+            F.max(c).alias(f"_mx_{c}"),
+            F.count(c).alias(f"_n_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+
+    def _const(c: str) -> bool:
+        if row[f"_n_{c}"] == 0:
+            return True
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        # NaN != NaN: an all-NaN column is one distinct value
+        return mn == mx or (mn != mn and mx != mx)
+
+    return [c for c in candidates if _const(c)]
 
 
 def all_null_columns(df: DataFrame, candidates: list[str]) -> list[str]:
@@ -65,9 +82,18 @@ def variable_sensor_intersection(dfs: dict[str, DataFrame]) -> list[str]:
     (scripts/etl_turbofan.py:175-206, intersection at 201, sort at 204).
     Driver-side set math over one countDistinct agg per dataset."""
     kept: set[str] | None = None
-    for df in dfs.values():
+    for name, df in dfs.items():
         sensors = sensor_columns(df.columns)
         variable = set(sensors) - set(constant_columns(df, sensors))
+        if not variable and not df.take(1):
+            # an EMPTY train frame makes every sensor read as constant
+            # and would silently empty the intersection for EVERY
+            # dataset — a truncated file must fail the run, not strip
+            # all sensor features from the whole feature table
+            raise ValueError(
+                f"dataset {name!r}: train input has no rows — refusing to "
+                "treat an empty file as 'all sensors constant'"
+            )
         kept = variable if kept is None else (kept & variable)
     return sorted(kept or [], key=lambda c: int(c.removeprefix("sensor")))
 

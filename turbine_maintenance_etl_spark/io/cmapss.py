@@ -36,12 +36,14 @@ def read_cmapss_text(
     for i, name in enumerate(CMAPSS_COLS):
         # try_cast to DOUBLE first: failure -> NULL under ANY session
         # (== to_numeric(errors="coerce"); a plain cast would raise under
-        # ANSI-on defaults). Int columns then truncate double->int, so
-        # "1.0"-style tokens parse like pandas' to_numeric + astype(int)
-        # — strict try_cast("int") would wrongly NULL them.
+        # ANSI-on defaults). Int columns then try_cast double->int: the
+        # "1.0"-style truncation still parses (like to_numeric +
+        # astype(int)), while NaN/Infinity/overflow tokens go NULL —
+        # a plain cast would CRASH under ANSI (breaking the 'NULL under
+        # ANY session' promise) and silently emit 0/2147483647 without.
         num = F.try_element_at(arr, F.lit(i + 1)).try_cast("double")
         if name in _INT_COLS:
-            num = num.cast("int")
+            num = num.try_cast("int")
         cols.append(num.alias(name))
     df = raw.where(F.trim(F.col("value")) != "").select(*cols)
     if dataset is not None:
@@ -55,7 +57,9 @@ def read_rul_truth(spark: SparkSession, path: str) -> DataFrame:
     reference scripts/ml_pipeline.py:190-191).
 
     Line order is semantic, so the file must be read as ONE partition —
-    ``repartition(1)`` before numbering guards the ordering contract, and
+    ``coalesce(1)`` (NEVER ``repartition(1)``: its round-robin shuffle
+    scrambles line order before the ids are assigned, silently attaching
+    every RUL value to the wrong unit) guards the ordering contract, and
     these files are tiny (<= 259 rows) so a single partition is free.
     """
     from pyspark.sql import Window
@@ -64,6 +68,8 @@ def read_rul_truth(spark: SparkSession, path: str) -> DataFrame:
     w = Window.orderBy(F.monotonically_increasing_id())
     return (
         raw.where(F.trim(F.col("value")) != "")
-        .select(F.trim(F.col("value")).try_cast("double").cast("int").alias("rul_true"))
+        .select(
+            F.trim(F.col("value")).try_cast("double").try_cast("int").alias("rul_true")
+        )
         .withColumn("unit_nr", F.row_number().over(w))
     )

@@ -80,6 +80,8 @@ def run_etl(spark: SparkSession, cfg: EtlConfig, write: bool = True) -> EtlResul
     dataset (a metadata-scale job), mirroring the reference's extra full
     read (scripts/etl_turbofan.py:175-206) but as Spark jobs whose scan
     prunes to sensor columns only."""
+    if not cfg.datasets:
+        raise ValueError("run_etl: config has no datasets")
     raws = {
         d.code: read_cmapss_text(spark, d.train, dataset=d.code) for d in cfg.datasets
     }
@@ -110,7 +112,7 @@ def prepare_test_features(
     spark: SparkSession,
     cfg: EtlConfig,
     kept_sensors: list[str],
-    windows: tuple[int, ...] = (5, 20),
+    windows: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Test-side scoring input: engineer features over the FULL test
     trajectories, then keep each unit's last cycle joined to ground-truth
@@ -122,6 +124,11 @@ def prepare_test_features(
 
     from turbine_maintenance_etl_spark.io.cmapss import read_rul_truth
 
+    # the TEST features must be engineered with the SAME windows the
+    # training run used — a separate hardcoded default would silently
+    # produce mean5_*/mean20_* columns against a model trained on
+    # cfg.windows
+    windows = tuple(windows) if windows is not None else tuple(cfg.windows)
     parts = []
     for d in cfg.datasets:
         if not d.test:
@@ -134,4 +141,13 @@ def prepare_test_features(
             rul = read_rul_truth(spark, d.rul)
             last = last.join(F.broadcast(rul), "unit_nr", "inner")
         parts.append(last)
-    return reduce(DataFrame.unionByName, parts)
+    if not parts:
+        raise ValueError(
+            "prepare_test_features: no dataset in the config has a test file"
+        )
+    # allowMissingColumns: datasets WITHOUT a RUL truth file have no
+    # rul_true column — they union in with NULLs instead of crashing
+    # the whole mixed-config run
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )

@@ -41,6 +41,14 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            # a silent overwrite passes every registry/order guard
+            # (names and counts still match) while a grade-window entry
+            # runs the WRONG query — fail at import instead
+            raise ValueError(
+                f"duplicate registry entry {name!r} (already registered "
+                f"as {REGISTRY[name].fn.__module__}.{REGISTRY[name].fn.__name__})"
+            )
         REGISTRY[name] = Query(fn, oracle)
         return fn
 
@@ -264,7 +272,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts as TIMESTAMP(NANOS), which Spark rejects unless
     # nanosAsLong is on. The conf is runtime-settable, and the driver
     # hands us an externally built vanilla session — so set it here, at
-    # query time, not only in get_spark().
+    # query time, not only in get_spark(). DELIBERATELY session-global
+    # and never restored: the returned frame is lazy, and its scan
+    # re-consults the conf when the plan finally executes — a
+    # try/finally restore here would flip the flag back before the
+    # caller's action runs and fail the very read this enables. The
+    # blast radius is one legacy flag on one known-nanos table family.
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -14,9 +14,20 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     would then run on one core. One cheap shuffle of the raw rows buys
     full-width parallelism. On big inputs (>= default parallelism
     partitions — the 100 TB case) this is a no-op, so library operators
-    can call it unconditionally."""
+    can call it unconditionally.
+
+    Frames with UPSTREAM EXCHANGES are returned untouched: their
+    post-shuffle parallelism is AQE's job (partition coalescing), and
+    probing them via ``df.rdd`` would FINALIZE the adaptive plan —
+    executing every upstream shuffle stage eagerly at graph-construction
+    time, an entire hidden job inside a 'free' guard. Plan INSPECTION
+    (toString of the un-finalized AdaptiveSparkPlan) is free; only
+    exchange-free plans (scans, narrow maps) take the .rdd probe, where
+    finalization has nothing to execute."""
     sc = df.sparkSession.sparkContext
     target = int(sc.defaultParallelism * min_factor)
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
