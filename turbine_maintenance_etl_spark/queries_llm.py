@@ -1497,9 +1497,10 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base, generate_series(0, 6) AS t1(r), generate_series(0, 7) AS t2(c)),
     dh AS (
         SELECT doc_id,
-               SUM(CASE WHEN (g * 37 + yr * 11 + (2 * c + 3) * 7) % 250
+               CAST(SUM(CASE WHEN (g * 37 + yr * 11 + (2 * c + 3) * 7) % 250
                            > (g * 37 + yr * 11 + (2 * c + 1) * 7) % 250
-                        THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS dhash
+                        THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END)
+                    AS BIGINT) AS dhash
         FROM cells GROUP BY doc_id),
     apx AS (
         SELECT doc_id, r, c,
@@ -1507,8 +1508,8 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells),
     ah AS (
         SELECT doc_id,
-               SUM(CASE WHEN px * 56 > tot THEN (1::BIGINT << (r * 8 + c))
-                        ELSE 0 END) AS ahash
+               CAST(SUM(CASE WHEN px * 56 > tot THEN (1::BIGINT << (r * 8 + c))
+                        ELSE 0 END) AS BIGINT) AS ahash
         FROM (SELECT *, SUM(px) OVER (PARTITION BY doc_id) AS tot FROM apx)
         GROUP BY doc_id)
     SELECT d.doc_id, dh.dhash, ah.ahash,

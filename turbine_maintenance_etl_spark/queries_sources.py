@@ -544,9 +544,13 @@ def s_acid_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM v1 GROUP BY o_orderstatus
     UNION ALL
-    SELECT 'v2', o_orderstatus, COUNT(*), SUM(cents) FROM v2 GROUP BY o_orderstatus
+    SELECT 'v2', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM v2 GROUP BY o_orderstatus
     UNION ALL
-    SELECT 'v3', o_orderstatus, COUNT(*), SUM(cents) FROM v3 GROUP BY o_orderstatus
+    SELECT 'v3', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM v3 GROUP BY o_orderstatus
     """,
 )
 def s_acid_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
