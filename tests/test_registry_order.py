@@ -26,12 +26,10 @@ import turbine_maintenance_etl_spark.queries_window_ext  # noqa: F401
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Entries graded WITHOUT an oracle (driver rows-only check). Keep this
-# list tiny and justified; additions require a WINDOW_CHANGELOG.md note.
-ROWS_ONLY_GRADED = {
-    "pipeline_curation_v3",  # composed capstone; every stage oracle-graded
-    "sim_ivfpq_topk",        # iterative k-means; recall pytest-pinned
-}
+# Entries graded WITHOUT an oracle (driver rows-only check). Round 7
+# emptied this: every window slot now carries a full DuckDB oracle.
+# Additions require a WINDOW_CHANGELOG.md note FIRST.
+ROWS_ONLY_GRADED: set[str] = set()
 
 
 def _changelog_window() -> list[str]:

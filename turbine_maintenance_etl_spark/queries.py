@@ -121,14 +121,20 @@ PRIORITY_ORDER: list[str] = [
     "quality_sb3_perplexity",
     "dedup_normalized_exact",
     "dedup_image_phash",
-    "pipeline_curation_v3",
-    "sim_ivfpq_topk",
+    # -- round-7 swap (WINDOW_CHANGELOG round 7): the two rows-only
+    # -- capstones leave the window for full-oracle entries; they park
+    # -- immediately below (slots 51-52) and stay benched.
+    "s_acid_table_restore",
+    "dedup_audio_fingerprint",
     # -- round-6 promotions: transactional table format + the round-6
     # -- flagships (streaming capstone, CDF rollup, leakage-proof split)
     "s_acid_table_roundtrip",
     "streaming_curation_capstone",
     "s_acid_cdf_incremental_agg",
     "split_cluster_aware",
+    # -- round-7 demotions: rows-only capstones, first below the window
+    "pipeline_curation_v3",
+    "sim_ivfpq_topk",
     # -- beyond the grade window: the original single-operator entries
     # -- (suite-graded above, still selfchecked here), then never-graded
     # -- extensions ------------------------------------------------------
@@ -148,10 +154,8 @@ PRIORITY_ORDER: list[str] = [
     "a12_a14_quantile_corr",
     "a13_a15_histogram_binning",
     "s_acid_table_changes",
-    "s_acid_table_restore",
     "s_acid_stream_tail",
     "dedup_image_neardup_pairs",
-    "dedup_audio_fingerprint",
     "dedup_video_frames",
     "text_decontamination",
     "text_decontamination_fuzzy",

@@ -1580,8 +1580,8 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, SUM(wa) AS ta FROM wins GROUP BY doc_id),
     fp AS (
         SELECT w.doc_id,
-               SUM(CASE WHEN w.wa * 56 > t.ta
-                        THEN (1::BIGINT << k) ELSE 0 END) AS afp
+               CAST(SUM(CASE WHEN w.wa * 56 > t.ta
+                        THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS afp
         FROM wins w JOIN tot t USING (doc_id) GROUP BY w.doc_id)
     SELECT doc_id, afp, CAST(560 AS BIGINT) AS n_frames,
            doc_id = MIN(doc_id) OVER (PARTITION BY afp) AS survivor
@@ -1654,9 +1654,11 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM frames, generate_series(0, 6) AS t1(r), generate_series(0, 7) AS t2(c)),
     dh AS (
         SELECT video_id, fi,
-               SUM(CASE WHEN (vg * 41 + fi * 13 + yr * 11 + (2 * c + 3) * 7) % 250
+               CAST(SUM(CASE WHEN
+                          (vg * 41 + fi * 13 + yr * 11 + (2 * c + 3) * 7) % 250
                            > (vg * 41 + fi * 13 + yr * 11 + (2 * c + 1) * 7) % 250
-                        THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS dhash
+                        THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END)
+                    AS BIGINT) AS dhash
         FROM cells GROUP BY video_id, fi),
     sigs AS (
         SELECT video_id, CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
@@ -1729,7 +1731,7 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base, generate_series(0, 6) AS t1(r), generate_series(0, 7) AS t2(c)),
     dh AS (
         SELECT doc_id,
-               SUM(CASE WHEN
+               CAST(SUM(CASE WHEN
                      (g * 37 + yr * 11 + (2 * c + 3) * 7) % 150
                        + CASE WHEN v = 1 AND yr = 8 AND 2 * c + 3 = 9
                               THEN 100 ELSE 0 END
@@ -1737,7 +1739,8 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (g * 37 + yr * 11 + (2 * c + 1) * 7) % 150
                        + CASE WHEN v = 1 AND yr = 8 AND 2 * c + 1 = 9
                               THEN 100 ELSE 0 END
-                   THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS dhash
+                   THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END)
+                    AS BIGINT) AS dhash
         FROM cells GROUP BY doc_id),
     bands AS (
         SELECT doc_id, dhash, b, (dhash >> (b * 8)) & 255 AS bv
