@@ -288,15 +288,25 @@ def _kmeans_lloyd(X, k: int, max_iter: int, seed: int):
     k = min(k, len(X))
     centers = X[rng.choice(len(X), size=k, replace=False)].copy()
     x_sq = (X**2).sum(1)[:, None]
+    prev = None
     for _ in range(max_iter):
         d = x_sq + (centers**2).sum(1)[None, :] - 2.0 * (X @ centers.T)
         assign = d.argmin(1)
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                centers[j] = members.mean(0)
-            else:  # dead centroid: reseed to a random point
-                centers[j] = X[rng.integers(len(X))]
+        # vectorized center update (round-6 verdict item 4: the old
+        # per-cluster boolean-mask loop was ~3s of pure Python overhead
+        # per PQ training at m=16 subspaces x 64-256 codewords)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, X)
+        live = counts > 0
+        centers[live] = sums[live] / counts[live, None]
+        for j in np.flatnonzero(~live):  # dead centroid: reseed randomly
+            centers[j] = X[rng.integers(len(X))]
+        # converged (stable assignment, no reseeds): further iterations
+        # recompute identical centers — exit without changing the output
+        if prev is not None and live.all() and np.array_equal(assign, prev):
+            break
+        prev = assign
     return centers
 
 
@@ -808,16 +818,64 @@ def pq_topk(
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
-        # a quantized reconstruction can in principle collapse to the
-        # zero vector: NULL cosines never rank as neighbors
-        .filter(F.col("cosine").isNotNull())
     )
+    # The zero-reconstruction NULL-cosine guard runs AFTER the rank, not
+    # before the join: a pre-window filter(cosine IS NOT NULL) is a
+    # two-sided predicate, so Catalyst inlines the whole interpreted
+    # cosine aggregate into the BroadcastNestedLoopJoin CONDITION and
+    # re-evaluates it per pair on top of the projection's copy (~3x the
+    # query's cost at sf0.1). Post-window, cosine is a materialized
+    # attribute; NULLs sort last under desc so real neighbors keep
+    # identical ranks, and the trailing filter drops any NULL stragglers.
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def fit_ivfpq(
+    candidates: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    m: int = 8,
+    nbits: int = 6,
+    seed: int = 42,
+    max_iter: int = 6,
+    max_train_vectors: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF-PQ index ONCE (round-6 verdict item 4: retraining
+    per query call was a fixed serial driver cost): coarse k-means on a
+    bounded deterministic sample, then per-subspace PQ codebooks on the
+    sample's RESIDUALS. Returns (centroids, codebooks) as plain nested
+    lists — tiny (n_clusters*dim + m*2^nbits*dim/m floats), picklable,
+    reusable across any number of ``ivfpq_topk(..., index=...)`` calls
+    against the same corpus, matching ``fit_pq``'s factoring."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub, ksub = dim // m, 1 << nbits
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
+    )
+    X = _collect_train_sample(c, "neighbor_id", "_cv", max_train_vectors, "fit_ivfpq")
+    centers = _kmeans_lloyd(X, n_clusters, max_iter, seed)  # (C, dim)
+    assign = _assign_nearest(X, centers)
+    resid = X - centers[assign]
+    books = [
+        [[float(x) for x in ctr] for ctr in
+         _kmeans_lloyd(resid[:, s * dsub : (s + 1) * dsub], ksub, max_iter, seed + s)]
+        for s in range(m)
+    ]
+    return [[float(x) for x in ctr] for ctr in centers], books
 
 
 def ivfpq_topk(
@@ -836,6 +894,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int | None = 500_000,
+    index: tuple[list[list[float]], list[list[list[float]]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN index (FAISS IVFPQ) —
     IVF's coarse quantizer prunes WHICH candidates get scored
@@ -852,13 +911,15 @@ def ivfpq_topk(
     beats flat PQ at equal code size.
 
     Train (driver, bounded sample): coarse k-means, then PQ codebooks
-    on the sample's residuals. Assign + encode: one Arrow-batched
-    numpy pass per candidate (cluster argmin, residual, per-subspace
-    argmin). Probe: queries broadcast to their n_probe nearest
-    clusters; candidates reconstruct (centroid + decoded residual)
-    once per row, exact cosine inside probed clusters only, per-query
-    top-k window. Deterministic; rows-only registry check with a
-    pytest recall floor."""
+    on the sample's residuals — pass a prebuilt ``index`` from
+    ``fit_ivfpq`` to skip training entirely (the production shape: an
+    ANN index is built once and queried many times). Assign + encode:
+    one Arrow-batched numpy pass per candidate (cluster argmin,
+    residual, per-subspace argmin). Probe: queries broadcast to their
+    n_probe nearest clusters; candidates reconstruct (centroid +
+    decoded residual) once per row, exact cosine inside probed clusters
+    only, per-query top-k window. Deterministic; rows-only registry
+    check with a pytest recall floor."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -875,36 +936,46 @@ def ivfpq_topk(
         ),
         "_cv",
     )
-    X = _collect_train_sample(c, "neighbor_id", "_cv", max_train_vectors, "ivfpq_topk")
-    centers = _kmeans_lloyd(X, n_clusters, max_iter, seed)  # (C, dim)
-    assign = _assign_nearest(X, centers)
-    resid = X - centers[assign]
-    books = np.stack(
-        [
-            _kmeans_lloyd(resid[:, s * dsub : (s + 1) * dsub], ksub, max_iter, seed + s)
-            for s in range(m)
-        ]
-    )  # (m, k, dsub)
+    if index is None:
+        index = fit_ivfpq(
+            candidates, dim, n_clusters=n_clusters, m=m, nbits=nbits, seed=seed,
+            max_iter=max_iter, max_train_vectors=max_train_vectors,
+            id_col=id_col, vec_col=vec_col,
+        )
+    centers = np.array(index[0], dtype=np.float64)  # (C, dim)
+    books = np.array(index[1], dtype=np.float64)  # (m, k, dsub)
 
     bc = candidates.sparkSession.sparkContext.broadcast((centers, books))
+    centroids = [[float(x) for x in ctr] for ctr in centers]
 
-    def _assign_recon(vecs: pd.Series) -> pd.DataFrame:
-        C, B = bc.value
-        if len(vecs) == 0:
-            return pd.DataFrame({"cid": pd.Series([], dtype="int32"), "rv": []})
-        Xb = np.stack(vecs.to_numpy()).astype(np.float64)
-        cid = _assign_nearest(Xb, C)
-        R = (Xb - C[cid]).reshape(len(Xb), m, dsub)
-        recon = C[cid] + _pq_recon(_pq_codes(R, B), B)
-        return pd.DataFrame({"cid": cid.astype("int32"), "rv": list(recon)})
-
-    _assign_recon.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
-    ar_udf = pandas_udf("cid int, rv array<double>")(_assign_recon)
-    enc = c.withColumn("_e", ar_udf(F.col("_cv"))).select(
-        "neighbor_id", F.col("_e.cid").alias("_cid"), F.col("_e.rv").alias("_rv")
+    # Coarse assignment is a JVM argmin expression (codegen, like
+    # ivf_topk) — NOT part of the Python UDF. The join key must never
+    # be a UDF output: the inner join's isnotnull(key) constraint gets
+    # pushed below the repartition exchange and drags a SECOND full
+    # ArrowEvalPython pass with it (observed: the whole corpus encoded
+    # twice, once serially on the scan partitioning — ~3x the query's
+    # cost at sf0.1). With a JVM key the UDF evaluates exactly once,
+    # after the parallelism exchange.
+    cc = c.withColumn(
+        "_cid", F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"]
     )
 
-    centroids = [[float(x) for x in ctr] for ctr in centers]
+    def _recon(vecs: pd.Series, cids: pd.Series) -> pd.Series:
+        C, B = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        Xb = np.stack(vecs.to_numpy()).astype(np.float64)
+        cid = cids.to_numpy(dtype=np.int64)
+        R = (Xb - C[cid]).reshape(len(Xb), m, dsub)
+        recon = C[cid] + _pq_recon(_pq_codes(R, B), B)
+        return pd.Series(list(recon))
+
+    _recon.__annotations__ = {"vecs": pd.Series, "cids": pd.Series, "return": pd.Series}
+    recon_udf = pandas_udf("array<double>")(_recon)
+    enc = cc.select(
+        "neighbor_id", "_cid",
+        recon_udf(F.col("_cv"), F.col("_cid")).alias("_rv"),
+    )
     q = _nonzero_vectors(
         queries.select(
             F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
@@ -925,11 +996,14 @@ def ivfpq_topk(
         enc.join(F.broadcast(q), "_cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
-        .filter(F.col("cosine").isNotNull())  # zero-vector reconstructions
     )
+    # NULL-cosine (zero reconstruction) guard AFTER the rank — a
+    # pre-window two-sided filter would inline the interpreted cosine
+    # aggregate into the join condition and re-evaluate it per pair
+    # (see pq_topk). NULLs sort last under desc: identical results.
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
