@@ -63,6 +63,30 @@ def test_merge_latest_wins_and_idempotent_replay(spark, table):
     assert got2 == got
 
 
+def test_merge_table_with_map_column(tmp_path, spark):
+    """Round-6 advice: the full-row xxhash64 tiebreak raised
+    AnalysisException for MapType columns (maps are unhashable) — a
+    merge on a map-bearing table must work; map columns hash via their
+    JSON rendering instead."""
+    path = str(tmp_path / "map_tbl")
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, 1), (2, {"b": 2}, 1)],
+        "id long, attrs map<string,int>, ver long",
+    )
+    acid.create_table(spark, df, path)
+    up = spark.createDataFrame(
+        [(2, {"b": 9}, 2), (3, {"c": 3}, 2)],
+        "id long, attrs map<string,int>, ver long",
+    )
+    acid.merge_table(spark, up, path, keys=("id",), order_col="ver")
+    got = {r["id"]: dict(r["attrs"]) for r in acid.read_table(spark, path).collect()}
+    assert got == {1: {"a": 1}, 2: {"b": 9}, 3: {"c": 3}}
+    # upsert_table's first-batch dedup window takes the same path
+    path2 = str(tmp_path / "map_tbl2")
+    acid.upsert_table(spark, up, path2, keys=("id",), order_col="ver")
+    assert acid.read_table(spark, path2).count() == 2
+
+
 def test_snapshot_isolation_under_overwrite(spark, table):
     """A reader that resolved its snapshot BEFORE an overwrite keeps
     reading the old immutable files."""
@@ -797,6 +821,34 @@ def test_curation_batch_replay_idempotent(spark, tmp_path):
     process(batch2, 1)
     assert sorted(r["doc_id"] for r in acid.read_table(spark, cur).collect()) == cur2
     assert acid.read_table(spark, idx).count() == idx2
+
+
+def test_curation_index_config_pinned(spark, tmp_path):
+    """Round-6 advice: the (id, band) keyed merge cannot retract rows a
+    SMALLER `bands` config no longer writes — old high-band index
+    entries would persist and keep matching probes forever. The
+    signature config is pinned into the index at creation; a processor
+    with a different config must refuse to run."""
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        make_curation_batch_processor,
+    )
+
+    cur = str(tmp_path / "curated")
+    idx = str(tmp_path / "index")
+    text = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps near the river bank for a long time on a warm day"
+    )
+    batch = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    make_curation_batch_processor(cur, idx, bands=8)(batch, 0)
+    assert acid.read_table(spark, idx).count() == 8
+
+    smaller = make_curation_batch_processor(cur, idx, bands=4)
+    with pytest.raises(ValueError, match="rebuilding the index"):
+        smaller(batch, 1)
+    # same config keeps working (replay path untouched)
+    make_curation_batch_processor(cur, idx, bands=8)(batch, 2)
+    assert acid.read_table(spark, idx).count() == 8
 
 
 def test_curation_reingested_id_updates_coherently(spark, tmp_path):

@@ -70,6 +70,31 @@ def test_salted_agg_matches_plain_agg(spark):
     assert bad.count() == 0
 
 
+def test_salted_agg_key_only_frame_still_spreads(spark):
+    """Round-6 advice: a frame whose columns are exactly the group keys
+    (count-duplicates shape) made the content salt constant per key —
+    the hot key collapsed back into one reducer. Counts must stay exact
+    AND the hot key must occupy >1 salt bucket when its rows span
+    partitions."""
+    df = (
+        spark.range(0, 100_000, 1, 16)
+        .select((F.col("id") % 3).alias("k"))  # key-only frame, hot keys
+    )
+    out = {r["k"]: r["n"] for r in
+           salted_groupby_agg(df, ["k"], {"n": ("count", "k")}, salt_factor=8).collect()}
+    want = {r["k"]: r["n"] for r in
+            df.groupBy("k").agg(F.count("k").alias("n")).collect()}
+    assert out == want
+    # the partition-id salt actually spreads the hot key
+    n_buckets = (
+        df.withColumn(
+            "_salt", F.pmod(F.spark_partition_id().cast("bigint"), F.lit(8))
+        )
+        .filter(F.col("k") == 0).select("_salt").distinct().count()
+    )
+    assert n_buckets > 1
+
+
 def test_salted_agg_rejects_nondecomposable(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     with pytest.raises(ValueError, match="non-decomposable"):
@@ -487,6 +512,32 @@ def test_scd2_stale_update_is_ignored(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["tier"] == "gold" and r["is_current"] and r["valid_to"] is None
+
+
+def test_scd2_null_ts_update_never_closes_null_valid_from_row(spark):
+    """Round-6 advice: a NULL-ts update against an open row with NULL
+    valid_from must be a no-op. The old guard checked valid_from FIRST,
+    so the unorderable update counted as fresh and closed the row with
+    valid_to = NULL — which scd2_as_of reads as still-valid, so the key
+    then matched TWICE in every as-of slice."""
+    from turbine_maintenance_etl_spark.ops.scd import scd2_apply, scd2_as_of
+
+    dim = spark.createDataFrame(
+        [(1, "gold", None, None, True)],
+        "cust long, tier string, valid_from long, valid_to long, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "bronze", None)], "cust long, tier string, ts long"
+    )
+    out = scd2_apply(dim, upd, ["cust"], ["tier"], "ts")
+    rows = out.collect()
+    assert len(rows) == 1  # unchanged: NULL-ts updates are never fresh
+    r = rows[0]
+    assert r["tier"] == "gold" and r["is_current"] and r["valid_to"] is None
+    # and the as-of slice sees the key exactly once
+    assert scd2_as_of(out.withColumn(
+        "valid_from", F.coalesce(F.col("valid_from"), F.lit(0))
+    ), 5).count() == 1
 
 
 def test_hll_sketch_merge_equals_direct_and_bounds_error(spark):

@@ -127,7 +127,9 @@ def main(argv: list[str] | None = None) -> int:
         "--aggs",
         default=None,
         help="rollup: comma-separated out=fn:col specs, fn in "
-        "{count,sum,min,max} (e.g. n=count:id,total=sum:v)",
+        "{count,sum,min,max,approx_distinct} (approx_distinct keeps a "
+        "mergeable HLL sketch; read it with hll_sketch_estimate) "
+        "(e.g. n=count:id,total=sum:v,users=approx_distinct:uid)",
     )
 
     args = ap.parse_args(argv)

@@ -49,6 +49,35 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifest"
 
 
+def row_tiebreak_hash(df: DataFrame):
+    """Deterministic full-row hash for order tiebreaks in keyed merges.
+
+    ``xxhash64`` raises AnalysisException for MapType inputs (maps are
+    unhashable in Spark), so any column whose type CONTAINS a map is
+    hashed through its JSON rendering instead — a merge on a table with
+    a map column must not fail at analysis time (round-6 advice).
+    Shared by merge_table / upsert_table / sinks.upsert_by_key so the
+    tiebreak rule stays identical everywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    return F.xxhash64(
+        *[
+            F.to_json(F.col(f.name)) if has_map(f.dataType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 class CommitConflict(Exception):
     """Another writer published this version first — re-read and retry."""
 
@@ -532,7 +561,7 @@ def merge_table(
         # commit — identical inputs must always produce identical tables
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
             F.col(order_col).desc(),
-            F.xxhash64(*[F.col(c) for c in merged.columns]).desc(),
+            row_tiebreak_hash(merged).desc(),
         )
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
@@ -565,7 +594,7 @@ def upsert_table(
     if latest_version(path) is None:
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
             F.col(order_col).desc(),
-            F.xxhash64(*[F.col(c) for c in rows.columns]).desc(),
+            row_tiebreak_hash(rows).desc(),
         )
         first = (
             rows.withColumn("_rn", F.row_number().over(w))

@@ -124,9 +124,11 @@ def upsert_by_key(
         merged = new_rows
     # full-row-hash tiebreak: rows tied on order_col must resolve to the
     # same winner on every run/retry (same rule as acid.merge_table)
+    from turbine_maintenance_etl_spark.io.acid import row_tiebreak_hash
+
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(order_col).desc(),
-        F.xxhash64(*[F.col(c) for c in merged.columns]).desc(),
+        row_tiebreak_hash(merged).desc(),
     )
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))

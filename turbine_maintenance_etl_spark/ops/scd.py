@@ -76,8 +76,15 @@ def scd2_apply(
     # an update with a NULL ts is never fresh (it cannot be ordered) —
     # left as raw comparisons the NULLs would make EVERY branch filter
     # false and the row would vanish from the dimension entirely.
-    fresh = F.when(F.col("valid_from").isNull(), F.lit(True)).otherwise(
-        F.coalesce(F.col("_u_ts") > F.col("valid_from"), F.lit(False))
+    # _u_ts gates FIRST: the old form checked valid_from.isNull() before
+    # the ts coalesce, so a NULL-ts update against a NULL-valid_from
+    # open row counted as fresh and closed the row with valid_to = NULL
+    # — which scd2_as_of reads as still-valid, duplicating the key in
+    # every as-of slice.
+    fresh = F.when(F.col("_u_ts").isNull(), F.lit(False)).otherwise(
+        F.when(F.col("valid_from").isNull(), F.lit(True)).otherwise(
+            F.col("_u_ts") > F.col("valid_from")
+        )
     )
 
     # open rows with no update, a no-op update, or a stale update: unchanged

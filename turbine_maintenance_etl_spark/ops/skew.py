@@ -74,10 +74,22 @@ def salted_groupby_agg(
     silent corruption). A content salt recomputes identically; the one
     trade is that EXACTLY identical rows share a salt bucket — counts
     stay exact, and hot KEYS (the case salting exists for) still spread
-    because their non-key columns vary."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_factor))
+    because their non-key columns vary.
+
+    Degenerate shape (round-6 advice): when the frame has NO non-key
+    columns (the count-duplicates pattern), a content hash is constant
+    per key — every hot-key row lands in ONE salt bucket and the
+    straggler returns. There the salt falls back to
+    ``spark_partition_id()``: rows spread by physical location, still
+    retry-deterministic (a recomputed task keeps its partition id, and
+    row->partition assignment upstream is hash-based, order-free)."""
+    degenerate = not (set(df.columns) - set(group_cols))
+    salt_src = (
+        F.spark_partition_id().cast("bigint")
+        if degenerate
+        else F.xxhash64(*[F.col(c) for c in df.columns])
     )
+    salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(salt_factor)))
     partials = salted.groupBy(*group_cols, "_salt").agg(
         *partial_agg_exprs(aggs, prefix="_p_")
     )

@@ -16,6 +16,8 @@ tumbling-window aggregation below bounds state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -481,10 +483,41 @@ def make_curation_batch_processor(
     )
     _VER = "_commit_version"
 
+    def _pin_index_config() -> None:
+        """The stored index is only meaningful under ONE
+        (num_hashes, bands, n) signature config: the (id, band) merge
+        keys can't retract rows a SMALLER `bands` no longer writes
+        (stale high-band entries keep matching probes forever), and a
+        changed hash family wouldn't match buckets at all (round-6
+        advice). Pin the config into a sidecar at creation and refuse
+        mismatched processors — rebuild the index instead."""
+        import json as _json
+
+        cfg = {"num_hashes": num_hashes, "bands": bands, "n": n}
+        p = os.path.join(index_path, "_lsh_config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                stored = _json.load(f)
+            if stored != cfg:
+                raise ValueError(
+                    f"LSH index at {index_path} was built with {stored}; "
+                    f"this processor is configured with {cfg}. Changing the "
+                    "signature config requires rebuilding the index table "
+                    "(stale band rows from the old config would persist "
+                    "under the keyed merge and corrupt future probes)."
+                )
+            return
+        os.makedirs(index_path, exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(cfg, f)
+        os.replace(tmp, p)  # atomic vs a concurrent pinner
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window
 
         bspark = batch_df.sparkSession
+        _pin_index_config()
         if _VER in batch_df.columns:
             docs = batch_df.withColumn(_VER, F.col(_VER).cast("long"))
         else:  # hand-fed batch (tests, backfills): one flat version
