@@ -118,9 +118,17 @@ def main() -> int:
         out_path = os.path.join(REPO, "SELFCHECK.partial.json")
     else:
         out_path = os.path.join(REPO, "SELFCHECK.json")
+    # provenance (round-6 verdict item 5): the stamped artifact must
+    # record WHICH sf it ran at — the driver grades at sf0.01, and a
+    # default-sf0.001 stamp hid two scale-revealed mismatches in r6
+    results["_meta"] = {
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "partial": only is not None,
+    }
+    total = len(results)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    total = len(results)
     print(f"\n{total - n_fail}/{total} green under vanilla session -> {out_path}")
     spark.stop()
     return 1 if n_fail else 0

@@ -104,6 +104,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> 
                     f"{name}.{c}: {int((~ok).sum())} int-vs-float diffs, "
                     f"first at row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}"
                 )
+            else:
+                # values equal but TYPES diverge (a DuckDB HUGEINT/union
+                # widening came back float64 while Spark returns int).
+                # The driver hashes raw values, so this exact shape went
+                # red in round 6 (s_acid_cdf_incremental_agg) despite
+                # equal values — fail it HERE with the cause.
+                problems.append(
+                    f"{name}.{c}: values equal but int-vs-float dtype "
+                    "mismatch — the driver's value hash will reject this; "
+                    "CAST the oracle column (queries.py determinism rules)"
+                )
         else:
             eq = ((av == bv) | (av.isna() & bv.isna())).fillna(False).astype(bool)
             if not eq.all():

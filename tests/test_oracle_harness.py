@@ -32,11 +32,15 @@ def test_hugeint_to_float64_loss_fails():
     assert compare(spark_side, oracle_side, "hugeint_loss")
 
 
-def test_int_vs_float_exact_match_passes():
+def test_int_vs_float_equal_values_still_fails_on_dtype():
+    """Round-6 driver lesson (s_acid_cdf_incremental_agg): equal VALUES
+    with diverging int/float dtypes still hash-mismatch at the driver —
+    the harness must reject them, with a message naming the cast fix."""
     vals = np.array([0, -5, 2**52 + 9, 123456789], dtype="int64")
     a = pd.DataFrame({"n": vals})
-    b = pd.DataFrame({"n": vals.astype("float64")})  # all exactly representable
-    assert not compare(a, b, "int_float_exact")
+    b = pd.DataFrame({"n": vals.astype("float64")})  # exactly representable
+    problems = compare(a, b, "int_float_dtype")
+    assert problems and "dtype mismatch" in problems[0]
 
 
 def test_int_vs_float_nonintegral_fails():
@@ -54,9 +58,12 @@ def test_nullable_int_na_alignment():
 
 
 def test_int_vs_float_nan_alignment():
+    # NA/NaN alignment holds in the value pass; the dtype divergence is
+    # still reported (and ONLY the dtype divergence, not value diffs)
     a = pd.DataFrame({"n": pd.array([7, None], dtype="Int64")})
     b = pd.DataFrame({"n": [7.0, np.nan]})
-    assert not compare(a, b, "int_float_nan")
+    problems = compare(a, b, "int_float_nan")
+    assert len(problems) == 1 and "dtype mismatch" in problems[0]
 
 
 def test_int32_vs_int64_still_unifies():

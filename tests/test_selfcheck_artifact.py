@@ -36,6 +36,14 @@ def _latest_stamped() -> str:
 def test_stamped_selfcheck_is_complete_and_green():
     with open(_latest_stamped()) as f:
         results = json.load(f)
+    meta = results.pop("_meta", None)
+    if meta is not None:  # stamped from round 7 on: full run at the
+        # driver's correctness scale, never a --only partial
+        assert not meta.get("partial"), "stamped artifact is a partial run"
+        assert meta.get("sf_dir", "").rstrip("/").endswith("sf0.01"), (
+            f"stamped selfcheck ran at {meta.get('sf_dir')} — the driver "
+            "grades at sf0.01; regenerate there (round-6 verdict item 5)"
+        )
     missing = sorted(set(REGISTRY) - set(results))
     extra = sorted(set(results) - set(REGISTRY))
     assert not missing and not extra, (

@@ -155,6 +155,7 @@ PRIORITY_ORDER: list[str] = [
     "a13_a15_histogram_binning",
     "s_acid_table_changes",
     "s_acid_stream_tail",
+    "s_acid_stream_rollup",   # r7: stream-maintained rollup, full oracle
     "dedup_image_neardup_pairs",
     "dedup_video_frames",
     "text_decontamination",

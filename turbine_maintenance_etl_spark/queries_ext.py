@@ -596,8 +596,8 @@ _DUCK_BUCKET = (
     "split_hash_80_20",
     f"""
     SELECT source,
-           SUM(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS n_train,
-           SUM(CASE WHEN b >= 80 THEN 1 ELSE 0 END) AS n_eval
+           CAST(SUM(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN b >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
     FROM (SELECT source, {_DUCK_BUCKET.format(id="doc_id", m=100)} AS b
           FROM documents)
     GROUP BY source

@@ -225,11 +225,13 @@ def ud_grouped_map_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_jsonl_roundtrip",
     """
     SELECT 'jsonl' AS source, COUNT(*) AS n,
-           SUM(doc_id) AS id_sum, SUM(length(text)) AS char_sum
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS char_sum
     FROM documents
     UNION ALL
     SELECT 'jsonl_inferred' AS source, COUNT(*) AS n,
-           SUM(doc_id) AS id_sum, SUM(length(text)) AS char_sum
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS char_sum
     FROM documents
     """,
 )
@@ -265,11 +267,13 @@ def s_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_orc_roundtrip",
     """
     SELECT 'orc' AS source, COUNT(*) AS n,
-           SUM(o_orderkey) AS key_sum, ROUND(SUM(o_totalprice), 2) AS total
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(o_totalprice), 2) AS total
     FROM orders
     UNION ALL
     SELECT 'orc_pruned' AS source, COUNT(*) AS n,
-           SUM(o_orderkey) AS key_sum, ROUND(SUM(o_totalprice), 2) AS total
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(o_totalprice), 2) AS total
     FROM orders WHERE o_orderstatus = 'F'
     """,
 )
@@ -613,6 +617,102 @@ def s_acid_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         acid.merge_table(spark, upd, tbl, keys=("o_orderkey",), order_col="ver")
         refresh("v3")
+        return spark.createDataFrame(
+            rows,
+            "stage string, o_orderstatus string, n_orders bigint, total_cents bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_acid_stream_rollup",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    v3 AS (SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 6 = 0 THEN cents * 2 ELSE cents END AS cents
+           FROM base WHERE o_orderkey % 3 IN (0, 1)),
+    v4 AS (SELECT * FROM v3
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, cents
+           FROM base WHERE o_orderkey % 3 = 2)
+    SELECT 'drained' AS stage, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v3 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'resumed', o_orderstatus,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM v4 GROUP BY o_orderstatus
+    """,
+)
+def s_acid_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUSLY maintained rollup, driver-graded end to end
+    (streaming/ingest.py ``stream_maintained_rollup``): the acid
+    table's commit log drives a CDF-window refresh of a persisted
+    per-status (count, cents-sum) state through CREATE (%3=0) ->
+    APPEND (%3=1) -> MERGE (double the cents of %6=0 keys) -> drain #1,
+    then APPEND (%3=2) -> drain #2 RESUMING the same checkpoint — the
+    second drain folds ONLY the new commit's window (the state ledger
+    cursor proves it; no refresh re-scans the table). The state after
+    each drain is emitted as a stage row-set the DuckDB twin recomputes
+    relationally from raw orders; sums are exact integer cents so the
+    incremental folding is bit-identical."""
+    import shutil
+    import tempfile
+
+    from turbine_maintenance_etl_spark.io import acid
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        stream_maintained_rollup,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stream_rollup_")
+    tbl, state, ckpt = f"{tmp}/orders_acid", f"{tmp}/rollup_state", f"{tmp}/ckpt"
+    aggs = {"n_orders": ("count", "o_orderkey"), "total_cents": ("sum", "cents")}
+    rows = []
+
+    def snap(stage: str) -> None:
+        rows.extend(
+            (stage, r["o_orderstatus"], r["n_orders"], r["total_cents"])
+            for r in spark.read.parquet(state).collect()
+        )
+
+    try:
+        acid.create_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 0).withColumn("ver", F.lit(1)),
+            tbl,
+            stats_cols=("o_orderkey",),
+        )
+        acid.append_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 1).withColumn("ver", F.lit(1)),
+            tbl,
+        )
+        upd = o.filter(F.col("o_orderkey") % 6 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("cents") * 2).alias("cents"),
+            F.lit(2).alias("ver"),
+        )
+        acid.merge_table(spark, upd, tbl, keys=("o_orderkey",), order_col="ver")
+        stream_maintained_rollup(spark, tbl, state, ckpt, ["o_orderstatus"], aggs)
+        snap("drained")
+        acid.append_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 2).withColumn("ver", F.lit(1)),
+            tbl,
+        )
+        stream_maintained_rollup(spark, tbl, state, ckpt, ["o_orderstatus"], aggs)
+        snap("resumed")
         return spark.createDataFrame(
             rows,
             "stage string, o_orderstatus string, n_orders bigint, total_cents bigint",
