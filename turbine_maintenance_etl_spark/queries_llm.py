@@ -1591,6 +1591,86 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_phash_jpeg",
+    """
+    WITH base AS (
+        SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
+    dcell AS (
+        SELECT doc_id, g, v, r, c,
+               ((2 * r + 1) * 16) // 14 AS yr,
+               ((2 * c + 1) * 24) // 18 AS xl,
+               ((2 * c + 3) * 24) // 18 AS xr
+        FROM base, generate_series(0, 6) AS t1(r), generate_series(0, 7) AS t2(c)),
+    dh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN
+                       (g * 37 + (yr // 8) * 29 + (xr // 8) * 13) % 200
+                     > (g * 37 + (yr // 8) * 29 + (xl // 8) * 13) % 200
+                   THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS BIGINT) AS dhash
+        FROM dcell GROUP BY doc_id),
+    apx AS (
+        SELECT doc_id, r, c,
+               (g * 37 + (((2 * r + 1) * 16) // 14 // 8) * 29
+                       + (((2 * c + 1) * 24) // 16 // 8) * 13) % 200 + v AS p
+        FROM base, generate_series(0, 6) AS t1(r), generate_series(0, 7) AS t2(c)),
+    ah AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN p * 56 > tot THEN (1::BIGINT << (r * 8 + c))
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM (SELECT *, SUM(p) OVER (PARTITION BY doc_id) AS tot FROM apx)
+        GROUP BY doc_id)
+    SELECT b.doc_id, dh.dhash, ah.ahash,
+           b.doc_id = MIN(b.doc_id) OVER (PARTITION BY dh.dhash) AS survivor
+    FROM base b JOIN dh USING (doc_id) JOIN ah USING (doc_id)
+    """,
+)
+def dedup_image_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup over REAL JPEG bytes — the round-7 companion to
+    dedup_image_phash, proving the from-spec baseline JPEG codec
+    (llm/jpeg.py) end to end under the driver's oracle. Every document
+    gets a deterministic 24x16 grayscale image that is CONSTANT per
+    8x8 block (value keyed doc_id//2 per block, plus a +doc_id%2
+    brightness variant with different bytes); at quality=100 every
+    quantizer entry is 1 and a block-constant image has only an
+    integer DC coefficient, so encode->decode is BIT-EXACT — which
+    makes the lossy-format pipeline exactly oracle-checkable: the
+    DuckDB twin recomputes dHash/aHash from the block formula + the
+    nearest-neighbor index map ((2k+1)*dim // 2*out) and must match
+    bit for bit. The full real path runs: encode_jpeg_baseline ->
+    image_phash (decode_jpeg_pixels -> grayscale -> resize -> 56-bit
+    hashes) -> min-id survivor. Brightness variants collapse (both
+    hashes shift-invariant); sha256 would keep both. Scale: same as
+    the PNG entry — one Arrow-batched map, 8-byte hash shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_baseline
+    from turbine_maintenance_etl_spark.llm.multimodal import image_phash, phash_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                br = np.arange(16)[:, None] // 8
+                bc = np.arange(24)[None, :] // 8
+                px = ((g * 37 + br * 29 + bc * 13) % 200 + v).astype(np.uint8)
+                rows.append(
+                    {"doc_id": did,
+                     "media": encode_jpeg_baseline(px[:, :, None], quality=100)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    return phash_dedup(image_phash(media)).select(
+        "doc_id", "dhash", "ahash", "survivor"
+    )
+
+
+@register(
     "dedup_audio_fingerprint",
     """
     WITH base AS (
