@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "s_acid_table_roundtrip",
     "a_stats_suite",
     "split_cluster_aware",
+    # round-7 addition: the real-JPEG codec path (encode -> decode ->
+    # phash -> dedup). s_acid_stream_rollup stays unbenched for the
+    # same reason as the other acid/streaming lifecycle capstones.
+    "dedup_image_phash_jpeg",
 ]
 
 # Loud-fail on registry drift (round-5 verdict #5): bench must break at
