@@ -5,8 +5,9 @@ Design: media rides in a ``binary`` column next to typed metadata
 (media_type, byte length, content hash). Decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` operators.
 PNG decoding is REAL (pure stdlib zlib + numpy — 8-bit greyscale /
-grey+alpha / RGB / RGBA, all five scanline filters, non-interlaced);
-other codecs (JPEG/ffmpeg) are not in this container and raise, with a
+grey+alpha / RGB / RGBA, all five scanline filters, non-interlaced),
+and so is baseline JPEG since round 7 (from-spec codec, llm/jpeg.py);
+video containers/ffmpeg are not in this container and raise, with a
 deterministic fake available for plumbing tests. At 100 TB: binary
 payloads stay columnar in parquet (no base64 inflation), metadata
 predicates prune row groups before any decode, and
@@ -25,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DECODE_AVAILABLE = True  # PNG via stdlib zlib; JPEG/video codecs absent
+DECODE_AVAILABLE = True  # PNG (stdlib zlib) + baseline JPEG (llm/jpeg.py)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
