@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     # phash -> dedup). s_acid_stream_rollup stays unbenched for the
     # same reason as the other acid/streaming lifecycle capstones.
     "dedup_image_phash_jpeg",
+    # round-7 addition: the exactly-SQL-checkable IVF member (hash-
+    # sampled quantizer) — watched next to its Lloyd-trained siblings
+    "sim_ivf_sampled_topk",
 ]
 
 # Loud-fail on registry drift (round-5 verdict #5): bench must break at

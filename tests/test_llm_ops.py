@@ -38,6 +38,70 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(exact_scores[key] - r["cosine"]) < 1e-9
 
 
+def test_ivf_sampled_recall_and_exact_scores(spark):
+    """The hash-sampled-quantizer IVF (no Lloyd refinement) must still
+    recover a usable share of exact neighbors, and — like every IVF
+    path — scores inside probed clusters are EXACT."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_sampled_topk(
+            emb, queries, k=5, n_clusters=8, n_probe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"sampled-IVF recall@5 {recall:.2f} below floor"
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.brute_force_topk(emb, queries, k=50).collect()
+    }
+    for r in S.ivf_sampled_topk(
+        emb, queries, k=5, n_clusters=8, n_probe=3
+    ).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(exact_scores[key] - r["cosine"]) < 1e-9
+
+
+def test_ivf_sampled_deterministic_and_probe_monotone(spark):
+    """Two invocations agree exactly (no RNG anywhere in the path), and
+    raising n_probe can only widen coverage — the probed-cluster set is
+    a prefix of the same centroid ranking."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, S.ivf_sampled_topk(emb, queries, k=3).collect()))
+    b = sorted(map(tuple, S.ivf_sampled_topk(emb, queries, k=3).collect()))
+    assert a == b
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        hits = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_sampled_topk(
+                emb, queries, k=5, n_clusters=8, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & hits) / len(exact)
+
+    assert recall(8) >= recall(2)  # probing every cluster == exact coverage
+
+
 def test_ivf_deterministic(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     from pyspark.sql import functions as F

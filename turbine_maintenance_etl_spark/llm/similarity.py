@@ -365,7 +365,16 @@ def ivf_topk(
     ]
 
     cc = c.withColumn(
-        "_cid", F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"]
+        "_cid",
+        # never-firing coalesce(-1): a nullable join key makes the
+        # inner join's isnotnull(key) constraint inline the whole
+        # centroid argmin a SECOND time into the scan filter (plan-
+        # verified on the sampled-IVF sibling); provably non-null keys
+        # fold the constraint away so assignment runs exactly once
+        F.coalesce(
+            F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"],
+            F.lit(-1),
+        ),
     )
     q = _nonzero_vectors(
         queries.select(
@@ -385,6 +394,153 @@ def ivf_topk(
         cc.join(F.broadcast(q), "_cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_sampled_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int | None = 500_000,
+) -> DataFrame:
+    """IVF-Flat over cosine geometry with a HASH-SAMPLED coarse
+    quantizer — the exactly-SQL-checkable member of the IVF family.
+
+    FAISS seeds k-means from a random corpus sample; this variant STOPS
+    at the seeding step: centroids are the ``n_clusters`` vectors first
+    in (md5(id), id) order — a deterministic pseudo-random sample (the
+    ``_collect_train_sample`` doctrine, in a hash portable to any
+    engine's SQL). Unlike the Lloyd-refined ``ivf_topk``/``ivfpq_topk``,
+    the WHOLE path — centroid pick, nearest-centroid assignment, query
+    probing, scoring — is reproducible value-for-value by a DuckDB
+    oracle twin. The price is quantizer quality (no refinement → less
+    balanced cells, lower recall at equal ``n_probe``; pytest pins the
+    floor). The plan shape is IDENTICAL to ``ivf_topk``'s: one bounded
+    driver collect (n_clusters × dim doubles), literal-centroid argmax
+    assignment (map-only codegen), probe-cluster equi-join against the
+    broadcast query side — so the 100 TB story carries over unchanged.
+
+    Assignment maximizes the ROUNDED (6 dp) cosine with ties to the
+    lowest centroid id — the same cross-engine determinism contract
+    every similarity entry uses. The tie-break rides inside one struct
+    array as ``rc = n_clusters-1-cid`` so ``array_max``/``sort_array``
+    pick max cosine THEN min cid without a float negation (−0.0 vs 0.0
+    ordering differs across engines)."""
+    _guard_query_count(queries, max_queries, "ivf_sampled_topk")
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
+    )
+    # bounded deterministic collect: n_clusters rows in hash order
+    ctr_rows = (
+        c.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_clusters)
+        .select("_cv")
+        .collect()
+    )
+    if not ctr_rows:
+        raise ValueError("ivf_sampled_topk: no non-NULL, non-zero vectors")
+    centroids = [[float(x) for x in r["_cv"]] for r in ctr_rows]
+    n_c = len(centroids)
+    # centroid norms as literals: sqrt of a LEFT-TO-RIGHT float64
+    # accumulation — the identical IEEE op sequence Spark's aggregate
+    # and DuckDB's list_dot_product execute, so the oracle (which
+    # recomputes sqrt(list_dot_product(cv,cv)) from data) sees the SAME
+    # double. Computing them per row was 2 of the 3 O(dim) aggregates
+    # in the hot interpreted-HOF path (HOFs are CodegenFallback).
+    import math
+
+    def _seq_norm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    ctr_norms = [_seq_norm(ctr) for ctr in centroids]
+
+    def _cos_structs(vec: Column) -> Column:
+        # one nested-array literal walked by an indexed transform (the
+        # _centroid_dists compile-time lesson applies here unchanged);
+        # the row norm is lambda-bound ONCE (not once per centroid) and
+        # the centroid norm indexes the literal — per centroid only the
+        # dot product's zip_with/aggregate pair remains
+        from turbine_maintenance_etl_spark.llm.text import bind_once
+
+        lit_centroids = F.lit(centroids)
+        lit_norms = F.lit(ctr_norms)
+        return bind_once(
+            _norm(vec),
+            lambda nv: F.transform(
+                lit_centroids,
+                lambda ctr, i: F.struct(
+                    F.round(
+                        _dot(vec, ctr)
+                        / F.nullif(nv * F.element_at(lit_norms, i + 1), F.lit(0.0)),
+                        6,
+                    ).alias("cs"),
+                    (F.lit(n_c - 1) - i).alias("rc"),
+                ),
+            ),
+        )
+
+    # per-row norms ride the join as a column so the in-cluster scoring
+    # pays ONE interpreted O(dim) aggregate per PAIR (the dot product)
+    # instead of three — same doubles, the norm of a row doesn't depend
+    # on where it's computed. The assignment is wrapped in a
+    # never-firing coalesce(-1): the raw expression is NULLABLE, so the
+    # inner join's isnotnull(key) constraint inlines the ENTIRE 16-dot
+    # argmax a second time into the scan filter (verified in the
+    # physical plan — the ivfpq double-eval pathology in expression
+    # form); coalesce with a literal is provably non-null, so Catalyst
+    # folds the constraint away and assignment runs exactly once.
+    cc = c.withColumn(
+        "_cid",
+        F.coalesce(
+            F.lit(n_c - 1) - F.array_max(_cos_structs(F.col("_cv")))["rc"],
+            F.lit(-1),
+        ),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    q = _nonzero_vectors(
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+        ),
+        "_qv",
+    ).withColumn(
+        "_cid",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.sort_array(_cos_structs(F.col("_qv")))), 1, n_probe
+                ),
+                lambda s: F.lit(n_c - 1) - s["rc"],
+            )
+        ),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    scored = (
+        cc.join(F.broadcast(q), "_cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0)),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -957,7 +1113,16 @@ def ivfpq_topk(
     # cost at sf0.1). With a JVM key the UDF evaluates exactly once,
     # after the parallelism exchange.
     cc = c.withColumn(
-        "_cid", F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"]
+        "_cid",
+        # never-firing coalesce(-1): the raw argmin is NULLABLE, so the
+        # join's isnotnull(key) constraint would inline the whole
+        # centroid-distance argmin a SECOND time into the scan filter
+        # (the sampled-IVF plan audit caught this in expression form);
+        # a provably non-null key folds the constraint away
+        F.coalesce(
+            F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"],
+            F.lit(-1),
+        ),
     )
 
     def _recon(vecs: pd.Series, cids: pd.Series) -> pd.Series:

@@ -132,9 +132,14 @@ PRIORITY_ORDER: list[str] = [
     "streaming_curation_capstone",
     "s_acid_cdf_incremental_agg",
     "split_cluster_aware",
-    # -- round-7 demotions: rows-only capstones, first below the window
+    # -- round-7 demotions (now oracle-upgraded where honest): the v3
+    # -- capstone gained a composed five-stage SQL twin this round;
+    # -- ivfpq stays rows-only (Lloyd-refined k-means is not
+    # -- SQL-expressible — the sampled-quantizer entry below pins the
+    # -- IVF machinery exactly instead)
     "pipeline_curation_v3",
     "sim_ivfpq_topk",
+    "sim_ivf_sampled_topk",  # r7: IVF family's exactly-SQL-checkable member
     # -- beyond the grade window: the original single-operator entries
     # -- (suite-graded above, still selfchecked here), then never-graded
     # -- extensions ------------------------------------------------------

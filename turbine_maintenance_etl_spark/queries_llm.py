@@ -300,6 +300,70 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3)
 
 
+def _ivf_sampled_oracle(
+    n_clusters: int = 16, n_probe: int = 4, k: int = 5, max_qid: int = 25
+) -> str:
+    cos = _COS
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nz AS (SELECT vec_id, v FROM e
+           WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
+    ord AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rn
+        FROM nz),
+    ctr AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS cv
+            FROM ord WHERE rn <= {n_clusters}),
+    asg AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT nz.vec_id, nz.v, ctr.cid,
+                   ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+                        ORDER BY ROUND({cos.format(a="nz.v", b="ctr.cv")}, 6)
+                            DESC, ctr.cid) AS arn
+            FROM nz CROSS JOIN ctr) WHERE arn = 1),
+    qp AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT nz.vec_id AS query_id, nz.v AS qv, ctr.cid,
+                   ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+                        ORDER BY ROUND({cos.format(a="nz.v", b="ctr.cv")}, 6)
+                            DESC, ctr.cid) AS prn
+            FROM nz CROSS JOIN ctr WHERE nz.vec_id < {max_qid})
+        WHERE prn <= {n_probe}),
+    scored AS (
+        SELECT qp.query_id, a.vec_id AS neighbor_id,
+               ROUND({cos.format(a="qp.qv", b="a.v")}, 6) AS cosine
+        FROM qp JOIN asg a USING (cid)
+        WHERE a.vec_id <> qp.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("sim_ivf_sampled_topk", _ivf_sampled_oracle())
+def sim_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with a hash-sampled coarse quantizer
+    (llm/similarity.py:ivf_sampled_topk) — FAISS's sample-seeding step
+    without the Lloyd refinement, which makes it the IVF-family member
+    whose ENTIRE path (centroid pick in portable md5 order, rounded-
+    cosine argmax assignment, n_probe probing, in-cluster exact scoring)
+    a DuckDB twin reproduces value-for-value. The trained-quantizer
+    variants (sim_ivf_topk / sim_ivfpq_topk) stay the production
+    recall path; this entry pins the partition-pruning MACHINERY
+    exactly. Same plan shape as ivf_topk: bounded centroid collect,
+    map-only literal argmax, probe-cluster equi-join, broadcast query
+    side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_sampled_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+
+
 @register(
     "text_tfidf_top_terms",
     f"""
@@ -646,14 +710,139 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup(_t(spark, sf_dir, "documents"))
 
 
-@register("pipeline_curation_v3", None)  # composition pinned by invariants
+@register(
+    "pipeline_curation_v3",
+    rf"""
+    WITH q AS (
+        SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+    kept AS (
+        SELECT doc_id, text, toks FROM q
+        WHERE len(toks) >= 20
+          AND CAST(len(list_filter(toks, x -> lower(x) IN ({_EN_SQL}))) AS DOUBLE)
+              / NULLIF(CAST(len(toks) AS DOUBLE), 0) >= 0.05),
+    lmtoks AS (
+        SELECT doc_id,
+               list_prepend('<s>', list_prepend('<s>', list_filter(
+                   regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS t
+        FROM kept),
+    grams AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM lmtoks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) > 2),
+    tri_all AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM grams GROUP BY 1, 2, 3),
+    hist2 AS (SELECT w1, w2, SUM(c3) AS ch2 FROM tri_all GROUP BY 1, 2),
+    pair2_all AS (SELECT w2 AS wa, w3 AS wb, SUM(c3) AS cb2
+                  FROM tri_all GROUP BY 1, 2),
+    hist1 AS (SELECT wa AS w, SUM(cb2) AS ch1 FROM pair2_all GROUP BY 1),
+    uni AS (SELECT wb AS w, SUM(cb2) AS cu FROM pair2_all GROUP BY 1),
+    tri AS (SELECT * FROM tri_all WHERE c3 >= 2),
+    pair2 AS (SELECT * FROM pair2_all WHERE cb2 >= 2),
+    tot AS (SELECT SUM(cu) AS n, COUNT(*) AS v FROM uni),
+    lmscored AS (
+        SELECT g.doc_id,
+               ln(CASE
+                    WHEN t3.c3 IS NOT NULL THEN t3.c3 / h2.ch2
+                    WHEN p2.cb2 IS NOT NULL AND h1.ch1 IS NOT NULL
+                        THEN 0.4 * p2.cb2 / h1.ch1
+                    WHEN u.cu IS NOT NULL THEN 0.16 * u.cu / tot.n
+                    ELSE 0.16 / (tot.v + 1)
+                  END) AS ls
+        FROM grams g
+        LEFT JOIN tri t3 ON g.w1 = t3.w1 AND g.w2 = t3.w2 AND g.w3 = t3.w3
+        LEFT JOIN hist2 h2 ON g.w1 = h2.w1 AND g.w2 = h2.w2
+        LEFT JOIN pair2 p2 ON g.w2 = p2.wa AND g.w3 = p2.wb
+        LEFT JOIN hist1 h1 ON g.w2 = h1.w
+        LEFT JOIN uni u ON g.w3 = u.w
+        CROSS JOIN tot),
+    ppl AS (
+        SELECT doc_id, ROUND(exp(-(SUM(ls) / COUNT(*))), 4) AS perplexity
+        FROM lmscored GROUP BY doc_id),
+    ranked AS (
+        SELECT k.doc_id, k.text, k.toks,
+               ROW_NUMBER() OVER (ORDER BY p.perplexity, k.doc_id) AS rn,
+               COUNT(*) OVER () AS n_total
+        FROM kept k JOIN ppl p USING (doc_id)),
+    gated AS (
+        SELECT doc_id, text, toks FROM ranked
+        WHERE rn <= FLOOR(0.9 * n_total)),
+    nrm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '\p{{N}}', '0', 'g'),
+                       '[^\p{{L}}0 ]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS nm
+        FROM gated),
+    survids AS (
+        SELECT MIN(doc_id) AS doc_id FROM nrm WHERE nm <> '' GROUP BY md5(nm)
+        UNION ALL
+        SELECT doc_id FROM nrm WHERE nm IS NULL OR nm = ''),
+    surv AS (
+        SELECT g.doc_id, g.toks, len(g.toks) AS n_tokens
+        FROM gated g JOIN survids USING (doc_id)),
+    sgrams AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS g
+        FROM surv, UNNEST(generate_series(1, n_tokens - 7)) AS u(i)
+        WHERE n_tokens >= 8),
+    occ AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY g) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM sgrams),
+    marked AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+    canon AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn = 1),
+    canon_cov AS (
+        SELECT DISTINCT doc_id, idx
+        FROM canon, UNNEST(generate_series(pos, pos + 7)) AS v(idx)),
+    removed AS (
+        SELECT DISTINCT m.doc_id, m.idx
+        FROM (SELECT DISTINCT doc_id, idx
+              FROM marked, UNNEST(generate_series(pos, pos + 7)) AS v(idx)) m
+        ANTI JOIN canon_cov c ON m.doc_id = c.doc_id AND m.idx = c.idx),
+    affected AS (SELECT DISTINCT doc_id FROM removed),
+    tok_stream AS (
+        SELECT s.doc_id, i AS idx, s.toks[i] AS tok
+        FROM surv s JOIN affected USING (doc_id),
+             UNNEST(generate_series(1, s.n_tokens)) AS u(i)),
+    keptt AS (
+        SELECT ts.doc_id, ts.idx, ts.tok FROM tok_stream ts
+        ANTI JOIN removed r ON ts.doc_id = r.doc_id AND ts.idx = r.idx),
+    rebuilt AS (
+        SELECT doc_id, list(tok ORDER BY idx) AS ktoks
+        FROM keptt GROUP BY doc_id),
+    final AS (
+        SELECT s.doc_id,
+               CASE WHEN a.doc_id IS NULL THEN s.toks
+                    ELSE COALESCE(r.ktoks, CAST([] AS VARCHAR[])) END AS ftoks
+        FROM surv s
+        LEFT JOIN affected a USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)),
+    starts AS (
+        SELECT doc_id, ftoks,
+               UNNEST(list_filter(generate_series(1, len(ftoks), 56),
+                                  st -> st = 1 OR st + 8 <= len(ftoks))) AS st
+        FROM final WHERE len(ftoks) > 0)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS BIGINT)
+               AS chunk_id,
+           array_to_string(ftoks[st : st + 63], ' ') AS chunk_text,
+           LEAST(64, len(ftoks) - st + 1) AS chunk_tokens
+    FROM starts
+    """,
+)
 def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 capstone chain (llm/curation.py:curate_corpus_v3):
     quality gate -> SB3 trigram LM rank gate (distributed exact cut) ->
-    CCNet-normalized exact dedup -> ExactSubstr span REWRITE -> chunk.
-    Every stage has its own green oracle entry; the composition is
-    registry rows-only and pinned by invariant tests (survivor subset
-    of v2's gate, >80% residual duplicated-span-mass reduction)."""
+    CCNet-normalized exact dedup -> ExactSubstr span REWRITE -> chunk,
+    now exactly oracle-checked END TO END: the DuckDB twin composes the
+    same five stage fragments the individually-graded entries pin
+    (pipeline_curation_v2's gate + rank cut with the sb3 scorer of
+    quality_sb3_perplexity, dedup_normalized_exact's normalization
+    class, dedup_span_rewrite's canonical-protected span removal,
+    text_chunking's 64/8 windows over the CLEANED token stream). The
+    invariant tests (survivor subset of the gate, >80% residual
+    duplicated-span-mass reduction) still pin the composition's
+    semantics in pytest."""
     from turbine_maintenance_etl_spark.llm.curation import curate_corpus_v3
 
     return curate_corpus_v3(_t(spark, sf_dir, "documents"))
