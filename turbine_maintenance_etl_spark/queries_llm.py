@@ -19,6 +19,7 @@ from turbine_maintenance_etl_spark.llm import dedup as D
 from turbine_maintenance_etl_spark.llm import similarity as S
 from turbine_maintenance_etl_spark.llm import text as TX
 from turbine_maintenance_etl_spark.queries import REGISTRY, _t, register
+from turbine_maintenance_etl_spark.util import ensure_parallelism
 
 # DuckDB token / shingle fragments shared by several oracles
 _DUCK_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
@@ -1759,7 +1760,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_dedup,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-partition doc_id scans serialize the per-row codec work
+    # onto one core (measured on the JPEG sibling: the whole bench cost
+    # was the unparallelized generator) — shuffle the 8-byte ids wide
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(it):
         for pdf in it:
@@ -1836,7 +1840,12 @@ def dedup_image_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_baseline
     from turbine_maintenance_etl_spark.llm.multimodal import image_phash, phash_dedup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # the doc_id projection of a small parquet arrives as ONE partition,
+    # which would serialize ~2 ms/image of pure-Python Huffman+DCT
+    # encode onto one core (measured: the whole 10s bench cost of this
+    # entry was the single-partition generator); one cheap shuffle of
+    # the 8-byte ids buys full-width codec parallelism
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(it):
         for pdf in it:
@@ -1902,7 +1911,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from turbine_maintenance_etl_spark.llm.multimodal import audio_fingerprint
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(it):
         for pdf in it:
@@ -1984,8 +1993,10 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_signatures,
     )
 
-    vids = _t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 1000
+    vids = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 1000
+        )
     )
     frames = vids.select(
         F.col("doc_id").alias("video_id"),
@@ -2068,8 +2079,10 @@ def dedup_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_near_dup_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 600
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 600
+        )
     )
 
     def gen(it):
