@@ -688,6 +688,34 @@ def test_pq_topk_recall_floor_vs_brute_force(spark):
     assert len(pq & bf) / len(bf) >= 0.6
 
 
+def test_pq_sampled_recall_floor_and_determinism(spark):
+    """Hash-sampled codebooks (no Lloyd) trade recall for exact
+    SQL-checkability; the floor pins they still retrieve a usable
+    share, and two invocations agree exactly (no RNG in the path)."""
+    from pyspark.sql import functions as F
+
+    from turbine_maintenance_etl_spark.llm.similarity import (
+        brute_force_topk,
+        fit_pq_sampled,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    books = fit_pq_sampled(emb, dim=64, m=16, nbits=4)
+    out = pq_topk(emb, queries, dim=64, k=5, m=16, nbits=4, codebooks=books)
+    pq = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert len(pq & bf) / len(bf) >= 0.25
+    again = pq_topk(emb, queries, dim=64, k=5, m=16, nbits=4, codebooks=books)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_pq_decode_matches_codebook_lookup(spark):
     """pq_decode(pq_encode(x)) reconstructs exactly the argmin centroid
     per subspace (the quantized vector), verified against numpy."""

@@ -777,6 +777,48 @@ def fit_pq(
 
 
 
+def fit_pq_sampled(
+    candidates: DataFrame,
+    dim: int,
+    m: int = 16,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """PQ codebooks from a HASH-SAMPLED corpus slice — ``fit_pq``
+    without the Lloyd refinement: codeword ``j`` of subspace ``s`` is
+    sample vector ``j``'s ``s``-th subvector, where the sample is the
+    first ``2^nbits`` non-zero vectors in (md5(id), id) order. The same
+    trade as ``ivf_sampled_topk``: quantizer quality for exact
+    cross-engine checkability — every codeword is a value-for-value
+    slice of corpus data an SQL twin can re-derive, so the WHOLE
+    encode→reconstruct→score path becomes oracle-checkable (k-means
+    codebooks never are). Same bounded-collect contract as fit_pq
+    (2^nbits × dim doubles)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub, ksub = dim // m, 1 << nbits
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
+    )
+    rows = (
+        c.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(ksub)
+        .select("_cv")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_pq_sampled: no non-NULL, non-zero vectors")
+    return [
+        [[float(x) for x in r["_cv"][s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
 def _assign_nearest(X, C):
     """Nearest-centroid assignment via the x^2 + c^2 - 2xC' expansion:
     an (n, k) distance matrix, never the (n, k, dim) float64 cube — the

@@ -140,6 +140,7 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_curation_v3",
     "sim_ivfpq_topk",
     "sim_ivf_sampled_topk",  # r7: IVF family's exactly-SQL-checkable member
+    "sim_pq_sampled_topk",   # r7: same for the PQ/compression axis
     # -- beyond the grade window: the original single-operator entries
     # -- (suite-graded above, still selfchecked here), then never-graded
     # -- extensions ------------------------------------------------------

@@ -904,6 +904,80 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, queries, dim=64, k=5, m=16, nbits=8, codebooks=books)
 
 
+def _pq_sampled_oracle(
+    m: int = 16, nbits: int = 4, k: int = 5, max_qid: int = 20, dim: int = 64
+) -> str:
+    dsub, ksub = dim // m, 1 << nbits
+    # explicit LEFT-ASSOCIATIVE squared-distance sum: numpy's small-array
+    # .sum(-1) and SQL's a+b+c+d both fold sequentially, so the encode
+    # argmin sees bit-identical doubles in both engines
+    dist = " + ".join(
+        f"(nz.v[cw.s*{dsub}+{j}] - cw.cv[{j}]) * (nz.v[cw.s*{dsub}+{j}] - cw.cv[{j}])"
+        for j in range(1, dsub + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nz AS (SELECT vec_id, v FROM e
+           WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
+    smp AS (
+        SELECT v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rn
+        FROM nz),
+    cw AS (
+        SELECT ss.s AS s, CAST(rn - 1 AS INT) AS code,
+               smp.v[ss.s * {dsub} + 1 : ss.s * {dsub} + {dsub}] AS cv
+        FROM smp, generate_series(0, {m - 1}) AS ss(s)
+        WHERE rn <= {ksub}),
+    enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT nz.vec_id, cw.s, cw.code,
+                   ROW_NUMBER() OVER (PARTITION BY nz.vec_id, cw.s
+                        ORDER BY {dist}, cw.code) AS arn
+            FROM nz CROSS JOIN cw) WHERE arn = 1),
+    recon AS (
+        SELECT en.vec_id, flatten(list(c2.cv ORDER BY en.s)) AS rv
+        FROM enc en JOIN cw c2 ON en.s = c2.s AND en.code = c2.code
+        GROUP BY en.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM nz WHERE vec_id < {max_qid}),
+    scored AS (
+        SELECT q.query_id, r.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qv", b="r.rv")}, 6) AS cosine
+        FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {k} AND cosine IS NOT NULL
+    """
+
+
+@register("sim_pq_sampled_topk", _pq_sampled_oracle())
+def sim_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with HASH-SAMPLED codebooks
+    (llm/similarity.py:fit_pq_sampled) — the compression axis's
+    exactly-SQL-checkable member, completing what sim_ivf_sampled_topk
+    does for the partition-pruning axis: codeword j of subspace s is
+    sample vector j's s-th subvector (sample = first 2^nbits vectors in
+    portable md5(id) order), so the DuckDB twin re-derives every
+    codeword from data and replays encode (left-associative squared-L2
+    argmin, ties to the lowest code) → reconstruct → asymmetric cosine
+    → top-k value-for-value. The Lloyd-trained sim_pq_topk stays the
+    recall path; the Arrow-batched encode/reconstruct kernels
+    (_pq_codes/_pq_recon) and the plan shape are shared between both."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = _cached_index(
+        ("pq_sampled", sf_dir, 64, 16, 4),
+        lambda: S.fit_pq_sampled(emb, dim=64, m=16, nbits=4),
+    )
+    return S.pq_topk(emb, queries, dim=64, k=5, m=16, nbits=4, codebooks=books)
+
+
 @register("embed_pca_whiten", None)  # SVD fit: rows-only check (pytest pins vs numpy)
 def embed_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding post-processing chain (llm/embed.py): L2-normalize ->
