@@ -107,6 +107,19 @@ if _drift:
     )
 
 
+def _materialize(df) -> None:
+    """Force FULL evaluation of every output row and column via the
+    noop sink (distributed consume, no driver transfer). Round-7 bench
+    fix: the old ``df.count()`` let Catalyst eliminate cardinality-
+    preserving left joins and prune every computed column — e.g.
+    quality_sb3_perplexity's count() collapsed to a bare parquet count
+    and 'measured' 0.6s for a ~6s scoring chain. A benchmark must time
+    what a consumer reading the result would pay; rounds <= 6 timings
+    are count-mode and 2-6x lower on projection/window/left-join-shaped
+    entries (PLANS.md round-7 records the dual-mode totals)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -116,7 +129,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in BENCH_QUERIES:
-            REGISTRY[name].fn(spark, warm_dir).count()
+            _materialize(REGISTRY[name].fn(spark, warm_dir))
 
     # MEDIAN of three genuinely-cold runs per query (round-4 verdict #5:
     # best-of-N made the ±10-14% shared-VM noise band indistinguishable
@@ -136,9 +149,8 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            _materialize(df)
             runs.append(time.perf_counter() - t0)
-            assert n >= 0
             if len(runs) >= 3 and max(runs) <= 1.5 * min(runs):
                 break
         runs.sort()
@@ -151,6 +163,9 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                "measure": "noop-materialize (r7 fix: count() pruned "
+                "computed columns; r<=6 numbers are 2-6x lower on "
+                "projection-shaped entries — PLANS.md round 7)",
                 "queries": timings,
                 "queries_minmax": minmax,
                 "sf": float(sf),

@@ -104,8 +104,19 @@ def train_bigram_counts(
     One corpus-wide shuffle (gram groupBy, partial-agg combined); the
     history table is a reaggregation of the already-vocabulary-sized
     bigram table, NOT a second corpus pass."""
+    from turbine_maintenance_etl_spark.ops.materialize import barrier
+
     grams = doc_bigrams(df, text_col, id_col)
-    bigrams = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # MATERIALIZE the bigram table (multi-consumer barrier rule): it
+    # feeds the history reaggregation, the scoring join's broadcast
+    # build, and the fused path's |V| scalar — unbarriered, each re-ran
+    # the corpus explode+aggregate (measured r7 at sf0.1, warm A/B:
+    # 3.3-12.8s -> 2.4-3.8s for the fused self-scoring chain). The
+    # frame is vocabulary-sized, so the checkpoint is bounded by model
+    # size at any corpus scale.
+    bigrams = barrier(
+        grams.groupBy("w1", "w2").agg(F.count("*").alias("c12")), "lm-bigrams"
+    )
     histories = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return bigrams, histories
 
@@ -318,15 +329,28 @@ def _sb3_tables(
     """The five sb3 model tables (see train_sb3_counts) without the
     totals collect — the fused self-scoring path derives N/|V| as a
     broadcast scalar frame instead of a separate job."""
-    tri_all = (
+    from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+    # MATERIALIZE the two multi-consumer model frames (the repo's
+    # barrier rule): tri_all feeds hist2 + pair2_all + the pruned tri
+    # broadcast, pair2_all feeds hist1 + uni + the pruned pair2
+    # broadcast — without a barrier each broadcast build re-runs the
+    # full corpus explode+aggregate chain (measured r7 at sf0.1,
+    # alternating warm A/B: 7.8-14.2s -> 3.3-4.2s for the fused
+    # self-scoring path). Both frames are DISTINCT-GRAM-sized
+    # (vocabulary tables, count-pruned downstream), so the checkpoint
+    # is bounded by model size, never corpus size — safe at 100 TB.
+    tri_all = barrier(
         doc_trigrams(df, text_col, id_col)
         .groupBy("w1", "w2", "w3")
-        .agg(F.count("*").alias("c3"))
+        .agg(F.count("*").alias("c3")),
+        "sb3-tri-all",
     )
     hist2 = tri_all.groupBy("w1", "w2").agg(F.sum("c3").alias("ch2"))
-    pair2_all = (
+    pair2_all = barrier(
         tri_all.groupBy(F.col("w2").alias("wa"), F.col("w3").alias("wb"))
-        .agg(F.sum("c3").alias("cb2"))
+        .agg(F.sum("c3").alias("cb2")),
+        "sb3-pair2-all",
     )
     hist1 = pair2_all.groupBy(F.col("wa").alias("w")).agg(F.sum("cb2").alias("ch1"))
     uni = pair2_all.groupBy(F.col("wb").alias("w")).agg(F.sum("cb2").alias("cu"))
