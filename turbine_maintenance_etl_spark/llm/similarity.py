@@ -45,6 +45,21 @@ def as_double_array(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _pair_cosine(
+    qv: str = "_qv", cv: str = "_cv", qn: str = "_qn", cn: str = "_cn"
+) -> Column:
+    """Rounded pair cosine over precomputed per-row norm columns riding
+    the join: dot(qv,cv)/(qn*cn). Same doubles as ``cosine_expr`` —
+    only WHERE the norms are computed moves — but the per-pair work
+    drops from three interpreted O(dim) aggregates to one (HOFs are
+    CodegenFallback, so this is the top-k family's hot loop)."""
+    return F.round(
+        _dot(F.col(qv), F.col(cv))
+        / F.nullif(F.col(qn) * F.col(cn), F.lit(0.0)),
+        6,
+    )
+
+
 def _nonzero_vectors(df: DataFrame, vec_alias: str) -> DataFrame:
     """Drop NULL and zero-norm vectors before scoring/bucketing: they
     have no cosine to anything (``cosine_expr`` yields NULL), so left in
@@ -106,13 +121,18 @@ def brute_force_topk(
                 "lsh_bucketed_topk or ivf_topk for large query sets, or pass "
                 "max_queries=None to force it"
             )
+    # per-row norms ride the join as columns (computed BEFORE the
+    # broadcast hint so the hinted subtree carries them): the per-pair
+    # cosine then pays ONE O(dim) interpreted aggregate (the dot
+    # product) instead of three — identical doubles, a row's norm
+    # doesn't depend on where it's computed
     q = F.broadcast(
         _nonzero_vectors(
             queries.select(
                 F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
             ),
             "_qv",
-        )
+        ).withColumn("_qn", _norm(F.col("_qv")))
     )
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
@@ -120,11 +140,11 @@ def brute_force_topk(
             as_double_array(F.col(vec_col)).alias("_cv"),
         ),
         "_cv",
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("cosine", _pair_cosine())
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -199,23 +219,31 @@ def lsh_bucketed_topk(
     N, not Q)."""
     _guard_query_count(queries, max_queries, "lsh_bucketed_topk")
     planes = random_hyperplanes(dim, num_planes, seed)
-    c = _nonzero_vectors(
-        ensure_parallelism(candidates).select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
-        ),
-        "_cv",
-    ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
-    q = _nonzero_vectors(
-        queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
-        ),
-        "_qv",
-    ).withColumn("bucket", srp_bucket_expr(F.col("_qv"), planes))
+    c = (
+        _nonzero_vectors(
+            ensure_parallelism(candidates).select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_array(F.col(vec_col)).alias("_cv"),
+            ),
+            "_cv",
+        )
+        .withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
+        .withColumn("_cn", _norm(F.col("_cv")))
+    )
+    q = (
+        _nonzero_vectors(
+            queries.select(
+                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            ),
+            "_qv",
+        )
+        .withColumn("bucket", srp_bucket_expr(F.col("_qv"), planes))
+        .withColumn("_qn", _norm(F.col("_qv")))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("cosine", _pair_cosine())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -375,25 +403,33 @@ def ivf_topk(
             F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"],
             F.lit(-1),
         ),
-    )
-    q = _nonzero_vectors(
-        queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
-        ),
-        "_qv",
-    ).withColumn(
-        "_cid",
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(_centroid_dists(F.col("_qv"), centroids)), 1, n_probe),
-                lambda s: s["cid"],
-            )
-        ),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    q = (
+        _nonzero_vectors(
+            queries.select(
+                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            ),
+            "_qv",
+        )
+        .withColumn(
+            "_cid",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(_centroid_dists(F.col("_qv"), centroids)),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .withColumn("_qn", _norm(F.col("_qv")))
     )
     scored = (
         cc.join(F.broadcast(q), "_cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("cosine", _pair_cosine())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -625,11 +661,17 @@ def semantic_dedup(
             .filter(F.col("_sz") <= max_bucket_size)
             .drop("_sz")
         )
+    # per-row norm rides the bucket shuffle (8 bytes/row) so in-bucket
+    # verification pays one interpreted O(dim) aggregate per PAIR, not
+    # three — the _pair_cosine doubles are identical
+    base = base.withColumn("_n", _norm(F.col("_v")))
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_bucket",
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_bucket",
     )
     # NO broadcast hint: b is the FULL corpus (unlike the topk paths,
     # where the broadcast side is a small query set) — the bucket
@@ -638,7 +680,7 @@ def semantic_dedup(
     pairs = (
         a.join(b, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("_cos", _pair_cosine(qv="_va", cv="_vb", qn="_na", cn="_nb"))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b")
     )
@@ -685,13 +727,17 @@ def lsh_multiprobe_topk(
     joins through at most one probe row by construction."""
     _guard_query_count(queries, max_queries, "lsh_multiprobe_topk")
     planes = random_hyperplanes(dim, num_planes, seed)
-    c = _nonzero_vectors(
-        ensure_parallelism(candidates).select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
-        ),
-        "_cv",
-    ).withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
+    c = (
+        _nonzero_vectors(
+            ensure_parallelism(candidates).select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_array(F.col(vec_col)).alias("_cv"),
+            ),
+            "_cv",
+        )
+        .withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
+        .withColumn("_cn", _norm(F.col("_cv")))
+    )
     # compute the base bucket ONCE per query row, then derive the probe
     # set from the column reference — inlining the SRP expression into
     # every array slot would pay (1+H) x H x dim multiplications per row
@@ -703,9 +749,11 @@ def lsh_multiprobe_topk(
             "_qv",
         )
         .withColumn("_b", srp_bucket_expr(F.col("_qv"), planes))
+        .withColumn("_qn", _norm(F.col("_qv")))
         .select(
             query_id_col,
             "_qv",
+            "_qn",
             F.explode(
                 F.array(
                     F.col("_b"),
@@ -720,7 +768,7 @@ def lsh_multiprobe_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("cosine", _pair_cosine())
         .select(query_id_col, "neighbor_id", "cosine")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -999,23 +1047,27 @@ def pq_topk(
     _recon.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     recon_udf = pandas_udf("array<double>")(_recon)
     _guard_query_count(queries, max_queries, "pq_topk")
-    enc = _nonzero_vectors(
-        candidates.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
-        ),
-        "_cv",
-    ).select("neighbor_id", recon_udf(F.col("_cv")).alias("_rv"))
+    enc = (
+        _nonzero_vectors(
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_array(F.col(vec_col)).alias("_cv"),
+            ),
+            "_cv",
+        )
+        .select("neighbor_id", recon_udf(F.col("_cv")).alias("_rv"))
+        .withColumn("_cn", _norm(F.col("_rv")))
+    )
     q = _nonzero_vectors(
         queries.select(
             F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
         ),
         "_qv",
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     scored = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
+        .withColumn("cosine", _pair_cosine(cv="_rv"))
     )
     # The zero-reconstruction NULL-cosine guard runs AFTER the rank, not
     # before the join: a pre-window filter(cosine IS NOT NULL) is a
@@ -1182,27 +1234,33 @@ def ivfpq_topk(
     enc = cc.select(
         "neighbor_id", "_cid",
         recon_udf(F.col("_cv"), F.col("_cid")).alias("_rv"),
-    )
-    q = _nonzero_vectors(
-        queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
-        ),
-        "_qv",
-    ).withColumn(
-        "_cid",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.sort_array(_centroid_dists(F.col("_qv"), centroids)), 1, n_probe
-                ),
-                lambda s: s["cid"],
-            )
-        ),
+    ).withColumn("_cn", _norm(F.col("_rv")))
+    q = (
+        _nonzero_vectors(
+            queries.select(
+                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            ),
+            "_qv",
+        )
+        .withColumn(
+            "_cid",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(_centroid_dists(F.col("_qv"), centroids)),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .withColumn("_qn", _norm(F.col("_qv")))
     )
     scored = (
         enc.join(F.broadcast(q), "_cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_rv")), 6))
+        .withColumn("cosine", _pair_cosine(cv="_rv"))
     )
     # NULL-cosine (zero reconstruction) guard AFTER the rank — a
     # pre-window two-sided filter would inline the interpreted cosine
