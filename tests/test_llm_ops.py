@@ -954,6 +954,7 @@ def test_similarity_tolerates_null_and_zero_vectors(spark):
         (S.lsh_bucketed_topk, {"dim": 4, "num_planes": 2}),
         (S.lsh_multiprobe_topk, {"dim": 4, "num_planes": 2}),
         (S.ivf_topk, {"n_clusters": 2, "n_probe": 2}),
+        (S.ivf_sampled_topk, {"n_clusters": 2, "n_probe": 2}),
         (S.pq_topk, {"dim": 4, "m": 2, "nbits": 2}),
         (S.ivfpq_topk, {"dim": 4, "n_clusters": 2, "n_probe": 2, "m": 2, "nbits": 2}),
     ):
@@ -962,6 +963,9 @@ def test_similarity_tolerates_null_and_zero_vectors(spark):
         assert all(r["cosine"] is not None for r in rows), fn.__name__
         ids = {r["neighbor_id"] for r in rows}
         assert 100 not in ids and 101 not in ids, fn.__name__
+    books = S.fit_pq_sampled(cand, dim=4, m=2, nbits=2)
+    rows = S.pq_topk(cand, queries, dim=4, k=3, m=2, nbits=2, codebooks=books).collect()
+    assert rows and all(r["cosine"] is not None for r in rows)
 
     codes = {
         r["vec_id"]: r["pq_code"]
@@ -970,6 +974,29 @@ def test_similarity_tolerates_null_and_zero_vectors(spark):
         ).collect()
     }
     assert codes[100] is None and codes[0] is not None
+
+
+def test_sampled_ann_tiny_corpus(spark):
+    """Sample size caps at the corpus: n_clusters / 2^nbits larger than
+    the (non-zero) corpus must degrade gracefully — fewer centroids /
+    codewords, never an index error or an empty result."""
+    from turbine_maintenance_etl_spark.llm import similarity as S
+
+    cand = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.5, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = S.ivf_sampled_topk(cand, queries, k=2, n_clusters=16, n_probe=16)
+    assert out.count() == 2  # probes every (existing) cluster -> exact
+    books = S.fit_pq_sampled(cand, dim=4, m=2, nbits=4)  # 16 codewords > 3 vecs
+    assert all(len(b) == 3 for b in books)
+    assert S.pq_topk(
+        cand, queries, dim=4, k=2, m=2, nbits=4, codebooks=books
+    ).count() == 2
 
 
 def test_srp_buckets_exact_past_plane_31(spark):
