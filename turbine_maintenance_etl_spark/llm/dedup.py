@@ -811,8 +811,21 @@ def remove_duplicated_spans(
 
     # canonical protection: tokens inside a canonical occurrence are
     # never removed, even when an overlapping marked occurrence covers
-    # them — this is what keeps one COMPLETE copy of every span content
-    removed = _coverage(marked).join(_coverage(canonical), [id_col, "idx"], "anti")
+    # them — this is what keeps one COMPLETE copy of every span content.
+    # MATERIALIZED (barrier rule): `removed` feeds both the rebuild's
+    # anti-join and the affected-doc gate, and each consumer would
+    # otherwise re-run BOTH coverage explosions + the span-key window
+    # branches above (measured r7 at sf0.1, warm: 3.4-3.5s -> ~2.5s for
+    # the rewrite entry). The frame holds (doc, idx) pairs of REMOVED
+    # duplicated tokens only — a small fraction of the corpus by the
+    # time a curation chain runs this, so the checkpoint is bounded by
+    # the duplication mass, not the corpus.
+    from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+    removed = barrier(
+        _coverage(marked).join(_coverage(canonical), [id_col, "idx"], "anti"),
+        "span-removed",
+    )
 
     affected = removed.select(id_col).distinct()
     tok_stream = (
