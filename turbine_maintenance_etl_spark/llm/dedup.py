@@ -355,6 +355,18 @@ def minhash_lsh_candidates(
             f"got {saturated_policy!r}"
         )
     buckets = lsh_band_buckets(df, num_hashes, bands, n, text_col, id_col, seed)
+    if max_bucket_size is not None and saturated_policy == "representative":
+        # the representative branch consumes `buckets` from THREE plan
+        # branches (pair grouping, over-cap detection, rep pairing) and
+        # each re-ran the whole shingle->md5->K-min signature pipeline.
+        # The bucket index is B rows of (id, int, 32-char hash) per doc
+        # (~300 B/doc, document-size-independent — the persistable-index
+        # framing above), so materializing it is bounded and exactly
+        # what a production deployment stores anyway. Measured r7:
+        # split_cluster_aware 4.0 -> ~3.1s warm at sf0.1.
+        from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+        buckets = barrier(buckets, "lsh-buckets")
     grouped = buckets.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
