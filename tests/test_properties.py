@@ -305,3 +305,39 @@ def test_duplicated_span_stats_match_python_reference(spark, docs, n):
             assert abs(r["dup_frac"] - round(len(covered) / len(toks), 6)) < 1e-9
         else:
             assert r["dup_frac"] is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_ivf_sampled_full_probe_equals_brute_force(spark, vecs):
+    """Probing every cluster makes the sampled-quantizer IVF EXACT:
+    partition pruning only drops candidates, and with n_probe ==
+    n_clusters nothing is pruned, so the (query, neighbor, cosine,
+    rank) set must equal brute force's on any input — including
+    all-zero vectors (excluded on both paths) and duplicate vectors
+    (id tie-break)."""
+    from turbine_maintenance_etl_spark.llm import similarity as S
+
+    cand = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = cand.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sorted(map(tuple, S.brute_force_topk(cand, queries, k=3).collect()))
+    ivf = sorted(
+        map(
+            tuple,
+            S.ivf_sampled_topk(
+                cand, queries, k=3, n_clusters=4, n_probe=4
+            ).collect(),
+        )
+    )
+    assert ivf == bf

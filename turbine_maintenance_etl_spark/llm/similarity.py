@@ -489,7 +489,19 @@ def ivf_sampled_topk(
         .collect()
     )
     if not ctr_rows:
-        raise ValueError("ivf_sampled_topk: no non-NULL, non-zero vectors")
+        # an index over zero usable vectors has no neighbors to return —
+        # match brute_force_topk's empty result (same schema, statically
+        # empty) instead of raising, so compositions over a filtered-out
+        # corpus slice degrade the way the rest of the family does
+        return (
+            queries.select(F.col(query_id_col))
+            .filter(F.lit(False))
+            .withColumn(
+                "neighbor_id", F.lit(None).cast(candidates.schema[id_col].dataType)
+            )
+            .withColumn("cosine", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("bigint"))
+        )
     centroids = [[float(x) for x in r["_cv"]] for r in ctr_rows]
     n_c = len(centroids)
     # centroid norms as literals: sqrt of a LEFT-TO-RIGHT float64
