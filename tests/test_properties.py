@@ -341,3 +341,38 @@ def test_ivf_sampled_full_probe_equals_brute_force(spark, vecs):
         )
     )
     assert ivf == bf
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_pq_sampled_covering_codebooks_equal_brute_force(spark, vecs):
+    """When the hash-ordered sample covers the whole (non-zero) corpus
+    (2^nbits >= N), every vector's own subvectors are codewords, the
+    encode argmin hits distance 0, reconstruction is EXACT (a distance-0
+    tie can only pick a codeword with identical values), and pq_topk
+    must return exactly brute force's result on any input."""
+    from turbine_maintenance_etl_spark.llm import similarity as S
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((999, [1.0, 2.0, -1.0, 0.5]))  # >=1 usable vector always
+    cand = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = cand.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sorted(map(tuple, S.brute_force_topk(cand, queries, k=3).collect()))
+    books = S.fit_pq_sampled(cand, dim=4, m=2, nbits=4)  # 16 >= N
+    pq = sorted(
+        map(
+            tuple,
+            S.pq_topk(
+                cand, queries, dim=4, k=3, m=2, nbits=4, codebooks=books
+            ).collect(),
+        )
+    )
+    assert pq == bf
