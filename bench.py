@@ -94,12 +94,35 @@ BENCH_QUERIES = [
     "sim_ivf_sampled_topk",
 ]
 
+# Entries that build per-corpus state on first touch at a given SF —
+# generated multimodal tables (image/audio/video corpora are synthesized
+# and parquet-persisted once per sf_dir), memoized ANN index fits, and
+# acid-table scaffolding (table dirs + commit ledgers). The sf0.001
+# warm-up does NOT warm these at the target SF, so driver medians
+# carried first-touch costs the engine doesn't have at steady state
+# (r7: dedup_image_phash minmax [1.09, 17.09]). One untimed pass at the
+# target SF before the timed loop (r7 verdict item 3).
+WARM_AT_TARGET = [
+    "dedup_image_phash",
+    "dedup_image_phash_jpeg",
+    "dedup_audio_fingerprint",
+    "dedup_video_frames",
+    "sim_ivfpq_topk",
+    "sim_ivf_sampled_topk",
+    "s_acid_table_roundtrip",
+    "s_acid_table_changes",
+]
+
 # Loud-fail on registry drift (round-5 verdict #5): bench must break at
 # import when an entry is renamed/unregistered or left out of
 # PRIORITY_ORDER, not silently keep benching a stale hand-kept list.
 from turbine_maintenance_etl_spark.queries import PRIORITY_ORDER  # noqa: E402
 
-_drift = [n for n in BENCH_QUERIES if n not in REGISTRY or n not in PRIORITY_ORDER]
+_drift = [
+    n
+    for n in BENCH_QUERIES + WARM_AT_TARGET
+    if n not in REGISTRY or n not in PRIORITY_ORDER
+]
 if _drift:
     raise RuntimeError(
         f"bench.py drifted from the registry/order: {_drift} — fix BENCH_QUERIES "
@@ -130,6 +153,13 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in BENCH_QUERIES:
             _materialize(REGISTRY[name].fn(spark, warm_dir))
+    # target-SF warm pass for per-corpus-state entries (generated
+    # multimodal tables, memoized index fits, acid scaffolding): the
+    # miniature warm-up above does not touch target-SF state, so these
+    # entries' first timed run paid one-time generation/fit costs
+    for name in WARM_AT_TARGET:
+        if name in BENCH_QUERIES:
+            _materialize(REGISTRY[name].fn(spark, sf_dir))
 
     # MEDIAN of three genuinely-cold runs per query (round-4 verdict #5:
     # best-of-N made the ±10-14% shared-VM noise band indistinguishable
@@ -168,6 +198,22 @@ def main() -> None:
                 "projection-shaped entries — PLANS.md round 7)",
                 "queries": timings,
                 "queries_minmax": minmax,
+                "sf": float(sf),
+            }
+        )
+    )
+    # Round-8 fix (r7 verdict item 1): the full dict above is >4 KB and
+    # the driver keeps only the LAST 2000 chars of stdout, so the head
+    # (metric/value/unit) was cut and every BENCH_r*.json since round 1
+    # recorded parsed:null. Print a compact summary LAST so the tail
+    # always contains one complete parseable JSON line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "n": len(timings),
                 "sf": float(sf),
             }
         )

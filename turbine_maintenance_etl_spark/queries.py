@@ -95,7 +95,6 @@ PRIORITY_ORDER: list[str] = [
     "u1_set_ops_suite",
     "f_scalar_datetime_suite",
     "f_null_handling",
-    "f_json_extract",
     "events_window_suite",         # r5: tumbling + session windows
     "ud_grouped_map_slope",
     "dedup_graph_suite",           # r5: cluster resolution + survivors
@@ -132,12 +131,16 @@ PRIORITY_ORDER: list[str] = [
     "streaming_curation_capstone",
     "s_acid_cdf_incremental_agg",
     "split_cluster_aware",
-    # -- round-7 demotions (now oracle-upgraded where honest): the v3
-    # -- capstone gained a composed five-stage SQL twin this round;
-    # -- ivfpq stays rows-only (Lloyd-refined k-means is not
-    # -- SQL-expressible — the sampled-quantizer entry below pins the
-    # -- IVF machinery exactly instead)
+    # -- round-8 promotion (WINDOW_CHANGELOG round 8): the v3 capstone's
+    # -- composed five-stage DuckDB twin (landed round 7) earns it the
+    # -- slot freed by f_json_extract (not a §2 operator — SURVEY §2.8:
+    # -- the reference has no JSON functions; the JSON surface stays
+    # -- covered below the window by f_json_struct_parse/udtf_json_pairs)
     "pipeline_curation_v3",
+    # -- below the window from here. ivfpq stays rows-only
+    # -- (Lloyd-refined k-means is not SQL-expressible — the sampled-
+    # -- quantizer entries pin the IVF/PQ machinery exactly instead)
+    "f_json_extract",
     "sim_ivfpq_topk",
     "sim_ivf_sampled_topk",  # r7: IVF family's exactly-SQL-checkable member
     "sim_pq_sampled_topk",   # r7: same for the PQ/compression axis
