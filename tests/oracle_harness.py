@@ -58,7 +58,16 @@ def _int_vs_float_eq(iv: pd.Series, fv: pd.Series) -> np.ndarray:
     fna = np.isnan(fnp)
     ok[ina & fna] = True
     with np.errstate(invalid="ignore"):
-        integral = np.isfinite(fnp) & (np.floor(fnp) == fnp) & (np.abs(fnp) < 2**63)
+        # int64 range is asymmetric: -2**63 is a legal int64 whose exact
+        # float rendering must be allowed to match (r7 advice), while
+        # +2**63 overflows — hence >= on the negative bound, < on the
+        # positive
+        integral = (
+            np.isfinite(fnp)
+            & (np.floor(fnp) == fnp)
+            & (fnp >= -(2.0**63))
+            & (fnp < 2.0**63)
+        )
     cand = integral & ~ina
     if cand.any():
         inp = iv[cand].to_numpy(dtype="int64")

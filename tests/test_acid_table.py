@@ -1328,3 +1328,96 @@ def test_vacuum_rejects_keep_last_zero(tmp_path, spark):
     acid.create_table(spark, spark.createDataFrame([(1,)], "id long"), path)
     with pytest.raises(ValueError, match="keep_last"):
         acid.vacuum(path, keep_last=0)
+
+
+def test_row_tiebreak_hash_map_entry_order_insensitive(spark):
+    """Round-7 advice: to_json follows the map's physical build order,
+    so two semantically equal maps built in different entry order used
+    to hash differently — the 'identical inputs -> identical tables'
+    tiebreak now canonicalizes (key-sorts) maps at every nesting depth."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(1)
+    fwd = base.select(
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")), F.array(F.lit(1), F.lit(2))
+        ).alias("m"),
+        F.array(
+            F.map_from_arrays(F.array(F.lit("x"), F.lit("y")), F.array(F.lit(3), F.lit(4)))
+        ).alias("am"),
+        F.struct(
+            F.map_from_arrays(F.array(F.lit("p"), F.lit("q")), F.array(F.lit(5), F.lit(6))).alias("im")
+        ).alias("sm"),
+    )
+    rev = base.select(
+        F.map_from_arrays(
+            F.array(F.lit("b"), F.lit("a")), F.array(F.lit(2), F.lit(1))
+        ).alias("m"),
+        F.array(
+            F.map_from_arrays(F.array(F.lit("y"), F.lit("x")), F.array(F.lit(4), F.lit(3)))
+        ).alias("am"),
+        F.struct(
+            F.map_from_arrays(F.array(F.lit("q"), F.lit("p")), F.array(F.lit(6), F.lit(5))).alias("im")
+        ).alias("sm"),
+    )
+    h_fwd = fwd.select(acid.row_tiebreak_hash(fwd).alias("h")).collect()[0]["h"]
+    h_rev = rev.select(acid.row_tiebreak_hash(rev).alias("h")).collect()[0]["h"]
+    assert h_fwd == h_rev
+    # and DIFFERENT map values must still hash differently
+    other = base.select(
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")), F.array(F.lit(1), F.lit(99))
+        ).alias("m"),
+        F.array(
+            F.map_from_arrays(F.array(F.lit("x"), F.lit("y")), F.array(F.lit(3), F.lit(4)))
+        ).alias("am"),
+        F.struct(
+            F.map_from_arrays(F.array(F.lit("p"), F.lit("q")), F.array(F.lit(5), F.lit(6))).alias("im")
+        ).alias("sm"),
+    )
+    h_other = other.select(acid.row_tiebreak_hash(other).alias("h")).collect()[0]["h"]
+    assert h_other != h_fwd
+
+
+def test_curation_index_pin_excl_and_midwrite_retry(spark, tmp_path):
+    """Round-7 advice: the pin is now O_CREAT|O_EXCL (check+write is one
+    atomic unit — two processors with DIFFERENT configs racing a fresh
+    index can no longer both pass the missing-sidecar check), and a
+    reader that lands while the winner is mid-write retries briefly
+    instead of failing on incomplete JSON."""
+    import json as _json
+    import threading
+    import time as _time
+
+    from turbine_maintenance_etl_spark.streaming.ingest import (
+        make_curation_batch_processor,
+    )
+
+    cur = str(tmp_path / "curated")
+    idx = str(tmp_path / "index")
+    os.makedirs(idx, exist_ok=True)
+    p = os.path.join(idx, "_lsh_config.json")
+    # simulate a winner caught mid-write: sidecar exists but is empty
+    fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+
+    def _finish_write():
+        _time.sleep(0.3)
+        with open(p, "w") as f:
+            _json.dump({"num_hashes": 32, "bands": 8, "n": 3}, f)
+
+    t = threading.Thread(target=_finish_write)
+    t.start()
+    text = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps near the river bank for a long time on a warm day"
+    )
+    batch = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # default processor config matches the winner's: must wait out the
+    # empty-file window and proceed
+    make_curation_batch_processor(cur, idx, bands=8)(batch, 0)
+    t.join()
+    assert acid.read_table(spark, idx).count() == 8
+    # and a mismatched config against the now-complete pin still refuses
+    with pytest.raises(ValueError, match="rebuilding the index"):
+        make_curation_batch_processor(cur, idx, bands=4)(batch, 1)

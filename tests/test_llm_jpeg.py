@@ -147,3 +147,72 @@ def test_image_phash_over_jpeg_bytes(spark):
     # JPEG q95 decode stays within the hash's tolerance on this fixture
     assert got[1]["dhash"] == got[3]["dhash"]
     assert got[1]["dhash"] == dhash_int(grayscale_int(px))
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Round-7 advice: the fill byte fell through to the unknown-marker
+    branch and misread a segment length, rejecting conformant streams
+    from other encoders."""
+    good = encode_jpeg_baseline(_gradient(16, 16)[:, :, None], 85)
+    ref = decode_jpeg_pixels(good)
+    # pad fills before the first few non-SOI markers (never inside the
+    # entropy stream: stop at SOS)
+    sos = good.index(b"\xff\xda")
+    padded = bytearray(good[:2])
+    pos = 2
+    while pos < len(good):
+        if pos <= sos and good[pos] == 0xFF:
+            padded += b"\xff\xff\xff"  # three fills before the marker's 0xFF
+        padded.append(good[pos])
+        if pos <= sos and good[pos] == 0xFF:
+            # copy the marker byte + rest of segment verbatim before
+            # scanning for the next 0xFF (avoid padding inside lengths)
+            pos += 1
+            padded.append(good[pos])
+            if good[pos] == 0xDA:
+                padded += good[pos + 1 :]
+                break
+            if good[pos] not in (0x01, *range(0xD0, 0xD8)):
+                import struct as _s
+
+                (seglen,) = _s.unpack(">H", good[pos + 1 : pos + 3])
+                padded += good[pos + 1 : pos + 1 + seglen]
+                pos += seglen
+        pos += 1
+    out = decode_jpeg_pixels(bytes(padded))
+    assert np.array_equal(out, ref)
+
+
+def test_undefined_huffman_table_raises_valueerror():
+    """Round-7 advice (medium): a scan referencing an undefined Huffman
+    table id used to escape as a bare KeyError, crashing the Spark task
+    instead of tagging a poison-pill NULL row."""
+    good = bytearray(encode_jpeg_baseline(_gradient(16, 16)[:, :, None], 85))
+    i = bytes(good).index(b"\xff\xda")
+    # SOS: FF DA len(2) ns (cs tt)*ns ... — point comp 0 at tables 3/3
+    good[i + 6] = 0x33
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(good))
+
+
+def test_undefined_quant_table_raises_valueerror():
+    good = bytearray(encode_jpeg_baseline(_gradient(16, 16)[:, :, None], 85))
+    i = bytes(good).index(b"\xff\xc0")
+    # SOF0: FF C0 len(2) prec(1) h(2) w(2) nc(1) (cid hv tq)* — comp 0's
+    # tq sits at offset 11 from the 0xFF; point it at undefined table 3
+    good[i + 12] = 0x03
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(good))
+
+
+def test_partial_scan_raises_notimplemented():
+    """Legal-but-unsupported non-interleaved multi-scan baseline (SOS
+    listing fewer components than SOF0) must reject honestly, not
+    KeyError mid-MCU."""
+    px = _rgb(16, 16)
+    good = bytearray(encode_jpeg_baseline(px, quality=85))
+    i = bytes(good).index(b"\xff\xda")
+    good[i + 4] = 1  # ns: 3 -> 1 (seglen untouched; parse rejects first)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(good))

@@ -91,3 +91,18 @@ def test_canonicalize_keeps_integers_exact():
     out = canonicalize(pd.DataFrame({"h": pd.array([base], dtype="int64")}))
     assert pd.api.types.is_integer_dtype(out["h"])
     assert int(out["h"].iloc[0]) == base
+
+
+def test_int64_min_boundary_matches_exact_float():
+    """Round-7 advice: -2**63 is a legal int64 whose float rendering is
+    exact — the old `abs(f) < 2**63` gate produced a spurious red."""
+    a = pd.DataFrame({"v": pd.array([-(2**63), 0], dtype="int64")})
+    b = pd.DataFrame({"v": np.array([-(2.0**63), 0.0])})
+    probs = compare(a, b, "int64_min")
+    # values must MATCH (no spurious diff); only the dtype-divergence
+    # advisory remains, which is the harness's intended strictness
+    assert not any("diffs" in p for p in probs), probs
+    # +2**63 still overflows int64 and must NOT match
+    c = pd.DataFrame({"v": pd.array([2**63 - 1, 0], dtype="int64")})
+    d = pd.DataFrame({"v": np.array([2.0**63, 0.0])})
+    assert any("diffs" in p for p in compare(c, d, "int64_max_overflow"))

@@ -56,6 +56,12 @@ def row_tiebreak_hash(df: DataFrame):
     unhashable in Spark), so any column whose type CONTAINS a map is
     hashed through its JSON rendering instead — a merge on a table with
     a map column must not fail at analysis time (round-6 advice).
+    Map entries are recursively SORTED BY KEY before the JSON render:
+    ``to_json`` follows the map's physical build order, so without the
+    sort two rows holding semantically equal maps built in different
+    entry order would hash differently and the 'identical inputs ->
+    identical tables' determinism would hold only up to entry order
+    (round-7 advice; Spark map equality itself is order-insensitive).
     Shared by merge_table / upsert_table / sinks.upsert_by_key so the
     tiebreak rule stays identical everywhere."""
     from pyspark.sql import functions as F
@@ -70,9 +76,38 @@ def row_tiebreak_hash(df: DataFrame):
             return any(has_map(f.dataType) for f in dt.fields)
         return False
 
+    def canon(col, dt):
+        """Rewrite `col` so every map at any nesting depth carries its
+        entries key-sorted (as a sorted entries array — JSON-stable)."""
+        if isinstance(dt, MapType):
+            entries = F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    canon(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+            # comparator touches only keys (unique within a map), so
+            # map-typed VALUES never need to be orderable
+            return F.array_sort(
+                entries,
+                lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+                .when(a["key"] > b["key"], F.lit(1))
+                .otherwise(F.lit(0)),
+            )
+        if isinstance(dt, ArrayType) and has_map(dt.elementType):
+            return F.transform(col, lambda e: canon(e, dt.elementType))
+        if isinstance(dt, StructType) and has_map(dt):
+            return F.struct(
+                *[canon(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+            )
+        return col
+
     return F.xxhash64(
         *[
-            F.to_json(F.col(f.name)) if has_map(f.dataType) else F.col(f.name)
+            F.to_json(canon(F.col(f.name), f.dataType))
+            if has_map(f.dataType)
+            else F.col(f.name)
             for f in df.schema.fields
         ]
     )

@@ -215,10 +215,13 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG byte stream")
     try:
         return _decode_markers(data)
-    except (IndexError, struct.error) as exc:
-        # out-of-range segment reads on truncated/corrupt input surface
-        # as the same ValueError every decode operator already handles
-        raise ValueError(f"corrupt JPEG: {exc}") from exc
+    except (IndexError, KeyError, struct.error) as exc:
+        # out-of-range segment reads on truncated/corrupt input — and any
+        # residual undefined-table/component lookup the SOS validation
+        # below didn't anticipate — surface as the same ValueError every
+        # decode operator's poison-pill handler already treats as a NULL
+        # row (a bare KeyError would crash the Spark task instead)
+        raise ValueError(f"corrupt JPEG: {exc!r}") from exc
 
 
 def _decode_markers(data: bytes) -> np.ndarray:
@@ -231,6 +234,11 @@ def _decode_markers(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so conformant streams from other
+        # encoders aren't misread as unknown markers
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: standalone
@@ -284,10 +292,28 @@ def _decode_markers(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # legal per T.81 (non-interleaved multi-scan) but this
+                # decoder only implements the single interleaved scan —
+                # reject honestly rather than KeyError mid-MCU
+                raise NotImplementedError(
+                    f"non-interleaved multi-scan JPEG ({ns} of "
+                    f"{len(frame[2])} components in scan)"
+                )
             scan_tabs = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tabs[cs] = (tt >> 4, tt & 0x0F)
+            for cid, _hs, _vs, tq in frame[2]:
+                if cid not in scan_tabs:
+                    raise ValueError(f"frame component {cid} missing from scan")
+                td, ta = scan_tabs[cid]
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError(
+                        f"scan references undefined Huffman table dc={td} ac={ta}"
+                    )
+                if tq not in quant:
+                    raise ValueError(f"frame references undefined quant table {tq}")
             return _decode_scan(
                 data, pos + seglen, frame, quant, huff_dc, huff_ac,
                 scan_tabs, restart_interval,

@@ -495,9 +495,8 @@ def make_curation_batch_processor(
 
         cfg = {"num_hashes": num_hashes, "bands": bands, "n": n}
         p = os.path.join(index_path, "_lsh_config.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                stored = _json.load(f)
+
+        def _check(stored: dict) -> None:
             if stored != cfg:
                 raise ValueError(
                     f"LSH index at {index_path} was built with {stored}; "
@@ -506,12 +505,34 @@ def make_curation_batch_processor(
                     "(stale band rows from the old config would persist "
                     "under the keyed merge and corrupt future probes)."
                 )
-            return
+
         os.makedirs(index_path, exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(cfg, f)
-        os.replace(tmp, p)  # atomic vs a concurrent pinner
+        # O_CREAT|O_EXCL makes check+write one atomic unit: exactly one
+        # of N concurrent processors pins its config; everyone else
+        # (concurrent losers AND later processors) lands in
+        # FileExistsError, re-reads, and validates against the winner.
+        # A check-then-os.replace race could let two DIFFERENT configs
+        # both pass the missing-sidecar check and interleave band rows
+        # under incompatible signatures (round-7 advice).
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # the winner may still be mid-write: retry briefly on
+            # incomplete JSON before treating the sidecar as corrupt
+            import time as _time
+
+            for attempt in range(50):
+                try:
+                    with open(p) as f:
+                        _check(_json.load(f))
+                    return
+                except (_json.JSONDecodeError, FileNotFoundError):
+                    if attempt == 49:
+                        raise
+                    _time.sleep(0.05)
+        else:
+            with os.fdopen(fd, "w") as f:
+                _json.dump(cfg, f)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window
