@@ -1049,3 +1049,46 @@ def test_topk_scale_paths_guard_broadcast_query_side(spark):
         S.ivf_topk(cand, q, max_queries=10)
     # None disables the guard
     assert S.lsh_bucketed_topk(cand, q, dim=2, max_queries=None).count() >= 0
+
+
+def test_incremental_lsh_match_all_single_execution_plan(spark):
+    """Round-7 verdict watch item: under saturated_policy='match_all'
+    the batch signature pipeline and the bucket-size aggregation each
+    had TWO plan consumers (saturated probe + main probe; ok + sat
+    filters) and re-executed per consumer. Both are now barriered —
+    the final plan must consume the materialized frames (ExistingRDD
+    scans), not re-run the minhash machinery for the batch side."""
+    from turbine_maintenance_etl_spark.llm import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet consectetur") for i in range(1, 30)]
+        + [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [(1000, "lorem ipsum dolor sit amet consectetur")], "doc_id long, text string"
+    )
+    index = D.lsh_band_buckets(docs)
+    out = D.incremental_lsh_candidates(
+        new_batch, index, max_bucket_size=10, saturated_policy="match_all"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # two barriered frames (batch buckets + bucket sizes) surface as
+    # materialized scans in the final plan
+    assert plan.count("ExistingRDD") >= 2, plan
+    # the batch side's signature pipeline must NOT appear twice: the
+    # distinctive per-slot min-aggregation over the hashed shingles runs
+    # only for the index side (passed in un-materialized here), i.e. at
+    # most one aggregate carrying the mh_ signature columns
+    import re
+
+    sig_aggs = len(re.findall(r"HashAggregate[^\n]*mh_0", plan))
+    assert sig_aggs <= 1, f"batch signature pipeline re-executed:\n{plan}"
+    # semantics unchanged by the barriers
+    assert {(r["new_id"], r["existing_id"]) for r in out.collect()} == {(1000, None)}

@@ -1389,3 +1389,35 @@ def test_salted_agg_salt_is_content_defined(spark):
     assert {
         r["event_type"]: (r["n"], round(r["total"], 6)) for r in got.collect()
     } == want
+
+
+def test_approx_percentile_policy_bounds(spark):
+    """The exact-vs-approx percentile policy (round-7 verdict item 7):
+    at accuracy >= N the GK sketch is exactly the discrete quantile
+    (the a12_approx_quantiles oracle relies on this); at accuracy << N
+    the rank error stays within the documented 1/accuracy bound."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 25.0, 20_000).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    exact_sorted = sorted(vals)
+
+    # accuracy >= N: exact discrete quantile
+    got = df.agg(
+        F.percentile_approx("v", F.array(*[F.lit(p) for p in (0.1, 0.5, 0.9)]), F.lit(50_000))
+    ).collect()[0][0]
+    for p, g in zip((0.1, 0.5, 0.9), got):
+        assert g in vals
+        rank = exact_sorted.index(g) / (len(vals) - 1)
+        assert abs(rank - p) < 1e-3, (p, rank)
+
+    # accuracy << N: rank error bounded by ~1/accuracy
+    acc = 100
+    got = df.agg(
+        F.percentile_approx("v", F.array(*[F.lit(p) for p in (0.1, 0.5, 0.9)]), F.lit(acc))
+    ).collect()[0][0]
+    for p, g in zip((0.1, 0.5, 0.9), got):
+        rank = np.searchsorted(exact_sorted, g) / (len(vals) - 1)
+        assert abs(rank - p) <= 2.0 / acc, (p, rank)

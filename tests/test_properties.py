@@ -376,3 +376,125 @@ def test_pq_sampled_covering_codebooks_equal_brute_force(spark, vecs):
         )
     )
     assert pq == bf
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([1, 2]),
+)
+def test_ivfpq_sampled_matches_python_reference(spark, vecs, n_probe):
+    """The COMPOSED sampled IVF-PQ path (fit_ivfpq_sampled +
+    ivfpq_sampled_topk) against a from-scratch pure-Python reference
+    replaying every determinism rule: md5(id) sample order, rounded-
+    cosine argmax assignment (Decimal HALF_UP, ties to lowest cid),
+    residual codebooks offset past the centroid sample, left-assoc
+    squared-L2 encode (ties to lowest code), centroid+residual
+    reconstruction, probed asymmetric cosine top-k. Pins the
+    distributed plumbing == the math independently of the DuckDB
+    oracle twin."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from turbine_maintenance_etl_spark.llm import similarity as S
+
+    dim, n_clusters, m, nbits, k = 4, 2, 2, 1, 3
+    dsub, ksub = dim // m, 1 << nbits
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # guarantee enough non-zero vectors for fit (2 centroids + 2 sample)
+    rows += [
+        (990, [1.0, 2.0, -1.0, 0.5]),
+        (991, [-2.0, 1.0, 3.0, -0.5]),
+        (992, [0.5, -1.5, 2.5, 1.0]),
+        (993, [3.0, 0.5, -2.0, 1.5]),
+    ]
+
+    def rnd6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cosr(a, b):
+        return rnd6(dot(a, b) / (norm(a) * norm(b)))
+
+    nz = [(i, v) for i, v in rows if norm(v) > 0]
+    order = sorted(nz, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    ctr = [v for _, v in order[:n_clusters]]
+
+    def assign(v):
+        return max(range(len(ctr)), key=lambda i: (cosr(v, ctr[i]), -i))
+
+    books = [[None] * ksub for _ in range(m)]
+    for code, (_, v) in enumerate(order[n_clusters : n_clusters + ksub]):
+        cid = assign(v)
+        resid = [v[j] - ctr[cid][j] for j in range(dim)]
+        for s in range(m):
+            books[s][code] = resid[s * dsub : (s + 1) * dsub]
+
+    def encode_recon(v):
+        cid = assign(v)
+        resid = [v[j] - ctr[cid][j] for j in range(dim)]
+        out = list(ctr[cid])
+        for s in range(m):
+            rsub = resid[s * dsub : (s + 1) * dsub]
+
+            def dist(c):
+                acc = 0.0
+                for j in range(dsub):
+                    d = rsub[j] - books[s][c][j]
+                    acc = acc + d * d
+                return acc
+
+            code = min(range(ksub), key=lambda c: (dist(c), c))
+            for j in range(dsub):
+                out[s * dsub + j] = ctr[cid][s * dsub + j] + books[s][code][j]
+        return cid, out
+
+    recon = {i: encode_recon(v) for i, v in nz}
+    qids = [i for i, _ in nz][:3]
+    expected = set()
+    for qid in qids:
+        qv = dict(nz)[qid]
+        probes = sorted(range(len(ctr)), key=lambda i: (-cosr(qv, ctr[i]), i))[:n_probe]
+        scored = []
+        for nid, (cid, rv) in recon.items():
+            if nid == qid or cid not in probes:
+                continue
+            den = norm(qv) * norm(rv)
+            if den == 0:
+                continue
+            scored.append((nid, rnd6(dot(qv, rv) / den)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, cos) in enumerate(scored[:k], 1):
+            expected.add((qid, nid, cos, rank))
+
+    cand = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (
+        cand.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = set(
+        map(
+            tuple,
+            S.ivfpq_sampled_topk(
+                cand, queries, dim=dim, k=k, n_clusters=n_clusters,
+                n_probe=n_probe, m=m, nbits=nbits,
+            ).collect(),
+        )
+    )
+    assert got == expected

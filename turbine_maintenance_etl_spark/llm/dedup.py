@@ -292,6 +292,17 @@ def incremental_lsh_candidates(
     sat_hits = None
     if max_bucket_size is not None:
         sizes = idx.groupBy("band", "bh").agg(F.count("*").alias("_sz"))
+        if saturated_policy == "match_all":
+            # two consumers of the batch's signature pipeline (saturated-
+            # bucket probe + the main probe join) and two of the bucket-
+            # size aggregation (ok + sat filters): barrier both so
+            # neither lineage re-executes — new_buckets is B rows/doc of
+            # the BATCH, sizes is one row per distinct index bucket;
+            # both bounded (the r7 minhash_lsh_candidates treatment).
+            from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+            new_buckets = barrier(new_buckets, "incr-lsh-new-buckets")
+            sizes = barrier(sizes, "incr-lsh-bucket-sizes")
         ok = sizes.filter(F.col("_sz") <= max_bucket_size).drop("_sz")
         if saturated_policy == "match_all":
             sat = sizes.filter(F.col("_sz") > max_bucket_size).drop("_sz")

@@ -439,6 +439,54 @@ def ivf_topk(
     )
 
 
+def _seq_norm(v: list[float]) -> float:
+    """sqrt of a LEFT-TO-RIGHT float64 accumulation — the identical IEEE
+    op sequence Spark's aggregate and DuckDB's list_dot_product execute,
+    so an oracle recomputing sqrt(list_dot_product(cv,cv)) from data
+    sees the SAME double."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _sampled_cos_structs(
+    vec: Column, centroids: list[list[float]], ctr_norms: list[float]
+) -> Column:
+    """(rounded cosine, reversed-cid) struct array against literal
+    centroids — the shared assignment/probing expression of the
+    SAMPLED-quantizer family (ivf_sampled_topk / ivfpq_sampled_topk).
+    One nested-array literal walked by an indexed transform (the
+    _centroid_dists compile-time lesson); the row norm is lambda-bound
+    ONCE (not once per centroid) and the centroid norm indexes the
+    literal — per centroid only the dot product's zip_with/aggregate
+    pair remains. The tie-break rides inside the struct as
+    ``rc = n_c-1-cid`` so ``array_max``/``sort_array`` pick max cosine
+    THEN min cid without a float negation (−0.0 vs 0.0 ordering differs
+    across engines)."""
+    from turbine_maintenance_etl_spark.llm.text import bind_once
+
+    n_c = len(centroids)
+    lit_centroids = F.lit(centroids)
+    lit_norms = F.lit(ctr_norms)
+    return bind_once(
+        _norm(vec),
+        lambda nv: F.transform(
+            lit_centroids,
+            lambda ctr, i: F.struct(
+                F.round(
+                    _dot(vec, ctr)
+                    / F.nullif(nv * F.element_at(lit_norms, i + 1), F.lit(0.0)),
+                    6,
+                ).alias("cs"),
+                (F.lit(n_c - 1) - i).alias("rc"),
+            ),
+        ),
+    )
+
+
 def ivf_sampled_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -504,46 +552,13 @@ def ivf_sampled_topk(
         )
     centroids = [[float(x) for x in r["_cv"]] for r in ctr_rows]
     n_c = len(centroids)
-    # centroid norms as literals: sqrt of a LEFT-TO-RIGHT float64
-    # accumulation — the identical IEEE op sequence Spark's aggregate
-    # and DuckDB's list_dot_product execute, so the oracle (which
-    # recomputes sqrt(list_dot_product(cv,cv)) from data) sees the SAME
-    # double. Computing them per row was 2 of the 3 O(dim) aggregates
-    # in the hot interpreted-HOF path (HOFs are CodegenFallback).
-    import math
-
-    def _seq_norm(v: list[float]) -> float:
-        acc = 0.0
-        for x in v:
-            acc += x * x
-        return math.sqrt(acc)
-
+    # centroid norms as literals (see _seq_norm): computing them per row
+    # was 2 of the 3 O(dim) aggregates in the hot interpreted-HOF path
+    # (HOFs are CodegenFallback).
     ctr_norms = [_seq_norm(ctr) for ctr in centroids]
 
     def _cos_structs(vec: Column) -> Column:
-        # one nested-array literal walked by an indexed transform (the
-        # _centroid_dists compile-time lesson applies here unchanged);
-        # the row norm is lambda-bound ONCE (not once per centroid) and
-        # the centroid norm indexes the literal — per centroid only the
-        # dot product's zip_with/aggregate pair remains
-        from turbine_maintenance_etl_spark.llm.text import bind_once
-
-        lit_centroids = F.lit(centroids)
-        lit_norms = F.lit(ctr_norms)
-        return bind_once(
-            _norm(vec),
-            lambda nv: F.transform(
-                lit_centroids,
-                lambda ctr, i: F.struct(
-                    F.round(
-                        _dot(vec, ctr)
-                        / F.nullif(nv * F.element_at(lit_norms, i + 1), F.lit(0.0)),
-                        6,
-                    ).alias("cs"),
-                    (F.lit(n_c - 1) - i).alias("rc"),
-                ),
-            ),
-        )
+        return _sampled_cos_structs(vec, centroids, ctr_norms)
 
     # per-row norms ride the join as a column so the in-cluster scoring
     # pays ONE interpreted O(dim) aggregate per PAIR (the dot product)
@@ -1278,6 +1293,216 @@ def ivfpq_topk(
     # pre-window two-sided filter would inline the interpreted cosine
     # aggregate into the join condition and re-evaluate it per pair
     # (see pq_topk). NULLs sort last under desc: identical results.
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rank") <= k) & F.col("cosine").isNotNull())
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def fit_ivfpq_sampled(
+    candidates: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    m: int = 16,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Hash-sampled IVF-PQ index — ``fit_ivfpq`` with BOTH Lloyd stages
+    replaced by the deterministic (md5(id), id)-order corpus sample, so
+    the full IVF×PQ composition becomes value-for-value reproducible by
+    an SQL twin (round-7 verdict item 5; the two axes were previously
+    only checkable in isolation via ivf_sampled_topk / fit_pq_sampled):
+
+    - coarse centroids: the first ``n_clusters`` non-zero vectors in
+      hash order (exactly ``ivf_sampled_topk``'s quantizer);
+    - residual codebooks: the NEXT ``2^nbits`` vectors in the same
+      order — codeword ``j`` of subspace ``s`` is sample vector ``j``'s
+      residual against its (rounded-cosine argmax) assigned centroid,
+      sliced at subspace ``s``. The offset matters: the first
+      ``n_clusters`` vectors ARE the centroids, assign to themselves
+      (cosine 1.0 is the max), and would yield all-zero residual
+      codebooks — a degenerate reconstruction equal to plain IVF.
+
+    Residuals are computed where the assignment is: the sample rows are
+    collected WITH their Spark-side ``_cid`` (the same literal-centroid
+    argmax expression every candidate gets), and the subtraction
+    ``v[i] - centroid[i]`` is one exact IEEE float64 op identical in
+    driver Python, numpy, and SQL. Bounded collects only
+    (n_clusters + 2^nbits rows)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub, ksub = dim // m, 1 << nbits
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
+    )
+    ctr_rows = (
+        c.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_clusters)
+        .select("_cv")
+        .collect()
+    )
+    if len(ctr_rows) < n_clusters:
+        raise ValueError(
+            f"fit_ivfpq_sampled: {len(ctr_rows)} non-zero vectors < "
+            f"n_clusters={n_clusters}"
+        )
+    centroids = [[float(x) for x in r["_cv"]] for r in ctr_rows]
+    ctr_norms = [_seq_norm(ctr) for ctr in centroids]
+    n_c = len(centroids)
+    samp_rows = (
+        c.withColumn(
+            "_cid",
+            F.lit(n_c - 1)
+            - F.array_max(_sampled_cos_structs(F.col("_cv"), centroids, ctr_norms))[
+                "rc"
+            ],
+        )
+        .orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_clusters + ksub)
+        .select("_cv", "_cid")
+        .collect()
+    )[n_clusters:]
+    if len(samp_rows) < ksub:
+        raise ValueError(
+            f"fit_ivfpq_sampled: {n_c + len(samp_rows)} non-zero vectors < "
+            f"n_clusters + 2^nbits = {n_clusters + ksub}"
+        )
+    resid = [
+        [float(x) - centroids[r["_cid"]][i] for i, x in enumerate(r["_cv"])]
+        for r in samp_rows
+    ]
+    books = [
+        [rv[s * dsub : (s + 1) * dsub] for rv in resid] for s in range(m)
+    ]
+    return centroids, books
+
+
+def ivfpq_sampled_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int | None = 500_000,
+    index: tuple[list[list[float]], list[list[list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k over the hash-sampled index (``fit_ivfpq_sampled``)
+    — the COMPOSITION of the two exactly-SQL-checkable primitives:
+    coarse pruning assigns/probes via the shared rounded-cosine argmax
+    (``_sampled_cos_structs``), compression encodes each candidate's
+    RESIDUAL against its assigned centroid with the left-associative
+    squared-L2 argmin (ties to the lowest code) and scores the exact
+    cosine between query and (centroid + decoded residual). Every stage
+    replays in SQL, so the full IVF×PQ path — not just each axis — is
+    oracle-checkable; the Lloyd-trained ``ivfpq_topk`` remains the
+    production recall path and shares the Arrow-batched
+    ``_pq_codes``/``_pq_recon`` kernels and the plan shape (JVM join
+    key, one UDF pass per candidate, broadcast query side,
+    post-window NULL guard)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    _guard_query_count(queries, max_queries, "ivfpq_sampled_topk")
+    if index is None:
+        index = fit_ivfpq_sampled(
+            candidates, dim, n_clusters=n_clusters, m=m, nbits=nbits,
+            id_col=id_col, vec_col=vec_col,
+        )
+    centroids, books_l = index
+    ctr_norms = [_seq_norm(ctr) for ctr in centroids]
+    n_c = len(centroids)
+    centers = np.array(centroids, dtype=np.float64)  # (C, dim)
+    books = np.array(books_l, dtype=np.float64)  # (m, ksub, dsub)
+    bc = candidates.sparkSession.sparkContext.broadcast((centers, books))
+
+    c = _nonzero_vectors(
+        ensure_parallelism(candidates).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
+    )
+    # JVM argmax join key with the never-firing coalesce(-1) — the
+    # nullable-key double-eval and UDF-key serial-encode pathologies are
+    # documented at ivf_sampled_topk / ivfpq_topk and apply unchanged
+    cc = c.withColumn(
+        "_cid",
+        F.coalesce(
+            F.lit(n_c - 1)
+            - F.array_max(
+                _sampled_cos_structs(F.col("_cv"), centroids, ctr_norms)
+            )["rc"],
+            F.lit(-1),
+        ),
+    )
+
+    def _recon(vecs: pd.Series, cids: pd.Series) -> pd.Series:
+        C, B = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        Xb = np.stack(vecs.to_numpy()).astype(np.float64)
+        cid = cids.to_numpy(dtype=np.int64)
+        R = (Xb - C[cid]).reshape(len(Xb), m, dsub)
+        recon = C[cid] + _pq_recon(_pq_codes(R, B), B)
+        return pd.Series(list(recon))
+
+    _recon.__annotations__ = {"vecs": pd.Series, "cids": pd.Series, "return": pd.Series}
+    recon_udf = pandas_udf("array<double>")(_recon)
+    enc = cc.select(
+        "neighbor_id", "_cid",
+        recon_udf(F.col("_cv"), F.col("_cid")).alias("_rv"),
+    ).withColumn("_cn", _norm(F.col("_rv")))
+    q = (
+        _nonzero_vectors(
+            queries.select(
+                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            ),
+            "_qv",
+        )
+        .withColumn(
+            "_cid",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(
+                            F.sort_array(
+                                _sampled_cos_structs(
+                                    F.col("_qv"), centroids, ctr_norms
+                                )
+                            )
+                        ),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: F.lit(n_c - 1) - s["rc"],
+                )
+            ),
+        )
+        .withColumn("_qn", _norm(F.col("_qv")))
+    )
+    scored = (
+        enc.join(F.broadcast(q), "_cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", _pair_cosine(cv="_rv"))
+    )
+    # post-window NULL guard: see pq_topk
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

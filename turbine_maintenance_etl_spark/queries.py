@@ -144,6 +144,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_ivfpq_topk",
     "sim_ivf_sampled_topk",  # r7: IVF family's exactly-SQL-checkable member
     "sim_pq_sampled_topk",   # r7: same for the PQ/compression axis
+    "sim_ivfpq_sampled_topk",  # r8: the composed IVF x PQ oracle axis
     # -- beyond the grade window: the original single-operator entries
     # -- (suite-graded above, still selfchecked here), then never-graded
     # -- extensions ------------------------------------------------------
@@ -161,6 +162,7 @@ PRIORITY_ORDER: list[str] = [
     "a5_a7_distinct_global_stats",
     "a11_grouped_error_metrics",
     "a12_a14_quantile_corr",
+    "a12_approx_quantiles",  # r8: the documented at-scale percentile variant
     "a13_a15_histogram_binning",
     "s_acid_table_changes",
     "s_acid_stream_tail",
@@ -764,6 +766,50 @@ def a12_a14_quantile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(price_pp[1], 4).alias("price_p75"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
         F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+    )
+
+
+@register(
+    "a12_approx_quantiles",
+    """
+    SELECT ROUND(CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE), 4)       AS qty_median,
+           ROUND(CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE), 4) AS price_p25,
+           ROUND(CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE), 4) AS price_p75
+    FROM lineitem
+    """,
+)
+def a12_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12's AT-SCALE variant — the exact-vs-approx percentile policy
+    (round-7 verdict watch item 2):
+
+    - ``a12_a14_quantile_corr`` (the §2-parity entry) uses Spark's exact
+      ``Percentile``, which keeps a value->count map per group. Correct
+      for reference parity, but on distinct-heavy double columns at
+      100 TB that map is O(distinct values) per aggregation buffer —
+      the one §2 primitive with an executor-memory cliff.
+    - THIS entry is the documented at-scale alternative:
+      ``percentile_approx`` (Greenwald-Khanna sketch, SPARK-16283) with
+      bounded O(accuracy) memory per buffer regardless of cardinality,
+      rank error <= 1/accuracy. Library policy: exact for parity paths
+      and test-scale oracles; approx for anything user-facing at
+      corpus scale, accuracy chosen so 1/accuracy is under the
+      consumer's tolerance.
+
+    Exactly oracle-checkable here because accuracy (1e6) exceeds the
+    row count at every test SF, where the GK sketch degenerates to the
+    exact DISCRETE quantile — DuckDB's ``quantile_disc`` (empirically
+    bit-identical at sf0.01/sf0.1; the approximation property at
+    accuracy << N is pinned separately in tests/test_ops.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_pp = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(1_000_000)
+    )
+    return li.agg(
+        F.round(
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1_000_000)), 4
+        ).alias("qty_median"),
+        F.round(price_pp[0], 4).alias("price_p25"),
+        F.round(price_pp[1], 4).alias("price_p75"),
     )
 
 

@@ -978,6 +978,133 @@ def sim_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, queries, dim=64, k=5, m=16, nbits=4, codebooks=books)
 
 
+def _ivfpq_sampled_oracle(
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    max_qid: int = 20,
+    dim: int = 64,
+    m: int = 16,
+    nbits: int = 4,
+) -> str:
+    dsub, ksub = dim // m, 1 << nbits
+    cos = _COS
+    # residual codeword j of subspace s: (sample vector - its assigned
+    # centroid) sliced — explicit element lists so every subtraction is
+    # the same single IEEE op the Spark/numpy side executes
+    cw_cv = (
+        "["
+        + ", ".join(
+            f"sc.v[ss.s*{dsub}+{j}] - c2.cv[ss.s*{dsub}+{j}]"
+            for j in range(1, dsub + 1)
+        )
+        + "]"
+    )
+    # encode argmin: LEFT-ASSOCIATIVE squared-L2 between the candidate's
+    # residual subvector and the codeword (numpy's small-axis .sum(-1)
+    # folds sequentially too — the _pq_sampled_oracle contract)
+    dist = " + ".join(
+        f"((a.v[cw.s*{dsub}+{j}] - actr.cv[cw.s*{dsub}+{j}]) - cw.cv[{j}])"
+        f" * ((a.v[cw.s*{dsub}+{j}] - actr.cv[cw.s*{dsub}+{j}]) - cw.cv[{j}])"
+        for j in range(1, dsub + 1)
+    )
+    recon_rv = (
+        "[" + ", ".join(f"actr.cv[{i}] + rr.rr[{i}]" for i in range(1, dim + 1)) + "]"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nz AS (SELECT vec_id, v FROM e
+           WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
+    ord AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rn
+        FROM nz),
+    ctr AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS cv
+            FROM ord WHERE rn <= {n_clusters}),
+    asg AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT nz.vec_id, nz.v, ctr.cid,
+                   ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+                        ORDER BY ROUND({cos.format(a="nz.v", b="ctr.cv")}, 6)
+                            DESC, ctr.cid) AS arn
+            FROM nz CROSS JOIN ctr) WHERE arn = 1),
+    smpl AS (SELECT vec_id, v, rn FROM ord
+             WHERE rn > {n_clusters} AND rn <= {n_clusters + ksub}),
+    cw AS (
+        SELECT ss.s AS s, CAST(sc.rn - {n_clusters + 1} AS INT) AS code,
+               {cw_cv} AS cv
+        FROM (SELECT sm.vec_id, sm.v, sm.rn, a.cid
+              FROM smpl sm JOIN asg a USING (vec_id)) sc
+        JOIN ctr c2 ON sc.cid = c2.cid,
+        generate_series(0, {m - 1}) AS ss(s)),
+    enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT a.vec_id, cw.s, cw.code,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id, cw.s
+                        ORDER BY {dist}, cw.code) AS arn
+            FROM asg a JOIN ctr actr ON a.cid = actr.cid CROSS JOIN cw)
+        WHERE arn = 1),
+    rres AS (
+        SELECT en.vec_id, flatten(list(c3.cv ORDER BY en.s)) AS rr
+        FROM enc en JOIN cw c3 ON en.s = c3.s AND en.code = c3.code
+        GROUP BY en.vec_id),
+    recon AS (
+        SELECT a.vec_id, a.cid, {recon_rv} AS rv
+        FROM rres rr JOIN asg a ON rr.vec_id = a.vec_id
+        JOIN ctr actr ON a.cid = actr.cid),
+    qp AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT nz.vec_id AS query_id, nz.v AS qv, ctr.cid,
+                   ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+                        ORDER BY ROUND({cos.format(a="nz.v", b="ctr.cv")}, 6)
+                            DESC, ctr.cid) AS prn
+            FROM nz CROSS JOIN ctr WHERE nz.vec_id < {max_qid})
+        WHERE prn <= {n_probe}),
+    scored AS (
+        SELECT qp.query_id, r.vec_id AS neighbor_id,
+               ROUND({cos.format(a="qp.qv", b="r.rv")}, 6) AS cosine
+        FROM qp JOIN recon r USING (cid)
+        WHERE r.vec_id <> qp.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {k} AND cosine IS NOT NULL
+    """
+
+
+@register("sim_ivfpq_sampled_topk", _ivfpq_sampled_oracle())
+def sim_ivfpq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with the FULLY hash-sampled index
+    (llm/similarity.py:fit_ivfpq_sampled / ivfpq_sampled_topk) — the
+    COMPOSITION of the two round-7 sampled primitives, closing the
+    IVF×PQ oracle axis (round-7 verdict item 5): coarse centroids are
+    the first n_clusters vectors in portable md5(id) order (the
+    sim_ivf_sampled_topk quantizer), residual codebooks are the NEXT
+    2^nbits vectors' residuals against their assigned centroid (the
+    sim_pq_sampled_topk sampling applied to residuals), and the DuckDB
+    twin replays centroid pick → rounded-cosine assignment → residual
+    codeword derivation → left-associative squared-L2 encode →
+    centroid+residual reconstruction → probed asymmetric cosine top-k
+    value-for-value. The Lloyd-trained sim_ivfpq_topk remains the
+    recall path; kernels and plan shape are shared."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = _cached_index(
+        ("ivfpq_sampled", sf_dir, 64, 16, 16, 4),
+        lambda: S.fit_ivfpq_sampled(emb, dim=64, n_clusters=16, m=16, nbits=4),
+    )
+    return S.ivfpq_sampled_topk(
+        emb, queries, dim=64, k=5, n_clusters=16, n_probe=4, m=16, nbits=4,
+        index=index,
+    )
+
+
 @register("embed_pca_whiten", None)  # SVD fit: rows-only check (pytest pins vs numpy)
 def embed_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding post-processing chain (llm/embed.py): L2-normalize ->
