@@ -85,3 +85,41 @@ def test_registry_entry_confusion_matrix(spark):
     total = sum(r.n_docs for r in cm)
     correct = sum(r.n_docs for r in cm if r.label == r.predicted)
     assert total > 50 and correct / total >= 0.75
+
+
+def test_hashed_linear_scores_edges_and_plan(spark):
+    """The frozen-weights portable scorer: NULL/empty text scores
+    sigmoid(bias) (the empty document), bag semantics count token
+    multiplicity, and the plan is a narrow map — no shuffle Exchange,
+    no Python in the row path."""
+    import contextlib
+    import io
+    import math
+
+    from turbine_maintenance_etl_spark.llm.classify import (
+        hashed_linear_scores,
+        seeded_linear_weights,
+    )
+
+    w = seeded_linear_weights(16, seed=7)
+    bias = -0.25
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello"), (4, "hello hello")],
+        "doc_id long, text string",
+    )
+    scored = hashed_linear_scores(docs, w, bias=bias)
+    got = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    base = round(1.0 / (1.0 + math.exp(-bias)), 6)
+    assert got[1] == base and got[2] == base
+    # bag semantics: doc 4's margin moves twice as far from bias as doc 3's
+    import hashlib
+
+    idx = int(hashlib.md5(b"hello").hexdigest()[:15], 16) % 16
+    assert got[3] == round(1.0 / (1.0 + math.exp(-(bias + w[idx]))), 6)
+    assert got[4] == round(1.0 / (1.0 + math.exp(-(bias + w[idx] + w[idx]))), 6)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

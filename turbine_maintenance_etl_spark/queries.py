@@ -215,6 +215,7 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_chunk_embed_ann",
     "curation_source_mix",
     "quality_classifier_filter",
+    "quality_classifier_scoring",  # r8: frozen-weights scoring, full oracle
     "streaming_tumbling_window",
     "streaming_foreachbatch_upsert",
     "events_sliding_window",

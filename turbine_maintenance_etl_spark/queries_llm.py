@@ -1381,6 +1381,59 @@ def export_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_scoring_oracle(
+    num_features: int = 128, bias: float = -0.25, seed: int = 42
+) -> str:
+    from turbine_maintenance_etl_spark.llm.classify import seeded_linear_weights
+
+    w = seeded_linear_weights(num_features, seed)
+    h = _DUCK_HASH64.format(s="t")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, COALESCE({_DUCK_TOKS}, []) AS tk FROM documents),
+    m AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST({bias!r} AS DOUBLE),
+                       list_transform(tk,
+                           t -> ({w!r}::DOUBLE[])[CAST({h} % {num_features} AS INT) + 1])),
+                   (a, b) -> a + b) AS margin
+        FROM toks)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-margin)), 6) AS quality_prob,
+           CAST(ROUND(1.0 / (1.0 + exp(-margin)), 6) > 0.5 AS BIGINT) AS kept
+    FROM m
+    """
+
+
+@register("quality_classifier_scoring", _classifier_scoring_oracle())
+def quality_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gate SCORING with frozen weights
+    (llm/classify.py:hashed_linear_scores) — the family's exactly-SQL-
+    checkable member (round-7 verdict item 8): feature hashing
+    (portable md5 hash % D), sparse dot as one left-to-right fold over
+    the token bag, sigmoid, threshold gate — every step replayed
+    value-for-value by the DuckDB twin over the SAME weight literals.
+    The trained MLlib path (quality_classifier_filter) stays the
+    production gate; this entry pins the scoring machinery the trained
+    weights flow through."""
+    from turbine_maintenance_etl_spark.llm.classify import (
+        hashed_linear_scores,
+        seeded_linear_weights,
+    )
+
+    scored = hashed_linear_scores(
+        _t(spark, sf_dir, "documents"),
+        weights=seeded_linear_weights(128, 42),
+        bias=-0.25,
+    )
+    return scored.select(
+        "doc_id",
+        "quality_prob",
+        (F.col("quality_prob") > 0.5).cast("bigint").alias("kept"),
+    )
+
+
 @register("quality_classifier_filter", None)  # learned model -> rows-only check
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality gate (llm/classify.py): weak-label the corpus
