@@ -73,7 +73,10 @@ def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
     for _ in range(runs):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        # noop-sink materialize (the round-7 bench fix): count() lets
+        # Catalyst prune computed columns, which would understate the
+        # 8x side exactly where the probe is looking for super-linearity
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return best
 
