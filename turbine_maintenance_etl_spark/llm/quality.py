@@ -221,18 +221,26 @@ def fuzzy_decontamination(
         .select(id_col, bench_id_col)
         .distinct()
     )
-    d_sh = docs.select(F.col(id_col), shingles(text_col, n).alias("_sh_d"))
     b_sh = benchmark.select(
         F.col(id_col).alias(bench_id_col), shingles(text_col, n).alias("_sh_b")
     )
     # The candidate list is broadcast for the corpus-side verify join:
     # with capped benchmark buckets it scales with the contamination
     # rate (collisions against a tiny eval set), not the corpus, so the
-    # corpus is never shuffled — one map-side scan computes shingles
-    # and probes both broadcast sides. (A corpus whose benchmark hit
-    # list overflows a broadcast isn't a decontamination problem —
-    # run near-dup DEDUP first.)
-    pairs = d_sh.join(F.broadcast(cand), id_col).join(F.broadcast(b_sh), bench_id_col)
+    # corpus is never shuffled — one map-side scan probes both broadcast
+    # sides. (A corpus whose benchmark hit list overflows a broadcast
+    # isn't a decontamination problem — run near-dup DEDUP first.)
+    # Corpus shingles are computed AFTER the candidate join, so the
+    # verify stage re-shingles only the hit candidates, not the whole
+    # corpus — Catalyst does not move a projection below a join on its
+    # own, so projecting first paid a second full-corpus shingle pass
+    # on top of the signature pipeline's (round-8 plan pass).
+    pairs = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(F.broadcast(cand), id_col)
+        .withColumn("_sh_d", shingles(text_col, n))
+        .join(F.broadcast(b_sh), bench_id_col)
+    )
     inter = F.size(
         F.filter(F.col("_sh_d"), lambda x: F.array_contains(F.col("_sh_b"), x))
     )
