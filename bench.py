@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "sim_ivfpq_sampled_topk",
     "quality_classifier_scoring",
     "a12_approx_quantiles",
+    # round-8 session-2 additions: BM25 lexical retrieval, the
+    # encoder-value-checked chunk->embed->inverted-index chain, and the
+    # exact per-stratum quota sample
+    "text_bm25_topk",
+    "pipeline_chunk_embed_retrieval",
+    "sample_stratified_exact",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

@@ -26,9 +26,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 
 
-def _encode(texts: pd.Series, dim: int) -> np.ndarray:
+def _encode(texts: pd.Series, dim: int, normalize: bool = True) -> np.ndarray:
     """Signed feature-hashing encoder: deterministic fake with real
-    embedding geometry (shared tokens → higher cosine)."""
+    embedding geometry (shared tokens → higher cosine).
+
+    ``normalize=False`` keeps the raw signed counts — every component is
+    then a small INTEGER (exactly representable in float32), which makes
+    dot products bit-exact across engines and lets the whole encode →
+    retrieve chain be value-checked against a SQL replay of the md5
+    bucket/sign math (queries_llm.pipeline_chunk_embed_retrieval)."""
     out = np.zeros((len(texts), dim), dtype=np.float32)
     for row, text in enumerate(texts.fillna("")):
         for tok in text.split():
@@ -36,8 +42,9 @@ def _encode(texts: pd.Series, dim: int) -> np.ndarray:
             bucket = int.from_bytes(h[:4], "big") % dim
             sign = 1.0 if h[4] & 1 else -1.0
             out[row, bucket] += sign
-    norms = np.linalg.norm(out, axis=1, keepdims=True)
-    np.divide(out, norms, out=out, where=norms > 0)
+    if normalize:
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
     return out
 
 
@@ -47,6 +54,7 @@ def embed_text(
     text_col: str = "text",
     dim: int = 64,
     batch_rows: int = 1024,
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, text, ...) -> (id, embedding array<float>): the encoder UDF
     surface. Selects only (id, text) BEFORE the Python boundary so Arrow
@@ -58,7 +66,7 @@ def embed_text(
         for pdf in it:
             for start in range(0, len(pdf), batch_rows):
                 part = pdf.iloc[start : start + batch_rows]
-                vecs = _encode(part[text_col], dim)
+                vecs = _encode(part[text_col], dim, normalize)
                 yield pd.DataFrame(
                     {id_col: part[id_col].to_numpy(), "embedding": list(vecs)}
                 )

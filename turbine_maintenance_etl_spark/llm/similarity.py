@@ -156,6 +156,86 @@ def brute_force_topk(
     )
 
 
+def inverted_index_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    group_col: str | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Sparse dot-product top-k via an INVERTED INDEX over vector
+    components — the classic sparse-retrieval plan (Lucene/impact-index
+    shape), expressed relationally.
+
+    Both sides posexplode their vectors into (id, component, weight)
+    rows with zero weights dropped; a broadcast equi-join on the
+    component index + a (query, candidate) sum-aggregate computes every
+    dot product that can be non-structurally-zero. Pairs sharing no
+    non-zero component are never materialized — for sparse vectors this
+    is O(nnz_q x avg_postings) instead of brute force's O(Q x N x dim).
+
+    Weights are cast to BIGINT (the hashing encoder with
+    ``normalize=False`` emits exact small integers), so scores are
+    integer-exact across engines — no float rounding anywhere. Pairs
+    must score > 0 to rank (a dot that cancels to 0 carries no
+    similarity evidence); ties break on candidate id.
+
+    Scale: the candidate posting list is the big side and NEVER
+    shuffles — the query side is broadcast (and guarded), so the join
+    preserves candidate partitioning and the only wide operator in the
+    plan is the (query_id, neighbor_id) score aggregate, which
+    partial-aggregates map-side before its single exchange; the top-k
+    window then prunes via WindowGroupLimit (plan-verified in
+    tests/test_retrieval_ops.py). ``group_col`` (e.g. the parent doc of
+    a chunk) excludes same-group matches — retrieval must not answer a
+    chunk with its own document.
+    """
+    _guard_query_count(queries, max_queries, "inverted_index_topk")
+    q_extra = [F.col(group_col).alias("_qg")] if group_col else []
+    c_extra = [F.col(group_col).alias("_cg")] if group_col else []
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.posexplode(vec_col).alias("_comp", "_w"), *q_extra
+        )
+        .filter(F.col("_w") != 0.0)
+        .select(
+            query_id_col,
+            "_comp",
+            F.col("_w").cast("bigint").alias("_qw"),
+            *(["_qg"] if group_col else []),
+        )
+    )
+    c = (
+        ensure_parallelism(candidates)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(vec_col).alias("_comp", "_w"),
+            *c_extra,
+        )
+        .filter(F.col("_w") != 0.0)
+        .withColumn("_cw", F.col("_w").cast("bigint"))
+    )
+    joined = c.join(q, "_comp")
+    if group_col:
+        joined = joined.filter(F.col("_cg") != F.col("_qg"))
+    else:
+        joined = joined.filter(F.col("neighbor_id") != F.col(query_id_col))
+    scored = (
+        joined.groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum(F.col("_qw") * F.col("_cw")).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score", "rank")
+    )
+
+
 def random_hyperplanes(dim: int, num_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Seeded Gaussian hyperplanes for SRP-LSH, as plain literals so the
     same planes embed into any engine's SQL (oracle parity)."""

@@ -176,6 +176,93 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents per query — the lexical
+    ranking function behind retrieval-based curation (hard-negative
+    mining, benchmark-similarity screens, RAG baselines).
+
+    score(q, d) = Σ_{t ∈ q} ln(1 + (N - df + .5)/(df + .5))
+                  · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    summed over the query's UNIQUE terms (whitespace tokens). Output:
+    (query_id, doc_id, score, rank), rank ≤ k, ties on doc_id.
+
+    Scale shape: ONE corpus-wide (doc, term) shuffle builds the TF
+    table; everything query-dependent happens on term-filtered slices.
+    The semi-join on query terms is broadcast and pushes into the TF
+    aggregate's output, so the per-term DF counts and the scoring join
+    touch only postings for queried terms — the inverted-index access
+    pattern, never a second corpus scan. N/avgdl ride as a broadcast
+    1-row aggregate (no driver collect). Scores are exact-integer
+    ratios fed through ln once per term, rounded to 6 dp AFTER the
+    per-query sum (the registry determinism rule)."""
+    spark = df.sparkSession
+    qterms = sorted(
+        {(qid, t) for qid, qtext in queries for t in str(qtext).split() if t}
+    )
+    if not qterms:
+        raise ValueError("bm25_topk needs at least one non-empty query")
+    qdf = F.broadcast(
+        spark.createDataFrame(qterms, schema=f"query_id string, term string")
+    )
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    )
+    # N and avgdl over the WHOLE corpus (zero-token docs included): both
+    # are exact-integer aggregates in fp64 at any realistic scale, so
+    # the derived doubles are bit-identical across engines
+    stats = F.broadcast(
+        toks.agg(
+            F.count("*").cast("double").alias("_n_docs"),
+            F.avg(F.size("_toks")).alias("_avgdl"),
+        )
+    )
+    # Barrier the TF postings: BOTH the per-term DF counts and the
+    # scoring join consume them, and un-barriered each consumer would
+    # re-run the corpus explode + shuffle (the multi-consumer recompute
+    # r7 fixed across the LM/LSH entries). The frame is tiny — postings
+    # for queried terms only.
+    from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+    tf = barrier(
+        toks.select(
+            F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
+        .join(qdf.select("term").distinct(), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf")),
+        tag="bm25-tf",
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(qdf, "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(stats)
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -11,7 +11,7 @@ stored assignment table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,6 +54,41 @@ def stratified_sample(
     sources / languages without a shuffle — each partition filters its own
     rows against the stratum fraction."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT per-stratum sampling: precisely ``min(n, stratum_size)``
+    rows from every stratum, chosen by md5-hash order of the id — the
+    quota-sampling complement to ``stratified_sample``'s Bernoulli
+    fractions (which only hit quotas in expectation; balancing a
+    mixture or building an eval slice needs exact counts per
+    language/source cell).
+
+    Deterministic and engine-portable (hash order, not RNG), so the
+    SAME rows are selected on any engine/cluster layout — rerunning
+    after an append only admits new rows that hash below the incumbent
+    cutoff. One shuffle on the strata key; the rank window never sees a
+    SinglePartition because strata partition it. Skewed strata are
+    bounded by the quota: the window's sort is top-n (rank ≤ n prunes
+    via WindowGroupLimit), so a billion-row stratum costs a partial
+    top-n per map task, not a full sort."""
+    order = F.md5(
+        F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")), F.lit(salt)
+        )
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
 
 
 def deterministic_downsample(

@@ -213,6 +213,8 @@ PRIORITY_ORDER: list[str] = [
     "text_repetition_signals",
     "pipeline_corpus_curation",
     "pipeline_chunk_embed_ann",
+    "pipeline_chunk_embed_retrieval",  # r8: encoder value-checked via SQL md5 replay
+    "text_bm25_topk",  # r8: Okapi BM25 retrieval, full oracle
     "curation_source_mix",
     "quality_classifier_filter",
     "quality_classifier_scoring",  # r8: frozen-weights scoring, full oracle
@@ -238,6 +240,7 @@ PRIORITY_ORDER: list[str] = [
     "split_hash_80_20",
     "sample_join_stable_downsample",
     "sample_weighted_topk",
+    "sample_stratified_exact",  # r8: exact per-stratum quota sample, full oracle
     "p_melt_unpivot",
     "f_json_struct_parse",
     "gen_calendar_dim",

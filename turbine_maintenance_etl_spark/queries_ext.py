@@ -1214,3 +1214,29 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "sample_stratified_exact",
+    """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) WHERE rn <= 10
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum quota sample (ops/sampling.py
+    stratified_exact_sample): precisely min(10, |stratum|) documents per
+    (lang, source) cell, selected by md5-hash order of doc_id — the
+    deterministic complement to Bernoulli sampleBy for mixture
+    balancing and eval-slice construction. The oracle hash-checks the
+    exact membership (same rows on any engine), not just the counts;
+    the rank window prunes as top-n per stratum (WindowGroupLimit), so
+    a skewed billion-row stratum costs a partial top-n per map task,
+    never a full sort."""
+    from turbine_maintenance_etl_spark.ops.sampling import stratified_exact_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_exact_sample(docs, ["lang", "source"], 10, "doc_id")

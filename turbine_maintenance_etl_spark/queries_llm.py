@@ -2575,3 +2575,154 @@ def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cluster_aware_split(_t(spark, sf_dir, "documents")).select(
         "doc_id", "rep_id", "split"
     )
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH qterms(query_id, term) AS (
+        VALUES ('q_scan', 'table'), ('q_scan', 'scan'), ('q_scan', 'merge'),
+               ('q_sort', 'spark'), ('q_sort', 'sort'), ('q_sort', 'window'),
+               ('q_agg', 'agg'), ('q_agg', 'hash'), ('q_agg', 'value')),
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(len(toks)) AS avgdl FROM toks),
+    tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM toks)
+        WHERE term IN (SELECT DISTINCT term FROM qterms)
+        GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                   LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf JOIN qterms q USING (term) JOIN dfreq d USING (term)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, tf.doc_id),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus (llm/text.py:bm25_topk):
+    top-5 documents for three fixed keyword queries. The lexical-ranking
+    workhorse behind retrieval-based curation (hard-negative mining,
+    benchmark-similarity screens). One corpus (doc, term) shuffle builds
+    the postings; everything else runs on broadcast term-filtered
+    slices — the oracle replays the full idf/length-normalization
+    arithmetic."""
+    return TX.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        queries=[
+            ("q_scan", "table scan merge"),
+            ("q_sort", "spark sort window"),
+            ("q_agg", "agg hash value"),
+        ],
+        k=5,
+    )
+
+
+_DUCK_EMB_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(term), 7, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(term), 8, 1)) - 1)) % 64"
+)
+_DUCK_EMB_SIGN = (
+    "CASE WHEN (strpos('0123456789abcdef', substr(md5(term), 10, 1)) - 1) % 2 = 1"
+    " THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "pipeline_chunk_embed_retrieval",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               UNNEST(list_filter(generate_series(1, len(toks), 28),
+                                  st -> st = 1 OR st + 4 <= len(toks))) AS st
+        FROM t WHERE len(toks) > 0),
+    chunks AS (
+        SELECT doc_id,
+               doc_id * 10000
+                   + ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1
+                   AS cid,
+               toks[st : st + 31] AS ctoks
+        FROM s),
+    feat AS (
+        SELECT cid, doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS w FROM (
+            SELECT cid, doc_id,
+                   {_DUCK_EMB_BUCKET} AS bucket, {_DUCK_EMB_SIGN} AS sign
+            FROM (SELECT cid, doc_id, UNNEST(ctoks) AS term FROM chunks))
+        GROUP BY cid, doc_id, bucket HAVING SUM(sign) <> 0),
+    pairs AS (
+        SELECT q.cid AS query_id, c.cid AS neighbor_id,
+               CAST(SUM(q.w * c.w) AS BIGINT) AS score
+        FROM feat q JOIN feat c USING (bucket)
+        WHERE q.doc_id < 20 AND c.doc_id <> q.doc_id
+        GROUP BY q.cid, c.cid HAVING SUM(q.w * c.w) > 0),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pairs)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def pipeline_chunk_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RAG chain — chunk (32/4) -> mapInPandas hashing
+    encoder -> inverted-index dot-product top-3 — with the PYTHON
+    ENCODER ITSELF value-checked: ``normalize=False`` keeps the encoder
+    output exact-integer, and the DuckDB twin replays the md5
+    bucket/sign math token by token, so a single flipped bucket or sign
+    anywhere in the UDF path hash-mismatches. This closes the gap that
+    keeps pipeline_chunk_embed_ann rows-only (float cosine after L2
+    normalization isn't bit-portable; integer dot products are).
+
+    Queries are every chunk of docs 0-19; candidates the whole chunked
+    corpus; same-document matches excluded (retrieval must not answer a
+    chunk with its own document)."""
+    from turbine_maintenance_etl_spark.llm.embed import embed_text
+    from turbine_maintenance_etl_spark.llm.similarity import inverted_index_topk
+    from turbine_maintenance_etl_spark.llm.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=4).withColumn(
+        "cid", F.col("doc_id") * 10_000 + F.col("chunk_id")
+    )
+    emb = embed_text(
+        chunks, id_col="cid", text_col="chunk_text", dim=64, normalize=False
+    ).withColumn("gdoc", F.expr("cid DIV 10000"))
+    # Query side filtered BEFORE its encoder: mapInPandas is opaque to
+    # Catalyst, so a post-encode filter would re-encode the WHOLE corpus
+    # on the broadcast subtree just to keep 20 docs' chunks.
+    q_emb = embed_text(
+        chunks.filter(F.col("doc_id") < 20),
+        id_col="cid",
+        text_col="chunk_text",
+        dim=64,
+        normalize=False,
+    )
+    queries = q_emb.select(
+        F.col("cid").alias("query_id"), "embedding", F.expr("cid DIV 10000").alias("gdoc")
+    )
+    return inverted_index_topk(
+        emb,
+        queries,
+        k=3,
+        id_col="cid",
+        vec_col="embedding",
+        group_col="gdoc",
+        # bounded by construction (chunks of docs 0-19); skipping the
+        # guard saves a count job that would run the query-side encoder
+        max_queries=None,
+    )
