@@ -26,6 +26,28 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 
 
+# Per-process token-feature memo: corpora are zipfian, so the distinct
+# vocabulary is tiny relative to token occurrences — one md5 per UNIQUE
+# (token, dim) per executor process instead of one per occurrence.
+# Bounded defensively (adversarial all-unique-token data would otherwise
+# grow it with the corpus); a clear-on-full is fine because the cache is
+# a pure function memo, never state.
+_TOK_FEATURE_CACHE: dict[tuple[str, int], tuple[int, float]] = {}
+_TOK_FEATURE_CACHE_MAX = 1 << 20
+
+
+def _tok_feature(tok: str, dim: int) -> tuple[int, float]:
+    key = (tok, dim)
+    hit = _TOK_FEATURE_CACHE.get(key)
+    if hit is None:
+        h = hashlib.md5(tok.encode("utf-8")).digest()
+        hit = (int.from_bytes(h[:4], "big") % dim, 1.0 if h[4] & 1 else -1.0)
+        if len(_TOK_FEATURE_CACHE) >= _TOK_FEATURE_CACHE_MAX:
+            _TOK_FEATURE_CACHE.clear()
+        _TOK_FEATURE_CACHE[key] = hit
+    return hit
+
+
 def _encode(texts: pd.Series, dim: int, normalize: bool = True) -> np.ndarray:
     """Signed feature-hashing encoder: deterministic fake with real
     embedding geometry (shared tokens → higher cosine).
@@ -35,13 +57,15 @@ def _encode(texts: pd.Series, dim: int, normalize: bool = True) -> np.ndarray:
     dot products bit-exact across engines and lets the whole encode →
     retrieve chain be value-checked against a SQL replay of the md5
     bucket/sign math (queries_llm.pipeline_chunk_embed_retrieval)."""
+    from collections import Counter
+
     out = np.zeros((len(texts), dim), dtype=np.float32)
     for row, text in enumerate(texts.fillna("")):
-        for tok in text.split():
-            h = hashlib.md5(tok.encode("utf-8")).digest()
-            bucket = int.from_bytes(h[:4], "big") % dim
-            sign = 1.0 if h[4] & 1 else -1.0
-            out[row, bucket] += sign
+        # count first: one feature lookup per unique token per row, and
+        # += count keeps the accumulation exact (ties are integers)
+        for tok, n in Counter(text.split()).items():
+            bucket, sign = _tok_feature(tok, dim)
+            out[row, bucket] += sign * n
     if normalize:
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.divide(out, norms, out=out, where=norms > 0)
