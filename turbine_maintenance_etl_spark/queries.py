@@ -107,8 +107,12 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_curation_v2",
     "sim_topk_suite",              # r5: brute + lsh + multiprobe
     "dedup_containment",
-    "quality_psi_drift",
-    "text_tfidf_top_terms",
+    # -- round-8 session-2 swaps (WINDOW_CHANGELOG): the encoder-value-
+    # -- checked RAG chain (the only driver-hash-checked Python-UDF path)
+    # -- replaces the non-§2 PSI monitor; BM25 upgrades the TF-IDF slot
+    # -- within the lexical-statistics family (strictly more machinery)
+    "pipeline_chunk_embed_retrieval",
+    "text_bm25_topk",
     "curation_temperature_mix",
     "scd2_event_tier_history",
     "pipeline_sequence_packing",
@@ -137,7 +141,11 @@ PRIORITY_ORDER: list[str] = [
     # -- the reference has no JSON functions; the JSON surface stays
     # -- covered below the window by f_json_struct_parse/udtf_json_pairs)
     "pipeline_curation_v3",
-    # -- below the window from here. ivfpq stays rows-only
+    # -- below the window from here: first the round-8 session-2
+    # -- swap-outs (still full-oracle, selfchecked every round)
+    "quality_psi_drift",
+    "text_tfidf_top_terms",
+    # -- ivfpq stays rows-only
     # -- (Lloyd-refined k-means is not SQL-expressible — the sampled-
     # -- quantizer entries pin the IVF/PQ machinery exactly instead)
     "f_json_extract",
@@ -213,8 +221,6 @@ PRIORITY_ORDER: list[str] = [
     "text_repetition_signals",
     "pipeline_corpus_curation",
     "pipeline_chunk_embed_ann",
-    "pipeline_chunk_embed_retrieval",  # r8: encoder value-checked via SQL md5 replay
-    "text_bm25_topk",  # r8: Okapi BM25 retrieval, full oracle
     "curation_source_mix",
     "quality_classifier_filter",
     "quality_classifier_scoring",  # r8: frozen-weights scoring, full oracle
