@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "pipeline_chunk_embed_retrieval",
     "sample_stratified_exact",
+    # round-8: the progressive-JPEG proof entry (format-mixed corpus)
+    "dedup_image_phash_jpeg_progressive",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

@@ -98,13 +98,81 @@ def test_rejects_non_jpeg_and_truncated():
         decode_jpeg_pixels(good[: len(good) // 2])
 
 
-def test_rejects_progressive_sof():
-    # splice an SOF2 marker where SOF0 sits: must raise NotImplementedError
+def test_rejects_arithmetic_sof():
+    # splice an arithmetic-coding SOF9 where SOF0 sits: the arithmetic
+    # mode stays honestly rejected (progressive no longer is — round 8)
     good = bytearray(encode_jpeg_baseline(_gradient(16, 16)[:, :, None], 85))
     i = bytes(good).index(b"\xff\xc0")
-    good[i + 1] = 0xC2
+    good[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(good))
+
+
+# --- progressive (SOF2), round 8 --------------------------------------------
+
+
+def _prog_cases():
+    rng = np.random.default_rng(11)
+    g = _gradient(24, 32)
+    return [
+        ("gray", _gradient(16, 16), False),
+        ("gray-odd", _gradient(13, 19), False),
+        ("gray-noise", rng.integers(0, 256, (24, 24)).astype(np.uint8), False),
+        ("rgb", np.stack([g, 255 - g, ((g.astype(int) * 2) % 256).astype(np.uint8)], 2), False),
+        ("rgb-noise", rng.integers(0, 256, (17, 21, 3)).astype(np.uint8), False),
+        ("rgb-noise-420", rng.integers(0, 256, (17, 21, 3)).astype(np.uint8), True),
+        ("rgb-big-420", rng.integers(0, 256, (64, 48, 3)).astype(np.uint8), True),
+        ("flat", np.full((8, 8), 77, dtype=np.uint8), False),
+        ("tiny", np.array([[200]], dtype=np.uint8), False),
+    ]
+
+
+@pytest.mark.parametrize("quality", [5, 30, 85, 95, 100])
+def test_progressive_equals_baseline_bit_exactly(quality):
+    """The decisive differential: progressive and baseline transmit the
+    SAME quantized coefficients, so their decodes must be IDENTICAL
+    arrays — any coefficient lost anywhere in the DC/AC first or
+    refinement scan machinery (EOB runs, ZRL correction-bit
+    interleaving, successive approximation) breaks this exactly."""
+    from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_progressive
+
+    for name, px, sub in _prog_cases():
+        base = decode_jpeg_pixels(
+            encode_jpeg_baseline(px, quality=quality, subsample=sub)
+        )
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, quality=quality, subsample=sub)
+        )
+        assert np.array_equal(base, prog), (name, quality, sub)
+
+
+def test_progressive_streams_use_eob_runs_and_refinement():
+    """Structural pin: the fixture encoder actually exercises the
+    progressive decoder paths — the stream is SOF2, has >3 scans
+    (spectral bands + refinements), and sparse data produces EOBn
+    run symbols (checked by decoding a stream whose AC bands are
+    mostly empty)."""
+    from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_progressive
+
+    px = np.full((48, 48), 128, dtype=np.uint8)
+    px[::16, ::16] = 255  # sparse detail -> most blocks all-zero AC bands
+    data = encode_jpeg_progressive(px, quality=30)
+    assert data[:2] == b"\xff\xd8" and b"\xff\xc2" in data
+    n_scans = data.count(b"\xff\xda")
+    assert n_scans >= 4, f"expected a multi-scan script, got {n_scans}"
+    out = decode_jpeg_pixels(data)
+    base = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=30))
+    assert np.array_equal(out, base)
+
+
+def test_progressive_through_multimodal_dispatch():
+    from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_progressive
+    from turbine_maintenance_etl_spark.llm.multimodal import decode_image_pixels
+
+    px = _rgb(20, 28)
+    prog = decode_image_pixels(encode_jpeg_progressive(px, quality=95))
+    base = decode_image_pixels(encode_jpeg_baseline(px, quality=95))
+    assert np.array_equal(prog, base)
 
 
 def test_multimodal_dispatch_accepts_jpeg():

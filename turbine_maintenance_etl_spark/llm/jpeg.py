@@ -1,21 +1,29 @@
-"""Baseline JPEG codec, stdlib + numpy only — closes the last honest
-codec gap in the multimodal pipeline (round-6 verdict stretch item 8:
-no PIL/libjpeg/ffmpeg in this container, so the decode path is written
-from the public JPEG spec, ITU-T T.81 / ISO 10918-1).
+"""Baseline + progressive JPEG codec, stdlib + numpy only — closes the
+honest codec gaps in the multimodal pipeline (round-6 verdict stretch
+item 8, extended round 8: no PIL/libjpeg/ffmpeg in this container, so
+both decode paths are written from the public JPEG spec, ITU-T T.81 /
+ISO 10918-1; the progressive scan algorithms follow Annex G.1.2).
 
 Scope — what a bulk feature-extraction pipeline actually meets:
-- DECODE: baseline sequential DCT (SOF0), 8-bit samples, Huffman
-  entropy coding, grayscale or YCbCr (any h/v sampling factors in
-  {1, 2} — 4:4:4, 4:2:2, 4:2:0), restart markers, JFIF/EXIF headers
-  skipped. Progressive (SOF2), arithmetic coding, 12-bit, and
-  hierarchical modes raise NotImplementedError — the callers'
+- DECODE: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+  spectral selection, successive approximation, EOB runs, DC/AC
+  refinement scans, interleaved DC + non-interleaved AC block orders),
+  8-bit samples, Huffman entropy coding, grayscale or YCbCr (any h/v
+  sampling factors in {1, 2} — 4:4:4, 4:2:2, 4:2:0), restart markers,
+  JFIF/EXIF headers skipped. Arithmetic coding, 12-bit, hierarchical
+  and lossless modes raise NotImplementedError — the callers'
   poison-pill handling turns that into a tagged NULL row, same as any
   other unsupported input.
 - ENCODE: baseline sequential, Annex K quantization tables scaled by
   the libjpeg quality formula, Annex K "typical" Huffman tables,
-  4:4:4 or 4:2:0. The encoder exists so the decoder is testable in
-  this container (round-trip vs quantization error bounds) and so the
-  synthetic-media fixtures can produce REAL JPEG bytes.
+  4:4:4 or 4:2:0; plus a progressive encoder (DC-first + spectral
+  bands + successive-approximation refinement script) whose whole
+  purpose is giving the progressive decoder a real in-container
+  producer. Both encoders exist so the decoders are testable here
+  (round-trip vs quantization error bounds; progressive decode must
+  equal baseline decode BIT-exactly — the two modes transmit identical
+  quantized coefficients) and so the synthetic-media fixtures can
+  produce REAL JPEG bytes.
 
 Like the PNG/WAV paths, this is a per-record kernel invoked inside
 Arrow-batched ``mapInPandas`` operators — the Spark-side contract
@@ -231,7 +239,10 @@ def _decode_markers(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) with comps = [(id, hs, vs, tq)]
     restart_interval = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    coef: dict[int, np.ndarray] | None = None  # SOF2 coefficient store
+    any_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
@@ -243,8 +254,12 @@ def _decode_markers(data: bytes) -> np.ndarray:
         pos += 2
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: standalone
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and any_scan:
+                return _assemble_progressive(frame, coef, quant)
             raise ValueError("JPEG ended before any scan")
+        if pos + 2 > len(data):
+            break
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT — possibly several tables per segment
@@ -269,7 +284,7 @@ def _decode_markers(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_map(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -281,7 +296,20 @@ def _decode_markers(data: bytes) -> np.ndarray:
                     raise NotImplementedError(f"sampling factors {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:
+                progressive = True
+                # per-component quantized-coefficient store in ZIGZAG
+                # index order, padded to the frame MCU grid; scans
+                # accumulate into it, EOI dequantizes + IDCTs
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = (w + 8 * hmax - 1) // (8 * hmax)
+                my = (h + 8 * vmax - 1) // (8 * vmax)
+                coef = {
+                    cid: np.zeros((my * vs, mx * hs, 64), dtype=np.int64)
+                    for cid, hs, vs, _tq in comps
+                }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
@@ -290,34 +318,60 @@ def _decode_markers(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame[2]):
-                # legal per T.81 (non-interleaved multi-scan) but this
-                # decoder only implements the single interleaved scan —
-                # reject honestly rather than KeyError mid-MCU
-                raise NotImplementedError(
-                    f"non-interleaved multi-scan JPEG ({ns} of "
-                    f"{len(frame[2])} components in scan)"
-                )
             scan_tabs = {}
+            frame_ids = [c[0] for c in frame[2]]
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in frame_ids:
+                    raise ValueError(f"scan component {cs} not in frame")
                 scan_tabs[cs] = (tt >> 4, tt & 0x0F)
-            for cid, _hs, _vs, tq in frame[2]:
-                if cid not in scan_tabs:
-                    raise ValueError(f"frame component {cid} missing from scan")
-                td, ta = scan_tabs[cid]
-                if td not in huff_dc or ta not in huff_ac:
-                    raise ValueError(
-                        f"scan references undefined Huffman table dc={td} ac={ta}"
+            if not progressive:
+                if ns != len(frame[2]):
+                    # legal per T.81 (non-interleaved multi-scan) but the
+                    # baseline path only implements the single interleaved
+                    # scan — reject honestly rather than KeyError mid-MCU
+                    raise NotImplementedError(
+                        f"non-interleaved multi-scan JPEG ({ns} of "
+                        f"{len(frame[2])} components in scan)"
                     )
-                if tq not in quant:
+                for cid, _hs, _vs, tq in frame[2]:
+                    if cid not in scan_tabs:
+                        raise ValueError(f"frame component {cid} missing from scan")
+                    td, ta = scan_tabs[cid]
+                    if td not in huff_dc or ta not in huff_ac:
+                        raise ValueError(
+                            f"scan references undefined Huffman table dc={td} ac={ta}"
+                        )
+                    if tq not in quant:
+                        raise ValueError(f"frame references undefined quant table {tq}")
+                return _decode_scan(
+                    data, pos + seglen, frame, quant, huff_dc, huff_ac,
+                    scan_tabs, restart_interval,
+                )
+            # progressive scan: Ss/Se/Ah/Al follow the component specs
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss > se or se > 63 or (ss == 0 and se != 0):
+                raise ValueError(f"invalid spectral band Ss={ss} Se={se}")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            for cs, (td, ta) in scan_tabs.items():
+                if ss == 0 and ah == 0 and td not in huff_dc:
+                    raise ValueError(f"scan references undefined DC table {td}")
+                if ss > 0 and ta not in huff_ac:
+                    raise ValueError(f"scan references undefined AC table {ta}")
+            for cid, _hs, _vs, tq in frame[2]:
+                if cid in scan_tabs and tq not in quant:
                     raise ValueError(f"frame references undefined quant table {tq}")
-            return _decode_scan(
-                data, pos + seglen, frame, quant, huff_dc, huff_ac,
-                scan_tabs, restart_interval,
+            pos = _decode_scan_progressive(
+                data, pos + seglen, frame, coef, huff_dc, huff_ac,
+                scan_tabs, ss, se, ah, al, restart_interval,
             )
+            any_scan = True
+            continue
         # APPn/COM/unknown: skip
         pos += seglen
     raise ValueError("truncated JPEG (no SOS)")
@@ -363,7 +417,14 @@ def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
             except _SegmentEnd:
                 raise ValueError("JPEG entropy stream ended mid-MCU")
 
-    # upsample each component to full padded resolution, crop, stack
+    return _planes_to_image(frame, planes, hmax, vmax)
+
+
+def _planes_to_image(frame, planes, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full padded resolution, crop to
+    the frame size, and convert to grayscale/RGB — the shared tail of
+    the baseline and progressive decode paths."""
+    h, w, comps = frame
     out = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -405,6 +466,209 @@ def _decode_block(reader, dc_t, ac_t, q, pred, cid) -> np.ndarray:
         k += 1
     blk = coef.reshape(8, 8)
     return _C.T @ blk @ _C + 128.0  # IDCT + level shift
+
+
+# ------------------------------------------------- progressive decode
+#
+# T.81 Annex G.1.2: a progressive frame transmits the SAME quantized
+# coefficients as baseline, split across scans by spectral band
+# (Ss..Se) and bit plane (successive approximation Ah/Al). Coefficients
+# accumulate in an integer store (zigzag index order); EOI dequantizes
+# and inverse-transforms once. First scans (Ah=0) code point-transformed
+# values; refinement scans (Ah=Al+1) code one correction bit per
+# already-nonzero coefficient plus newly-significant ±2^Al insertions.
+
+
+def _dc_first_prog(reader, dc_t, blk, pred, cid, al) -> None:
+    t = _huff_decode(reader, dc_t)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred[cid] += diff
+    blk[0] = pred[cid] << al
+
+
+def _dc_refine_prog(reader, blk, al) -> None:
+    if reader.read_bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first_prog(reader, ac_t, blk, ss, se, al, state) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1<<r)+ext blocks ending here, incl. this one
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of range")
+        # point transform inverse: value << Al (sign-preserving — Python
+        # ints shift the signed value, matching |v|<<Al with v's sign)
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_prog(reader, ac_t, blk, ss, se, al, state) -> None:
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        # append a correction bit to an already-nonzero coefficient; the
+        # magnitude is a multiple of 2^Al here, so the two's-complement
+        # bit test equals the magnitude-bit test (libjpeg's invariant)
+        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: remaining coefficients refine below
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("invalid magnitude in AC refinement scan")
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # tail of the current block (and, for runs > 1, each following
+        # block whole): already-nonzero coefficients still receive
+        # correction bits; zero-history positions are skipped silently
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker's 0xFF at/after ``p``, skipping
+    entropy bytes, stuffed 0xFF00 pairs, and stray RSTn markers."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            if data[p + 1] == 0xFF:  # fill byte
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: expected marker after scan")
+
+
+def _decode_scan_progressive(data, pos, frame, coef, huff_dc, huff_ac,
+                             scan_tabs, ss, se, ah, al,
+                             restart_interval) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    store; returns the byte position of the next marker."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    byid = {cid: (hs, vs) for cid, hs, vs, _tq in comps}
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = {cid: 0 for cid in scan_tabs}
+    n_units = 0
+
+    def maybe_restart() -> None:
+        nonlocal n_units
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            m = reader.align_to_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
+            for c in pred:
+                pred[c] = 0
+            state["eobrun"] = 0
+        n_units += 1
+
+    try:
+        if ss == 0 and len(scan_tabs) > 1:
+            # interleaved DC scan: MCU order over the scan components
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for cid, (td, _ta) in scan_tabs.items():
+                        hs, vs = byid[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coef[cid][my * vs + by, mx * hs + bx]
+                                if ah == 0:
+                                    _dc_first_prog(
+                                        reader, huff_dc[td], blk, pred, cid, al
+                                    )
+                                else:
+                                    _dc_refine_prog(reader, blk, al)
+        else:
+            # non-interleaved scan: the component's own block raster
+            ((cid, (td, ta)),) = scan_tabs.items()
+            hs, vs = byid[cid]
+            bw = (-(-(w * hs) // hmax) + 7) // 8
+            bh = (-(-(h * vs) // vmax) + 7) // 8
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    blk = coef[cid][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            _dc_first_prog(reader, huff_dc[td], blk, pred, cid, al)
+                        else:
+                            _dc_refine_prog(reader, blk, al)
+                    elif ah == 0:
+                        _ac_first_prog(reader, huff_ac[ta], blk, ss, se, al, state)
+                    else:
+                        _ac_refine_prog(reader, huff_ac[ta], blk, ss, se, al, state)
+    except _SegmentEnd:
+        raise ValueError("JPEG entropy stream ended mid-scan") from None
+    return _next_marker(data, reader.pos)
+
+
+def _assemble_progressive(frame, coef, quant) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient store (batched
+    matmul over all blocks at once) and finish through the shared
+    upsample/color path."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, _hs, _vs, tq in comps:
+        if tq not in quant:
+            raise ValueError(f"frame references undefined quant table {tq}")
+        grid = coef[cid]  # (BY, BX, 64) in zigzag index order
+        by_n, bx_n, _ = grid.shape
+        deq = np.zeros((by_n, bx_n, 64), dtype=np.float64)
+        deq[:, :, ZIGZAG] = grid * quant[tq][ZIGZAG]
+        blocks = deq.reshape(by_n, bx_n, 8, 8)
+        pix = _C.T @ blocks @ _C + 128.0
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
+    return _planes_to_image(frame, planes, hmax, vmax)
 
 
 # ---------------------------------------------------------------- encode
@@ -481,26 +745,15 @@ def _encode_block(wr, blk, q, dc_codes, ac_codes, pred_key, pred) -> None:
         wr.write(code, ln)
 
 
-def encode_jpeg_baseline(
-    px: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (h, w) or (h, w, 1|3) uint8 pixels as baseline JPEG.
-
-    Color uses BT.601 full-range YCbCr; ``subsample=True`` emits 4:2:0
-    (2x2 box-averaged chroma); ``restart_interval`` emits DRI + RSTn
-    markers every N MCUs — both mainly so the decoder's upsampling and
-    restart paths have a real in-container producer to test against."""
+def _prepare_planes(px: np.ndarray, subsample: bool):
+    """Shared encoder front end: validate shape, convert to (padded)
+    per-component sample planes. Returns (h, w, nc, comps, planes,
+    mcus_x, mcus_y)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, nc = px.shape
     if nc not in (1, 3):
         raise ValueError(f"expected 1 or 3 channels, got {nc}")
-    ql = _scaled_quant(_QUANT_LUMA, quality)
-    qc = _scaled_quant(_QUANT_CHROMA, quality)
-
     if nc == 1:
         comps = [(1, 1, 1, 0)]
         planes = {1: px[:, :, 0].astype(np.float64)}
@@ -533,6 +786,24 @@ def encode_jpeg_baseline(
         planes[cid] = np.pad(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
+    return h, w, nc, comps, planes, mcus_x, mcus_y
+
+
+def encode_jpeg_baseline(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) or (h, w, 1|3) uint8 pixels as baseline JPEG.
+
+    Color uses BT.601 full-range YCbCr; ``subsample=True`` emits 4:2:0
+    (2x2 box-averaged chroma); ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs — both mainly so the decoder's upsampling and
+    restart paths have a real in-container producer to test against."""
+    h, w, nc, comps, planes, mcus_x, mcus_y = _prepare_planes(px, subsample)
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
 
     dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -598,4 +869,280 @@ def encode_jpeg_baseline(
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += wr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encode
+
+# AC table for progressive scans: the Annex K baseline AC tables lack
+# the EOBn symbols (0x10..0xE0) progressive end-of-band runs need, so
+# the progressive encoder uses one flat 8-bit table carrying every
+# symbol it may emit — all EOBn (r 0..14), ZRL, and (r, s<=10) pairs.
+# Deliberately not entropy-optimal: these streams exist to exercise the
+# decoder, and a fixed-length prefix code is still a perfectly legal
+# T.81 Huffman table (Kraft sum 176/256 < 1).
+_PROG_AC_VALS = sorted(
+    [(r << 4) for r in range(15)]            # EOB0..EOB14
+    + [0xF0]                                  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(BY*8, BX*8) padded samples -> (BY, BX, 64) quantized
+    coefficients in ZIGZAG index order (same rounding as the baseline
+    encoder's per-block path, batched)."""
+    by_n, bx_n = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+    # round the DCT output to integers BEFORE quantizing — the baseline
+    # _encode_block does exactly this, and matching its double rounding
+    # is what makes progressive and baseline transmit IDENTICAL
+    # coefficients (the bit-exact differential the tests pin)
+    co = np.round(_C @ (blocks - 128.0) @ _C.T)
+    flat = co.reshape(by_n, bx_n, 64)
+    return np.round(flat[:, :, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+
+
+def _write_signed(wr, v: int, s: int) -> None:
+    wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _emit_dc_first_scan(wr, grids, scan_comps, dc_codes, al) -> None:
+    """Interleaved DC first scan (Ah=0): codes DIFFs of dc >> Al."""
+    pred = {cid: 0 for cid, *_ in scan_comps}
+    by_tot = max(g.shape[0] for g in grids.values())
+    # MCU grid: component grids are already padded multiples of (vs, hs)
+    mcus_y = by_tot // max(vs for _cid, _hs, vs in scan_comps)
+    mcus_x = max(g.shape[1] for g in grids.values()) // max(
+        hs for _cid, hs, _vs in scan_comps
+    )
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hs, vs in scan_comps:
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[cid][my * vs + by, mx * hs + bx, 0]) >> al
+                        diff = v - pred[cid]
+                        pred[cid] = v
+                        t = _category(diff)
+                        code, ln = dc_codes[cid][t]
+                        wr.write(code, ln)
+                        if t:
+                            _write_signed(wr, diff, t)
+
+
+def _emit_dc_refine_scan(wr, grids, scan_comps, al) -> None:
+    """Interleaved DC refinement scan (Ah=Al+1): one raw bit per block."""
+    mcus_y = max(g.shape[0] for g in grids.values()) // max(
+        vs for _cid, _hs, vs in scan_comps
+    )
+    mcus_x = max(g.shape[1] for g in grids.values()) // max(
+        hs for _cid, hs, _vs in scan_comps
+    )
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hs, vs in scan_comps:
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[cid][my * vs + by, mx * hs + bx, 0])
+                        wr.write((v >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(wr, grid, bh, bw, ss, se, al, ac_codes) -> None:
+    """Non-interleaved AC first scan: spectral band [Ss..Se] of the
+    point-transformed values, with real cross-block EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, 0x7FFF)
+            r = chunk.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            wr.write(code, ln)
+            if r:
+                wr.write(chunk - (1 << r), r)
+            eobrun -= chunk
+
+    for by in range(bh):
+        for bx in range(bw):
+            band = grid[by, bx, ss : se + 1]
+            mags = np.abs(band) >> al
+            nz = np.flatnonzero(mags)
+            if nz.size == 0:
+                eobrun += 1
+                continue
+            flush_eob()
+            run = 0
+            for k in range(int(nz[-1]) + 1):
+                m = int(mags[k])
+                if m == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                s = m.bit_length()
+                code, ln = ac_codes[(run << 4) | s]
+                wr.write(code, ln)
+                _write_signed(wr, m if band[k] > 0 else -m, s)
+                run = 0
+            if int(nz[-1]) < se - ss:
+                eobrun += 1
+    flush_eob()
+
+
+def _emit_ac_refine_scan(wr, grid, bh, bw, ss, se, al, ac_codes) -> None:
+    """Non-interleaved AC refinement scan (Ah=Al+1): newly-significant
+    insertions plus interleaved correction bits, per T.81 G.1.2.3 (EOB
+    flushed per block; the decoder additionally supports runs > 1)."""
+    for by in range(bh):
+        for bx in range(bw):
+            band = grid[by, bx, ss : se + 1]
+            mags = np.abs(band) >> al
+            new = np.flatnonzero(mags == 1)
+            eob = int(new[-1]) if new.size else -1
+            run = 0
+            buf: list[int] = []
+            for k in range(len(band)):
+                m = int(mags[k])
+                if m == 0:
+                    run += 1
+                    continue
+                # ZRL must flush at the FIRST nonzero position (old or
+                # new) once the zero-history run exceeds 15 — flushing
+                # only at new-significant positions would batch buffered
+                # correction bits past the run the decoder walks,
+                # misaligning every bit after (spec figure G.7 order;
+                # past the last new coefficient the trailing EOB covers
+                # the run, so k <= eob gates the emission)
+                while run > 15 and k <= eob:
+                    code, ln = ac_codes[0xF0]
+                    wr.write(code, ln)
+                    for b in buf:
+                        wr.write(b, 1)
+                    buf = []
+                    run -= 16
+                if m > 1:  # already significant: buffer its correction bit
+                    buf.append(m & 1)
+                    continue
+                # newly significant (magnitude bit Al is its first 1)
+                code, ln = ac_codes[(run << 4) | 1]
+                wr.write(code, ln)
+                wr.write(1 if band[k] > 0 else 0, 1)
+                for b in buf:
+                    wr.write(b, 1)
+                buf = []
+                run = 0
+            if run > 0 or buf:
+                code, ln = ac_codes[0x00]  # EOB terminating this block
+                wr.write(code, ln)
+                for b in buf:
+                    wr.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+) -> bytes:
+    """Encode pixels as a PROGRESSIVE (SOF2) JPEG with a scan script
+    exercising every decoder path: interleaved DC first (Al=1) + DC
+    refinement, per-component spectral-selection AC bands (1-5, 6-63 at
+    Al=1) and their successive-approximation refinements (Al=0). The
+    transmitted quantized coefficients are IDENTICAL to
+    ``encode_jpeg_baseline`` at the same quality/subsampling, so
+    progressive decode must equal baseline decode bit-exactly — the
+    differential the tests pin."""
+    h, w, nc, comps, planes, mcus_x, mcus_y = _prepare_planes(px, subsample)
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    grids = {
+        cid: _quantize_plane(planes[cid], ql if tq == 0 else qc)
+        for cid, _hs, _vs, tq in comps
+    }
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dc_tbl = {
+        cid: _canonical_codes(
+            *((_DC_LUMA_BITS, _DC_LUMA_VALS) if tq == 0
+              else (_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        )
+        for cid, _hs, _vs, tq in comps
+    }
+    ac_tbl = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+
+    def dqt(tq, q):
+        zz = bytes(int(q[ZIGZAG[i]]) for i in range(64))
+        return b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz
+
+    out += dqt(0, ql)
+    if nc == 3:
+        out += dqt(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(tc, th, bits, vals):
+        body = struct.pack(">B", (tc << 4) | th) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    if nc == 3:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos(scan_comps, ss, se, ah, al, entropy: bytes) -> bytes:
+        hdr = struct.pack(">B", len(scan_comps))
+        for cid, tq in scan_comps:
+            td = 0 if tq == 0 else 1
+            hdr += struct.pack(">BB", cid, (td << 4) | 0)  # AC table id 0
+        hdr += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + entropy
+
+    scan_comps_dc = [(cid, hs, vs) for cid, hs, vs, _tq in comps]
+    ids_tq = [(cid, tq) for cid, _hs, _vs, tq in comps]
+
+    # scan 1: DC first, interleaved, Al=1
+    wr = _BitWriter()
+    _emit_dc_first_scan(wr, grids, scan_comps_dc, dc_tbl, 1)
+    wr.flush()
+    out += sos(ids_tq, 0, 0, 0, 1, bytes(wr.out))
+
+    # per-component AC bands, first pass at Al=1
+    band_splits = [(1, 5), (6, 63)]
+    for cid, hs, vs, tq in comps:
+        bw_n = (-(-(w * hs) // hmax) + 7) // 8
+        bh_n = (-(-(h * vs) // vmax) + 7) // 8
+        for ss, se in band_splits:
+            wr = _BitWriter()
+            _emit_ac_first_scan(wr, grids[cid], bh_n, bw_n, ss, se, 1, ac_tbl)
+            wr.flush()
+            out += sos([(cid, tq)], ss, se, 0, 1, bytes(wr.out))
+
+    # per-component AC refinements to Al=0
+    for cid, hs, vs, tq in comps:
+        bw_n = (-(-(w * hs) // hmax) + 7) // 8
+        bh_n = (-(-(h * vs) // vmax) + 7) // 8
+        for ss, se in band_splits:
+            wr = _BitWriter()
+            _emit_ac_refine_scan(wr, grids[cid], bh_n, bw_n, ss, se, 0, ac_tbl)
+            wr.flush()
+            out += sos([(cid, tq)], ss, se, 1, 0, bytes(wr.out))
+
+    # final scan: DC refinement to Al=0
+    wr = _BitWriter()
+    _emit_dc_refine_scan(wr, grids, scan_comps_dc, 0)
+    wr.flush()
+    out += sos(ids_tq, 0, 0, 1, 0, bytes(wr.out))
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -145,6 +145,9 @@ PRIORITY_ORDER: list[str] = [
     # -- swap-outs (still full-oracle, selfchecked every round)
     "quality_psi_drift",
     "text_tfidf_top_terms",
+    # -- r8: progressive-JPEG proof — format-mixed corpus, same oracle
+    # -- as the baseline JPEG entry (q100 decode is bit-exact in both)
+    "dedup_image_phash_jpeg_progressive",
     # -- ivfpq stays rows-only
     # -- (Lloyd-refined k-means is not SQL-expressible — the sampled-
     # -- quantizer entries pin the IVF/PQ machinery exactly instead)

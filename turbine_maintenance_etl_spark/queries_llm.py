@@ -2037,9 +2037,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_image_phash_jpeg",
-    """
+# shared by the baseline and mixed-baseline/progressive JPEG phash
+# entries: both generators emit the SAME pixels (q100 block-constant ->
+# bit-exact decode), so one SQL twin grades both
+_JPEG_PHASH_ORACLE = """
     WITH base AS (
         SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
     dcell AS (
@@ -2069,8 +2070,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id, dh.dhash, ah.ahash,
            b.doc_id = MIN(b.doc_id) OVER (PARTITION BY dh.dhash) AS survivor
     FROM base b JOIN dh USING (doc_id) JOIN ah USING (doc_id)
-    """,
-)
+    """
+
+
+@register("dedup_image_phash_jpeg", _JPEG_PHASH_ORACLE)
 def dedup_image_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup over REAL JPEG bytes — the round-7 companion to
     dedup_image_phash, proving the from-spec baseline JPEG codec
@@ -2725,4 +2728,47 @@ def pipeline_chunk_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFram
         # bounded by construction (chunks of docs 0-19); skipping the
         # guard saves a count job that would run the query-side encoder
         max_queries=None,
+    )
+
+
+@register("dedup_image_phash_jpeg_progressive", _JPEG_PHASH_ORACLE)
+def dedup_image_phash_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 companion to dedup_image_phash_jpeg: a FORMAT-MIXED
+    corpus — each image encoded baseline (even group) or PROGRESSIVE
+    SOF2 (odd group, spectral-selection + successive-approximation
+    scans, llm/jpeg.py:encode_jpeg_progressive) — flows through ONE
+    decode path, proving the from-spec progressive decoder end to end
+    under the driver's oracle. Pixels are identical to the baseline
+    entry (q100 block-constant -> decode is BIT-exact in both modes:
+    progressive transmits the same quantized coefficients), so the SAME
+    DuckDB twin grades both entries value-for-value. Scale shape
+    unchanged: one Arrow-batched map over the binary column, 8-byte
+    hash shuffle, never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from turbine_maintenance_etl_spark.llm.multimodal import image_phash, phash_dedup
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                br = np.arange(16)[:, None] // 8
+                bc = np.arange(24)[None, :] // 8
+                px = ((g * 37 + br * 29 + bc * 13) % 200 + v).astype(np.uint8)
+                enc = encode_jpeg_baseline if g % 2 == 0 else encode_jpeg_progressive
+                rows.append({"doc_id": did, "media": enc(px[:, :, None], quality=100)})
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    return phash_dedup(image_phash(media)).select(
+        "doc_id", "dhash", "ahash", "survivor"
     )
