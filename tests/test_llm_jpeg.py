@@ -165,6 +165,24 @@ def test_progressive_streams_use_eob_runs_and_refinement():
     assert np.array_equal(out, base)
 
 
+def test_progressive_restart_markers_equivalent():
+    """RSTn boundaries inside progressive scans (DC predictors reset,
+    EOB runs flushed at the boundary) must not change the decode — the
+    restart path of every progressive scan type gets a real producer."""
+    from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    base = decode_jpeg_pixels(encode_jpeg_baseline(px, quality=60, subsample=True))
+    for ri in (1, 2, 5):
+        data = encode_jpeg_progressive(
+            px, quality=60, subsample=True, restart_interval=ri
+        )
+        assert b"\xff\xdd" in data
+        assert any(bytes([0xFF, 0xD0 + n]) in data for n in range(8))
+        assert np.array_equal(base, decode_jpeg_pixels(data)), ri
+
+
 def test_progressive_through_multimodal_dispatch():
     from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_progressive
     from turbine_maintenance_etl_spark.llm.multimodal import decode_image_pixels

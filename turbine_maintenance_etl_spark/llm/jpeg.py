@@ -908,7 +908,20 @@ def _write_signed(wr, v: int, s: int) -> None:
     wr.write(v if v >= 0 else v + (1 << s) - 1, s)
 
 
-def _emit_dc_first_scan(wr, grids, scan_comps, dc_codes, al) -> None:
+def _emit_rst(wr, n_units: int, rst: int) -> bool:
+    """Emit an RSTn boundary before unit ``n_units`` when the restart
+    interval divides it (the decoder's maybe_restart mirror). Returns
+    True when a marker was written — callers must reset their
+    cross-unit state (DC predictors, EOB runs) exactly like a decoder
+    would."""
+    if not rst or n_units == 0 or n_units % rst:
+        return False
+    wr.flush()
+    wr.out += bytes([0xFF, 0xD0 + (n_units // rst - 1) % 8])
+    return True
+
+
+def _emit_dc_first_scan(wr, grids, scan_comps, dc_codes, al, rst=0) -> None:
     """Interleaved DC first scan (Ah=0): codes DIFFs of dc >> Al."""
     pred = {cid: 0 for cid, *_ in scan_comps}
     by_tot = max(g.shape[0] for g in grids.values())
@@ -917,8 +930,12 @@ def _emit_dc_first_scan(wr, grids, scan_comps, dc_codes, al) -> None:
     mcus_x = max(g.shape[1] for g in grids.values()) // max(
         hs for _cid, hs, _vs in scan_comps
     )
+    n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if _emit_rst(wr, n, rst):
+                pred = {cid: 0 for cid, *_ in scan_comps}
+            n += 1
             for cid, hs, vs in scan_comps:
                 for by in range(vs):
                     for bx in range(hs):
@@ -932,7 +949,7 @@ def _emit_dc_first_scan(wr, grids, scan_comps, dc_codes, al) -> None:
                             _write_signed(wr, diff, t)
 
 
-def _emit_dc_refine_scan(wr, grids, scan_comps, al) -> None:
+def _emit_dc_refine_scan(wr, grids, scan_comps, al, rst=0) -> None:
     """Interleaved DC refinement scan (Ah=Al+1): one raw bit per block."""
     mcus_y = max(g.shape[0] for g in grids.values()) // max(
         vs for _cid, _hs, vs in scan_comps
@@ -940,8 +957,11 @@ def _emit_dc_refine_scan(wr, grids, scan_comps, al) -> None:
     mcus_x = max(g.shape[1] for g in grids.values()) // max(
         hs for _cid, hs, _vs in scan_comps
     )
+    n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            _emit_rst(wr, n, rst)
+            n += 1
             for cid, hs, vs in scan_comps:
                 for by in range(vs):
                     for bx in range(hs):
@@ -949,7 +969,7 @@ def _emit_dc_refine_scan(wr, grids, scan_comps, al) -> None:
                         wr.write((v >> al) & 1, 1)
 
 
-def _emit_ac_first_scan(wr, grid, bh, bw, ss, se, al, ac_codes) -> None:
+def _emit_ac_first_scan(wr, grid, bh, bw, ss, se, al, ac_codes, rst=0) -> None:
     """Non-interleaved AC first scan: spectral band [Ss..Se] of the
     point-transformed values, with real cross-block EOB runs."""
     eobrun = 0
@@ -965,8 +985,13 @@ def _emit_ac_first_scan(wr, grid, bh, bw, ss, se, al, ac_codes) -> None:
                 wr.write(chunk - (1 << r), r)
             eobrun -= chunk
 
+    n = 0
     for by in range(bh):
         for bx in range(bw):
+            if rst and n and n % rst == 0:
+                flush_eob()  # an EOB run cannot cross a restart boundary
+                _emit_rst(wr, n, rst)
+            n += 1
             band = grid[by, bx, ss : se + 1]
             mags = np.abs(band) >> al
             nz = np.flatnonzero(mags)
@@ -994,12 +1019,16 @@ def _emit_ac_first_scan(wr, grid, bh, bw, ss, se, al, ac_codes) -> None:
     flush_eob()
 
 
-def _emit_ac_refine_scan(wr, grid, bh, bw, ss, se, al, ac_codes) -> None:
+def _emit_ac_refine_scan(wr, grid, bh, bw, ss, se, al, ac_codes, rst=0) -> None:
     """Non-interleaved AC refinement scan (Ah=Al+1): newly-significant
     insertions plus interleaved correction bits, per T.81 G.1.2.3 (EOB
-    flushed per block; the decoder additionally supports runs > 1)."""
+    flushed per block — no cross-block state, so restarts need no extra
+    flush; the decoder additionally supports runs > 1)."""
+    n = 0
     for by in range(bh):
         for bx in range(bw):
+            _emit_rst(wr, n, rst)
+            n += 1
             band = grid[by, bx, ss : se + 1]
             mags = np.abs(band) >> al
             new = np.flatnonzero(mags == 1)
@@ -1047,15 +1076,19 @@ def encode_jpeg_progressive(
     px: np.ndarray,
     quality: int = 85,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode pixels as a PROGRESSIVE (SOF2) JPEG with a scan script
     exercising every decoder path: interleaved DC first (Al=1) + DC
     refinement, per-component spectral-selection AC bands (1-5, 6-63 at
-    Al=1) and their successive-approximation refinements (Al=0). The
-    transmitted quantized coefficients are IDENTICAL to
-    ``encode_jpeg_baseline`` at the same quality/subsampling, so
-    progressive decode must equal baseline decode bit-exactly — the
-    differential the tests pin."""
+    Al=1) and their successive-approximation refinements (Al=0).
+    ``restart_interval`` emits DRI + RSTn boundaries inside EVERY scan
+    (counted in MCUs for the interleaved DC scans, blocks for the
+    non-interleaved AC scans), resetting DC predictors and flushing EOB
+    runs exactly like the decoder expects. The transmitted quantized
+    coefficients are IDENTICAL to ``encode_jpeg_baseline`` at the same
+    quality/subsampling, so progressive decode must equal baseline
+    decode bit-exactly — the differential the tests pin."""
     h, w, nc, comps, planes, mcus_x, mcus_y = _prepare_planes(px, subsample)
     ql = _scaled_quant(_QUANT_LUMA, quality)
     qc = _scaled_quant(_QUANT_CHROMA, quality)
@@ -1099,6 +1132,9 @@ def encode_jpeg_progressive(
     if nc == 3:
         out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
     out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    rst = restart_interval
+    if rst:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, rst)
 
     def sos(scan_comps, ss, se, ah, al, entropy: bytes) -> bytes:
         hdr = struct.pack(">B", len(scan_comps))
@@ -1113,7 +1149,7 @@ def encode_jpeg_progressive(
 
     # scan 1: DC first, interleaved, Al=1
     wr = _BitWriter()
-    _emit_dc_first_scan(wr, grids, scan_comps_dc, dc_tbl, 1)
+    _emit_dc_first_scan(wr, grids, scan_comps_dc, dc_tbl, 1, rst)
     wr.flush()
     out += sos(ids_tq, 0, 0, 0, 1, bytes(wr.out))
 
@@ -1124,7 +1160,7 @@ def encode_jpeg_progressive(
         bh_n = (-(-(h * vs) // vmax) + 7) // 8
         for ss, se in band_splits:
             wr = _BitWriter()
-            _emit_ac_first_scan(wr, grids[cid], bh_n, bw_n, ss, se, 1, ac_tbl)
+            _emit_ac_first_scan(wr, grids[cid], bh_n, bw_n, ss, se, 1, ac_tbl, rst)
             wr.flush()
             out += sos([(cid, tq)], ss, se, 0, 1, bytes(wr.out))
 
@@ -1134,13 +1170,13 @@ def encode_jpeg_progressive(
         bh_n = (-(-(h * vs) // vmax) + 7) // 8
         for ss, se in band_splits:
             wr = _BitWriter()
-            _emit_ac_refine_scan(wr, grids[cid], bh_n, bw_n, ss, se, 0, ac_tbl)
+            _emit_ac_refine_scan(wr, grids[cid], bh_n, bw_n, ss, se, 0, ac_tbl, rst)
             wr.flush()
             out += sos([(cid, tq)], ss, se, 1, 0, bytes(wr.out))
 
     # final scan: DC refinement to Al=0
     wr = _BitWriter()
-    _emit_dc_refine_scan(wr, grids, scan_comps_dc, 0)
+    _emit_dc_refine_scan(wr, grids, scan_comps_dc, 0, rst)
     wr.flush()
     out += sos(ids_tq, 0, 0, 1, 0, bytes(wr.out))
 
