@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "sample_stratified_exact",
     # round-8: the progressive-JPEG proof entry (format-mixed corpus)
     "dedup_image_phash_jpeg_progressive",
+    # round-8: the GROUPED_AGG pandas-UDF surface
+    "ud_grouped_agg_wavg",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

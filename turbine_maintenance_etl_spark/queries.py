@@ -255,6 +255,7 @@ PRIORITY_ORDER: list[str] = [
     "gen_calendar_dim",
     "a_collect_array_suite",
     "udtf_json_pairs",
+    "ud_grouped_agg_wavg",  # r8: GROUPED_AGG pandas UDF surface, full oracle
     "metrics_dax_pack",
     "a_approx_sketches",
 ]

@@ -1240,3 +1240,51 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return stratified_exact_sample(docs, ["lang", "source"], 10, "doc_id")
+
+
+@register(
+    "ud_grouped_agg_wavg",
+    """
+    SELECT event_type,
+           ROUND(SUM(value * CAST(user_id % 7 + 1 AS DOUBLE))
+                 / SUM(CAST(user_id % 7 + 1 AS DOUBLE)), 6) AS wavg,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ud_grouped_agg_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (the third Python-UDF surface next to
+    UD1's grouped-map applyInPandas and the mapInPandas encoders): a
+    weighted average aggregated per event_type, computed by an
+    Arrow-batched vectorized kernel and mixed with JVM aggregates in
+    the same agg. Deterministic weights derive from user_id so the
+    DuckDB twin replays the exact arithmetic.
+
+    Scale note: unlike built-in SUM/AVG, a pandas GROUPED_AGG UDF has
+    no partial-aggregation (map-side combine) — every row shuffles to
+    its group. That is the API's contract, not a plan defect; use it
+    when the kernel genuinely needs the whole group vector (here it
+    demonstrates the surface; a production weighted mean should be
+    SUM(v*w)/SUM(w) in JVM expressions, which the oracle indeed uses)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses postponed annotations
+    # (PEP 563), which defeats pandas_udf's type-hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(v, w):
+        return float((v * w).sum() / w.sum())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregate
+    # functions in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count is a pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(v):
+        return len(v)
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "w", (F.col("user_id") % 7 + 1).cast("double")
+    )
+    return e.groupBy("event_type").agg(
+        F.round(wavg("value", "w"), 6).alias("wavg"),
+        cnt("value").alias("n"),
+    )
