@@ -98,12 +98,13 @@ def test_rejects_non_jpeg_and_truncated():
         decode_jpeg_pixels(good[: len(good) // 2])
 
 
-def test_rejects_arithmetic_sof():
-    # splice an arithmetic-coding SOF9 where SOF0 sits: the arithmetic
-    # mode stays honestly rejected (progressive no longer is — round 8)
+def test_rejects_hierarchical_sof():
+    # splice a hierarchical SOF5 where SOF0 sits: hierarchical stays
+    # honestly rejected (progressive fell round 8, arithmetic fell
+    # later the same round — see test_jpeg_arith.py)
     good = bytearray(encode_jpeg_baseline(_gradient(16, 16)[:, :, None], 85))
     i = bytes(good).index(b"\xff\xc0")
-    good[i + 1] = 0xC9
+    good[i + 1] = 0xC5
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(good))
 

@@ -10,10 +10,12 @@ Scope — what a bulk feature-extraction pipeline actually meets:
   refinement scans, interleaved DC + non-interleaved AC block orders),
   8-bit samples, Huffman entropy coding, grayscale or YCbCr (any h/v
   sampling factors in {1, 2} — 4:4:4, 4:2:2, 4:2:0), restart markers,
-  JFIF/EXIF headers skipped. Arithmetic coding, 12-bit, hierarchical
-  and lossless modes raise NotImplementedError — the callers'
-  poison-pill handling turns that into a tagged NULL row, same as any
-  other unsupported input.
+  JFIF/EXIF headers skipped. ARITHMETIC entropy coding (SOF9
+  extended-sequential + SOF10 progressive, DAC conditioning) is
+  handled by the Annex D/F/G implementation in ``jpeg_arith.py``.
+  12-bit, hierarchical and lossless modes raise NotImplementedError —
+  the callers' poison-pill handling turns that into a tagged NULL row,
+  same as any other unsupported input.
 - ENCODE: baseline sequential, Annex K quantization tables scaled by
   the libjpeg quality formula, Annex K "typical" Huffman tables,
   4:4:4 or 4:2:0; plus a progressive encoder (DC-first + spectral
@@ -216,9 +218,11 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     """Decode baseline-sequential JPEG bytes to (h, w, channels) uint8.
 
     Grayscale -> channels=1; YCbCr -> channels=3 RGB (BT.601 full-range
-    JFIF conversion, integer-rounded). Raises ValueError on corrupt
-    input and NotImplementedError on progressive/arithmetic/12-bit
-    streams — callers' poison-pill handling treats both as NULL rows."""
+    JFIF conversion, integer-rounded). Baseline/progressive Huffman and
+    sequential/progressive arithmetic streams all decode; raises
+    ValueError on corrupt input and NotImplementedError on 12-bit/
+    hierarchical/lossless modes — callers' poison-pill handling treats
+    both as NULL rows."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG byte stream")
     try:
@@ -240,7 +244,10 @@ def _decode_markers(data: bytes) -> np.ndarray:
     frame = None  # (h, w, comps) with comps = [(id, hs, vs, tq)]
     restart_interval = 0
     progressive = False
-    coef: dict[int, np.ndarray] | None = None  # SOF2 coefficient store
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table id -> (L, U)
+    ac_kx: dict[int, int] = {}  # DAC: table id -> Kx
+    coef: dict[int, np.ndarray] | None = None  # SOF2/SOF10 coefficient store
     any_scan = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -284,7 +291,9 @@ def _decode_markers(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_map(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF2 progressive (Huffman)
+            # SOF9 extended-sequential / SOF10 progressive (arithmetic)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -296,7 +305,8 @@ def _decode_markers(data: bytes) -> np.ndarray:
                     raise NotImplementedError(f"sampling factors {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-            if marker == 0xC2:
+            arith = marker in (0xC9, 0xCA)
+            if marker in (0xC2, 0xCA):
                 progressive = True
                 # per-component quantized-coefficient store in ZIGZAG
                 # index order, padded to the frame MCU grid; scans
@@ -309,11 +319,30 @@ def _decode_markers(data: bytes) -> np.ndarray:
                     cid: np.zeros((my * vs, mx * hs, 64), dtype=np.int64)
                     for cid, hs, vs, _tq in comps
                 }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                cs = seg[p + 1]
+                if tb > 3:
+                    raise ValueError(f"invalid DAC table id {tb}")
+                if tc == 0:
+                    low, high = cs & 0x0F, cs >> 4
+                    if low > high:
+                        raise ValueError(f"invalid DC conditioning L={low} U={high}")
+                    dc_cond[tb] = (low, high)
+                elif tc == 1:
+                    if not (1 <= cs <= 63):
+                        raise ValueError(f"invalid AC conditioning Kx={cs}")
+                    ac_kx[tb] = cs
+                else:
+                    raise ValueError(f"invalid DAC table class {tc}")
+                p += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -340,12 +369,21 @@ def _decode_markers(data: bytes) -> np.ndarray:
                     if cid not in scan_tabs:
                         raise ValueError(f"frame component {cid} missing from scan")
                     td, ta = scan_tabs[cid]
-                    if td not in huff_dc or ta not in huff_ac:
+                    if td > 3 or ta > 3:
+                        raise ValueError(f"invalid entropy table id dc={td} ac={ta}")
+                    if not arith and (td not in huff_dc or ta not in huff_ac):
                         raise ValueError(
                             f"scan references undefined Huffman table dc={td} ac={ta}"
                         )
                     if tq not in quant:
                         raise ValueError(f"frame references undefined quant table {tq}")
+                if arith:
+                    from .jpeg_arith import decode_scan_sequential
+
+                    return decode_scan_sequential(
+                        data, pos + seglen, frame, quant, scan_tabs,
+                        dc_cond, ac_kx, restart_interval,
+                    )
                 return _decode_scan(
                     data, pos + seglen, frame, quant, huff_dc, huff_ac,
                     scan_tabs, restart_interval,
@@ -359,17 +397,28 @@ def _decode_markers(data: bytes) -> np.ndarray:
             if ss > 0 and ns != 1:
                 raise ValueError("progressive AC scan must be non-interleaved")
             for cs, (td, ta) in scan_tabs.items():
-                if ss == 0 and ah == 0 and td not in huff_dc:
-                    raise ValueError(f"scan references undefined DC table {td}")
-                if ss > 0 and ta not in huff_ac:
-                    raise ValueError(f"scan references undefined AC table {ta}")
+                if td > 3 or ta > 3:
+                    raise ValueError(f"invalid entropy table id dc={td} ac={ta}")
+                if not arith:
+                    if ss == 0 and ah == 0 and td not in huff_dc:
+                        raise ValueError(f"scan references undefined DC table {td}")
+                    if ss > 0 and ta not in huff_ac:
+                        raise ValueError(f"scan references undefined AC table {ta}")
             for cid, _hs, _vs, tq in frame[2]:
                 if cid in scan_tabs and tq not in quant:
                     raise ValueError(f"frame references undefined quant table {tq}")
-            pos = _decode_scan_progressive(
-                data, pos + seglen, frame, coef, huff_dc, huff_ac,
-                scan_tabs, ss, se, ah, al, restart_interval,
-            )
+            if arith:
+                from .jpeg_arith import decode_scan_progressive
+
+                pos = decode_scan_progressive(
+                    data, pos + seglen, frame, coef, scan_tabs,
+                    dc_cond, ac_kx, ss, se, ah, al, restart_interval,
+                )
+            else:
+                pos = _decode_scan_progressive(
+                    data, pos + seglen, frame, coef, huff_dc, huff_ac,
+                    scan_tabs, ss, se, ah, al, restart_interval,
+                )
             any_scan = True
             continue
         # APPn/COM/unknown: skip

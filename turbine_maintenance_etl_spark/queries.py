@@ -258,6 +258,9 @@ PRIORITY_ORDER: list[str] = [
     "ud_grouped_agg_wavg",  # r8: GROUPED_AGG pandas UDF surface, full oracle
     "metrics_dax_pack",
     "a_approx_sketches",
+    # -- r8: arithmetic-coding JPEG proof — four-way format-mixed corpus
+    # -- (SOF0/SOF2/SOF9/SOF10), same oracle as the other JPEG entries
+    "dedup_image_phash_jpeg_arith",
 ]
 
 

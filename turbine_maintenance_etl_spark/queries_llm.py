@@ -2772,3 +2772,59 @@ def dedup_image_phash_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
     return phash_dedup(image_phash(media)).select(
         "doc_id", "dhash", "ahash", "survivor"
     )
+
+
+@register("dedup_image_phash_jpeg_arith", _JPEG_PHASH_ORACLE)
+def dedup_image_phash_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 ARITHMETIC-coding companion: a four-way format-mixed
+    corpus — each image encoded baseline SOF0, progressive SOF2,
+    extended-sequential ARITHMETIC SOF9, or progressive ARITHMETIC
+    SOF10 by g%4 (llm/jpeg_arith.py: T.81 Annex D QM-coder + Annex F/G
+    statistical models, DAC conditioning varied on the sequential-
+    arithmetic group) — flows through ONE decode path, proving the
+    from-spec arithmetic entropy decoder end to end under the driver's
+    oracle. All four encoders transmit IDENTICAL quantized coefficients
+    (q100 block-constant -> decode is bit-exact in every mode), so the
+    SAME DuckDB twin grades all three JPEG entries value-for-value; the
+    arithmetic paths are additionally interop-pinned against the system
+    libjpeg in tests/test_jpeg_arith.py. Scale shape unchanged: one
+    Arrow-batched map over the binary column, 8-byte hash shuffle,
+    never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from turbine_maintenance_etl_spark.llm.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_progressive_arith,
+    )
+    from turbine_maintenance_etl_spark.llm.multimodal import image_phash, phash_dedup
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(it):
+        encoders = (
+            lambda px: encode_jpeg_baseline(px, quality=100),
+            lambda px: encode_jpeg_progressive(px, quality=100),
+            # non-default DAC conditioning: entropy changes, values must not
+            lambda px: encode_jpeg_arith(px, quality=100, dc_cond=(0, 2), ac_kx=3),
+            lambda px: encode_jpeg_progressive_arith(px, quality=100),
+        )
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                br = np.arange(16)[:, None] // 8
+                bc = np.arange(24)[None, :] // 8
+                px = ((g * 37 + br * 29 + bc * 13) % 200 + v).astype(np.uint8)
+                rows.append({"doc_id": did, "media": encoders[g % 4](px[:, :, None])})
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    return phash_dedup(image_phash(media)).select(
+        "doc_id", "dhash", "ahash", "survivor"
+    )
