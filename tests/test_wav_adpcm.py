@@ -1,0 +1,153 @@
+"""IMA/DVI ADPCM WAV support (llm/adpcm.py) — round 8.
+
+Two independent verification layers:
+
+1. Nibble-core differential against CPython's ``audioop.adpcm2lin``
+   (stdlib until 3.12 — present in this container), an implementation
+   written independently of this repo: identical int16 reconstruction
+   for random nibble streams from a shared initial state.
+2. Encoder/decoder contract: ADPCM is lossy, but the RECONSTRUCTION is
+   integer-exact — the decoder must replay the encoder's predictor
+   track bit-for-bit, the WAV container round-trips mono/stereo with
+   fact-chunk trimming, and the error of the reconstruction against
+   the input is bounded by the local step size (smooth signals)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from turbine_maintenance_etl_spark.llm.adpcm import (
+    decode_ima_blocks,
+    decode_nibbles,
+    encode_nibbles,
+    encode_wav_adpcm,
+)
+from turbine_maintenance_etl_spark.llm.multimodal import decode_wav_samples
+
+try:
+    import audioop  # deprecated, removed in 3.13 — gate, don't require
+
+    _HAVE_AUDIOOP = hasattr(audioop, "adpcm2lin")
+except ImportError:  # pragma: no cover
+    _HAVE_AUDIOOP = False
+
+
+@pytest.mark.skipif(not _HAVE_AUDIOOP, reason="stdlib audioop unavailable")
+def test_nibble_decode_matches_audioop():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = int(rng.integers(2, 600)) & ~1  # audioop packs nibble pairs
+        nibs = rng.integers(0, 16, size=n).tolist()
+        # audioop packs the FIRST sample in the HIGH nibble
+        packed = bytes(
+            (nibs[i] << 4) | nibs[i + 1] for i in range(0, n, 2)
+        )
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (0, 0))[0], dtype="<i2"
+        )
+        got, _p, _i = decode_nibbles(nibs, 0, 0)
+        assert np.array_equal(np.array(got, dtype=np.int16), ref)
+
+
+@pytest.mark.skipif(not _HAVE_AUDIOOP, reason="stdlib audioop unavailable")
+def test_nibble_decode_matches_audioop_from_random_states():
+    rng = np.random.default_rng(6)
+    for _ in range(10):
+        pred = int(rng.integers(-32768, 32768))
+        index = int(rng.integers(0, 89))
+        nibs = rng.integers(0, 16, size=200).tolist()
+        packed = bytes(
+            (nibs[i] << 4) | nibs[i + 1] for i in range(0, 200, 2)
+        )
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (pred, index))[0], dtype="<i2"
+        )
+        got, _p, _i = decode_nibbles(nibs, pred, index)
+        assert np.array_equal(np.array(got, dtype=np.int16), ref)
+
+
+def test_decoder_replays_encoder_reconstruction_exactly():
+    """Lossy codec, exact reconstruction: decode(encode(x)) must equal
+    the encoder's own predictor track (not x)."""
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, size=1000).tolist()
+    nibs, pred_end, idx_end = encode_nibbles(samples, samples[0], 0)
+    recon, p2, i2 = decode_nibbles(nibs, samples[0], 0)
+    assert (p2, i2) == (pred_end, idx_end)
+    # re-encoding the reconstruction from the same state is a fixpoint
+    nibs2, _, _ = encode_nibbles(recon, samples[0], 0)
+    got, _, _ = decode_nibbles(nibs2, samples[0], 0)
+    assert got == recon
+
+
+@pytest.mark.parametrize("n_ch", [1, 2])
+def test_wav_container_round_trip(n_ch):
+    rng = np.random.default_rng(8 + n_ch)
+    t = np.arange(2000) / 16000.0
+    base = 0.5 * np.sin(2 * np.pi * 200 * t) + 0.02 * rng.standard_normal(2000)
+    x = np.stack([base, -base][:n_ch], axis=1).astype(np.float32)
+    data = encode_wav_adpcm(x, 16000)
+    y, rate = decode_wav_samples(data)
+    assert rate == 16000
+    assert y.shape == x.shape  # fact chunk trims block padding
+    # a trackable signal reconstructs at adaptive-step level after the
+    # cold-start ramp (index starts at 0 = step 7)
+    err = np.abs(y - np.clip(x, -1, 1))
+    assert float(err[32:].max()) < 0.2
+    assert float(err.mean()) < 0.01
+
+
+@pytest.mark.skipif(not _HAVE_AUDIOOP, reason="stdlib audioop unavailable")
+def test_coder_quality_matches_audioop_coder():
+    """Same-signal error parity: our encoder's reconstruction error
+    must match CPython's reference coder within 10% (catches quality
+    regressions without over-pinning the quantizer's tie behavior)."""
+    rng = np.random.default_rng(9)
+    t = np.arange(4000) / 8000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.1 * rng.standard_normal(4000)).astype(np.float32)
+    pcm = np.round(np.clip(x, -1, 1) * 32767).astype("<i2")
+    adp, _ = audioop.lin2adpcm(pcm.tobytes(), 2, None)
+    lin, _ = audioop.adpcm2lin(adp, 2, None)
+    ref = np.frombuffer(lin, dtype="<i2").astype(np.float32) / 32768.0
+    ref_err = float(np.abs(ref - np.clip(x, -1, 1)).mean())
+
+    nibs, _, _ = encode_nibbles(pcm.astype(np.int64).tolist(), 0, 0)
+    mine, _, _ = decode_nibbles(nibs, 0, 0)
+    mine = np.array(mine, dtype=np.int16).astype(np.float32) / 32768.0
+    my_err = float(np.abs(mine - np.clip(x, -1, 1)).mean())
+    assert my_err < ref_err * 1.1
+
+
+def test_wav_adpcm_unaligned_frame_count_and_high_rate():
+    x = (0.3 * np.sin(np.arange(777) / 5.0)).astype(np.float32)[:, None]
+    y, rate = decode_wav_samples(encode_wav_adpcm(x, 44100))
+    assert rate == 44100 and y.shape == (777, 1)
+
+
+def test_corrupt_adpcm_rejected():
+    x = np.zeros((100, 1), dtype=np.float32)
+    data = bytearray(encode_wav_adpcm(x, 8000))
+    # corrupt the first block header's step index beyond 88
+    i = data.find(b"data") + 8
+    data[i + 2] = 99
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_samples(bytes(data))
+    # truncate below one block
+    short = bytes(data[: i + 4])
+    hdr = bytearray(short)
+    hdr[i - 4 : i] = struct.pack("<I", 4)  # data size 4 < block_align
+    with pytest.raises(ValueError):
+        decode_wav_samples(bytes(hdr))
+
+
+def test_other_compressed_formats_still_rejected():
+    x = np.zeros((100, 1), dtype=np.float32)
+    data = bytearray(encode_wav_adpcm(x, 8000))
+    i = data.find(b"fmt ") + 8
+    data[i : i + 2] = struct.pack("<H", 0x02)  # MS ADPCM: not implemented
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(bytes(data))

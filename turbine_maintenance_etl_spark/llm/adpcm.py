@@ -1,0 +1,197 @@
+"""IMA/DVI ADPCM (WAVE format tag 0x0011) — extends the stdlib-only
+WAV path beyond PCM, closing the "non-PCM WAV unsupported" gap the
+multimodal docstrings have carried since round 6.
+
+The algorithm is the public IMA ADPCM recommendation (also Microsoft's
+registered WAVE format 0x11): a 4-bit differential coder whose step
+size walks an 89-entry table under an 8-entry index-adjustment table.
+The WAV block layout is the registered one: per channel a 4-byte block
+header (int16 predictor — emitted as the block's first sample — plus a
+step-table index), then 4-byte data words per channel interleaved,
+low nibble first, 8 samples per word.
+
+Verification has an independent oracle in this container: CPython's
+``audioop.adpcm2lin`` implements the same nibble-level decoder
+(tests/test_wav_adpcm.py differentials the core against it), and the
+encoder's own predictor track must be reproduced bit-exactly by the
+decoder (lossy codec, but the RECONSTRUCTION is integer-exact).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# IMA ADPCM step-size table (89 entries) and index-adjustment table
+STEP_TABLE: tuple[int, ...] = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+INDEX_TABLE: tuple[int, ...] = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def decode_nibbles(nibbles, pred: int, index: int):
+    """Decode a sequence of 4-bit codes from (pred, index) state.
+    Returns (samples list[int16], pred, index) — the exact integer
+    reconstruction every IMA decoder must produce."""
+    out = []
+    for n in nibbles:
+        step = STEP_TABLE[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        index += INDEX_TABLE[n & 7]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        out.append(pred)
+    return out, pred, index
+
+
+def encode_nibbles(samples, pred: int, index: int):
+    """Quantize int16 samples against the running predictor; returns
+    (nibbles list[int], pred, index) with pred/index tracking the
+    DECODER's reconstruction (so decode_nibbles replays it exactly)."""
+    out = []
+    for s in samples:
+        step = STEP_TABLE[index]
+        diff = int(s) - pred
+        n = 8 if diff < 0 else 0
+        if n:
+            diff = -diff
+        tmp = step
+        if diff >= tmp:
+            n |= 4
+            diff -= tmp
+        tmp >>= 1
+        if diff >= tmp:
+            n |= 2
+            diff -= tmp
+        tmp >>= 1
+        if diff >= tmp:
+            n |= 1
+        # reconstruct exactly as the decoder will
+        vp = step >> 3
+        if n & 1:
+            vp += step >> 2
+        if n & 2:
+            vp += step >> 1
+        if n & 4:
+            vp += step
+        pred = pred - vp if n & 8 else pred + vp
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        index += INDEX_TABLE[n & 7]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        out.append(n)
+    return out, pred, index
+
+
+def decode_ima_blocks(raw: bytes, n_channels: int, block_align: int,
+                      n_frames: int | None) -> np.ndarray:
+    """Decode the WAV ``data`` chunk of an IMA ADPCM stream to an
+    int16 array shaped (frames, channels).  ``n_frames`` (from the
+    ``fact`` chunk) trims encoder padding in the final block."""
+    if block_align < 4 * n_channels + 4 or block_align % 4:
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    data_words = (block_align - 4 * n_channels) // (4 * n_channels)
+    spb = data_words * 8 + 1  # samples per block per channel
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for b0 in range(0, len(raw) - block_align + 1, block_align):
+        block = raw[b0 : b0 + block_align]
+        preds, idxs = [], []
+        for ch in range(n_channels):
+            pred, index, _rsv = struct.unpack_from("<hBB", block, 4 * ch)
+            if index > 88:
+                raise ValueError(f"bad IMA ADPCM step index {index}")
+            chans[ch].append(pred)  # header predictor IS the first sample
+            preds.append(pred)
+            idxs.append(index)
+        pos = 4 * n_channels
+        for _w in range(data_words):
+            for ch in range(n_channels):
+                word = block[pos : pos + 4]
+                pos += 4
+                nibs = []
+                for byte in word:
+                    nibs.append(byte & 0x0F)
+                    nibs.append(byte >> 4)
+                s, preds[ch], idxs[ch] = decode_nibbles(
+                    nibs, preds[ch], idxs[ch]
+                )
+                chans[ch].extend(s)
+    if not chans[0]:
+        raise ValueError("IMA ADPCM stream shorter than one block")
+    out = np.array(chans, dtype=np.int16).T  # (frames, channels)
+    if n_frames is not None:
+        if n_frames > out.shape[0]:
+            raise ValueError(
+                f"fact chunk claims {n_frames} frames, stream has {out.shape[0]}"
+            )
+        out = out[:n_frames]
+    # spb is fixed per fmt header; decoding yielded a multiple of it
+    assert out.shape[0] % spb == 0 or n_frames is not None
+    return out
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     samples_per_block: int = 505) -> bytes:
+    """Minimal RIFF/WAVE IMA-ADPCM (fmt 0x11) encoder for
+    (n_frames, n_channels) float32 samples in [-1, 1] — the fixture
+    producer the decoder is tested against (same policy as the JPEG
+    and PNG encoders).  Emits the registered fmt extension
+    (wSamplesPerBlock) and a fact chunk so decode can trim the final
+    block's padding."""
+    if samples.ndim != 2:
+        raise ValueError(f"expected (frames, channels) samples, got {samples.shape}")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block - 1 must be a multiple of 8")
+    n_frames, n_ch = samples.shape
+    if n_frames == 0:
+        raise ValueError("cannot ADPCM-encode zero frames")
+    pcm = np.round(np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int64)
+    block_align = 4 * n_ch + (samples_per_block - 1) // 2 * n_ch
+    blocks = bytearray()
+    idxs = [0] * n_ch
+    for f0 in range(0, n_frames, samples_per_block):
+        seg = pcm[f0 : f0 + samples_per_block]
+        if seg.shape[0] < samples_per_block:  # pad by repeating the tail
+            seg = np.vstack(
+                [seg, np.repeat(seg[-1:], samples_per_block - seg.shape[0], 0)]
+            )
+        nib_by_ch = []
+        for ch in range(n_ch):
+            pred = int(seg[0, ch])
+            blocks += struct.pack("<hBB", pred, idxs[ch], 0)
+            nibs, _pred, idxs[ch] = encode_nibbles(
+                seg[1:, ch].tolist(), pred, idxs[ch]
+            )
+            nib_by_ch.append(nibs)
+        for w in range((samples_per_block - 1) // 8):
+            for ch in range(n_ch):
+                chunk = nib_by_ch[ch][w * 8 : w * 8 + 8]
+                for k in range(0, 8, 2):
+                    blocks.append(chunk[k] | (chunk[k + 1] << 4))
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -203,14 +203,15 @@ _WAV_SIG = b"RIFF"
 
 def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
     """Pure-Python WAV decode to (samples float32 in [-1, 1] shaped
-    (n_frames, n_channels), sample_rate). Supports PCM 8/16-bit — the
-    overwhelmingly common cases; anything else raises (honest partial
-    decoder, same policy as decode_png_pixels)."""
+    (n_frames, n_channels), sample_rate). Supports PCM 8/16-bit and
+    IMA ADPCM (format 0x11, llm/adpcm.py — round 8); anything else
+    raises (honest partial decoder, same policy as
+    decode_png_pixels)."""
     import struct
 
     if len(data) < 44 or not data.startswith(_WAV_SIG) or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE byte stream")
-    pos, fmt, raw = 12, None, None
+    pos, fmt, raw, n_fact = 12, None, None, None
     while pos + 8 <= len(data):
         cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
@@ -222,18 +223,26 @@ def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            if len(body) >= 4:
+                (n_fact,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("truncated WAV (missing fmt/data chunk)")
-    audio_fmt, n_channels, sample_rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
-        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} unsupported")
+    audio_fmt, n_channels, sample_rate, _, block_align, bits = fmt
     if n_channels <= 0 or sample_rate <= 0:
         # crafted/corrupt headers must raise ValueError (caught by the
         # poison-pill path), never divide by zero downstream
         raise ValueError(f"bad WAV header: channels={n_channels} rate={sample_rate}")
+    if audio_fmt == 0x11 and bits == 4:
+        from .adpcm import decode_ima_blocks
+
+        pcm = decode_ima_blocks(raw, n_channels, block_align, n_fact)
+        return pcm.astype(np.float32) / 32768.0, sample_rate
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} unsupported")
     if bits == 16:
         x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2").astype(
             np.float32
