@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "dedup_image_phash_jpeg_progressive",
     # round-8: the GROUPED_AGG pandas-UDF surface
     "ud_grouped_agg_wavg",
+    # round-8 session 3: the arithmetic-JPEG proof entry (SOF0/2/9/10 mix)
+    "dedup_image_phash_jpeg_arith",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

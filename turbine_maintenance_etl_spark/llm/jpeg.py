@@ -13,9 +13,13 @@ Scope — what a bulk feature-extraction pipeline actually meets:
   JFIF/EXIF headers skipped. ARITHMETIC entropy coding (SOF9
   extended-sequential + SOF10 progressive, DAC conditioning) is
   handled by the Annex D/F/G implementation in ``jpeg_arith.py``.
-  12-bit, hierarchical and lossless modes raise NotImplementedError —
-  the callers' poison-pill handling turns that into a tagged NULL row,
-  same as any other unsupported input.
+  12-BIT precision decodes in the extended/progressive modes (SOF1/
+  SOF2/SOF9/SOF10, Pq=1 16-bit quantization tables, level shift 2048)
+  — ``decode_jpeg_pixels`` downconverts to the uint8 pipeline
+  contract, ``decode_jpeg_pixels_native`` keeps uint16. Hierarchical
+  and lossless modes raise NotImplementedError — the callers'
+  poison-pill handling turns that into a tagged NULL row, same as any
+  other unsupported input.
 - ENCODE: baseline sequential, Annex K quantization tables scaled by
   the libjpeg quality formula, Annex K "typical" Huffman tables,
   4:4:4 or 4:2:0; plus a progressive encoder (DC-first + spectral
@@ -225,6 +229,20 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     both as NULL rows."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG byte stream")
+    px = decode_jpeg_pixels_native(data)
+    if px.dtype == np.uint16:
+        # 12-bit frame: rounded-proportional downconversion keeps the
+        # uint8 pipeline contract (feature extraction / phash consume
+        # 8-bit); decode_jpeg_pixels_native exposes full precision
+        px = ((px.astype(np.int64) * 255 + 2047) // 4095).astype(np.uint8)
+    return px
+
+
+def decode_jpeg_pixels_native(data: bytes) -> np.ndarray:
+    """Like decode_jpeg_pixels but at the frame's native precision:
+    uint8 for 8-bit frames, uint16 (values 0..4095) for 12-bit."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG byte stream")
     try:
         return _decode_markers(data)
     except (IndexError, KeyError, struct.error) as exc:
@@ -273,15 +291,20 @@ def _decode_markers(data: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(
-                    np.int64
-                )
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT element precision {pq}")
+                if pq:  # 16-bit elements (12-bit frames)
+                    tbl = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                else:
+                    tbl = np.frombuffer(
+                        seg[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int64)
                 q = np.zeros(64, dtype=np.int64)
                 q[ZIGZAG] = tbl  # stored in zigzag order -> natural
                 quant[tq] = q
-                p += 65
+                p += 129 if pq else 65
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             p = 0
             while p < len(seg):
@@ -291,11 +314,13 @@ def _decode_markers(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_map(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
-            # SOF0 baseline / SOF2 progressive (Huffman)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF1 extended / SOF2 progressive (Huffman)
             # SOF9 extended-sequential / SOF10 progressive (arithmetic)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
+            if prec != 8 and not (prec == 12 and marker != 0xC0):
+                # 12-bit is legal in the extended/progressive modes only
+                # (T.81 Table B.2: baseline is 8-bit)
                 raise NotImplementedError(f"JPEG precision {prec}")
             comps = []
             for i in range(nc):
@@ -304,7 +329,7 @@ def _decode_markers(data: bytes) -> np.ndarray:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(f"sampling factors {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             arith = marker in (0xC9, 0xCA)
             if marker in (0xC2, 0xCA):
                 progressive = True
@@ -428,7 +453,8 @@ def _decode_markers(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
                  restart_interval) -> np.ndarray:
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    shift = float(1 << (prec - 1))  # level shift: 128 (8-bit) / 2048 (12-bit)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -458,7 +484,8 @@ def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
                     q = quant[tq]
                     for by in range(vs):
                         for bx in range(hs):
-                            blk = _decode_block(reader, dc_t, ac_t, q, pred, cid)
+                            blk = _decode_block(reader, dc_t, ac_t, q,
+                                                pred, cid, shift)
                             y0 = (my * vs + by) * 8
                             x0 = (mx * hs + bx) * 8
                             planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
@@ -473,7 +500,9 @@ def _planes_to_image(frame, planes, hmax, vmax) -> np.ndarray:
     """Upsample each component plane to full padded resolution, crop to
     the frame size, and convert to grayscale/RGB — the shared tail of
     the baseline and progressive decode paths."""
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     out = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -481,19 +510,20 @@ def _planes_to_image(frame, planes, hmax, vmax) -> np.ndarray:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
-        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(out[0]), 0, maxv).astype(dtype)
         return g[:, :, None]
     if len(out) != 3:
         raise NotImplementedError(f"{len(out)}-component JPEG")
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    center = float(1 << (prec - 1))
+    y, cb, cr = out[0], out[1] - center, out[2] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
-def _decode_block(reader, dc_t, ac_t, q, pred, cid) -> np.ndarray:
+def _decode_block(reader, dc_t, ac_t, q, pred, cid, shift=128.0) -> np.ndarray:
     coef = np.zeros(64, dtype=np.float64)
     t = _huff_decode(reader, dc_t)
     diff = _extend(reader.read_bits(t), t) if t else 0
@@ -514,7 +544,7 @@ def _decode_block(reader, dc_t, ac_t, q, pred, cid) -> np.ndarray:
         coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) * q[ZIGZAG[k]]
         k += 1
     blk = coef.reshape(8, 8)
-    return _C.T @ blk @ _C + 128.0  # IDCT + level shift
+    return _C.T @ blk @ _C + shift  # IDCT + level shift
 
 
 # ------------------------------------------------- progressive decode
@@ -636,7 +666,7 @@ def _decode_scan_progressive(data, pos, frame, coef, huff_dc, huff_ac,
                              restart_interval) -> int:
     """Decode one progressive scan's entropy data into the coefficient
     store; returns the byte position of the next marker."""
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     byid = {cid: (hs, vs) for cid, hs, vs, _tq in comps}
@@ -703,7 +733,7 @@ def _assemble_progressive(frame, coef, quant) -> np.ndarray:
     """Dequantize + IDCT the accumulated coefficient store (batched
     matmul over all blocks at once) and finish through the shared
     upsample/color path."""
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes = {}
@@ -715,7 +745,7 @@ def _assemble_progressive(frame, coef, quant) -> np.ndarray:
         deq = np.zeros((by_n, bx_n, 64), dtype=np.float64)
         deq[:, :, ZIGZAG] = grid * quant[tq][ZIGZAG]
         blocks = deq.reshape(by_n, bx_n, 8, 8)
-        pix = _C.T @ blocks @ _C + 128.0
+        pix = _C.T @ blocks @ _C + float(1 << (frame[3] - 1))
         planes[cid] = pix.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
     return _planes_to_image(frame, planes, hmax, vmax)
 
@@ -938,17 +968,19 @@ _PROG_AC_VALS = sorted(
 _PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
 
-def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _quantize_plane(plane: np.ndarray, q: np.ndarray,
+                    shift: float = 128.0) -> np.ndarray:
     """(BY*8, BX*8) padded samples -> (BY, BX, 64) quantized
     coefficients in ZIGZAG index order (same rounding as the baseline
-    encoder's per-block path, batched)."""
+    encoder's per-block path, batched). ``shift`` is the level shift:
+    128 for 8-bit frames, 2048 for 12-bit."""
     by_n, bx_n = plane.shape[0] // 8, plane.shape[1] // 8
     blocks = plane.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
     # round the DCT output to integers BEFORE quantizing — the baseline
     # _encode_block does exactly this, and matching its double rounding
     # is what makes progressive and baseline transmit IDENTICAL
     # coefficients (the bit-exact differential the tests pin)
-    co = np.round(_C @ (blocks - 128.0) @ _C.T)
+    co = np.round(_C @ (blocks - shift) @ _C.T)
     flat = co.reshape(by_n, bx_n, 64)
     return np.round(flat[:, :, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
 
@@ -1229,5 +1261,134 @@ def encode_jpeg_progressive(
     wr.flush()
     out += sos(ids_tq, 0, 0, 1, 0, bytes(wr.out))
 
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- 12-bit encode (r8)
+
+# 12-bit frames need DC categories up to 15 and AC sizes up to 14
+# (T.81 Table F.1), which the Annex K 8-bit tables don't carry — flat
+# prefix codes in the same spirit as _PROG_AC_VALS (legal, not
+# entropy-optimal: these streams exist to exercise the decoder).
+_DC12_VALS = list(range(16))
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC12_VALS = sorted([0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+])
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _encode_block_grid(wr, qc, dc_codes, ac_codes, pred_key, pred) -> None:
+    """Huffman-encode one block from an already-quantized coefficient
+    row (ZIGZAG index order) — the grid-based twin of _encode_block."""
+    diff = int(qc[0]) - pred[pred_key]
+    pred[pred_key] = int(qc[0])
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    wr.write(code, ln)
+    if t:
+        _write_signed(wr, diff, t)
+    last_nz = 0
+    for k in range(1, 64):
+        if qc[k]:
+            last_nz = k
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(qc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            wr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        wr.write(code, ln)
+        _write_signed(wr, v, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        wr.write(code, ln)
+
+
+def encode_jpeg_12bit(
+    px: np.ndarray,
+    quality: int = 100,
+    restart_interval: int = 0,
+    arith: bool = False,
+) -> bytes:
+    """Encode (h, w) or (h, w, 1) uint16 GRAYSCALE samples (0..4095)
+    as a 12-bit extended-sequential JPEG — SOF1 (Huffman, flat 12-bit
+    tables) or SOF9 (arithmetic) — with a Pq=1 16-bit quantization
+    table. The in-container producer for the decoder's 12-bit path;
+    at quality=100 (all-ones table) block-constant images round-trip
+    BIT-exactly, same as the 8-bit oracle trick."""
+    if px.ndim == 3:
+        if px.shape[2] != 1:
+            raise ValueError("12-bit encoder is grayscale-only")
+        px = px[:, :, 0]
+    if int(px.max(initial=0)) > 4095 or int(px.min(initial=0)) < 0:
+        raise ValueError("12-bit samples must be in 0..4095")
+    h, w = px.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    plane = np.pad(
+        px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+    q = _scaled_quant(_QUANT_LUMA, quality)
+    grid = _quantize_plane(plane, q, shift=2048.0)
+    bh, bw = grid.shape[:2]
+    rst = restart_interval
+
+    if arith:
+        from .jpeg_arith import _DEFAULT_AC_KX, _DEFAULT_DC_COND, _ScanEncoder
+        from .jpeg_arith import _block_encode_seq as _abe
+
+        sc = _ScanEncoder([(1, 1, 1, 0)], rst)
+        for by in range(bh):
+            for bx in range(bw):
+                sc.unit()
+                _abe(sc.enc, sc.stats.dc_bins(0), sc.stats.ac_bins(0),
+                     sc.ctx, sc.pred, 1, _DEFAULT_DC_COND, _DEFAULT_AC_KX,
+                     grid[by, bx])
+        entropy = sc.finish()
+    else:
+        dc_codes = _canonical_codes(_DC12_BITS, _DC12_VALS)
+        ac_codes = _canonical_codes(_AC12_BITS, _AC12_VALS)
+        wr = _BitWriter()
+        pred = {1: 0}
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if _emit_rst(wr, n, rst):
+                    pred[1] = 0
+                n += 1
+                _encode_block_grid(wr, grid[by, bx], dc_codes, ac_codes, 1, pred)
+        wr.flush()
+        entropy = bytes(wr.out)
+
+    out = bytearray(b"\xff\xd8")
+    zz16 = b"".join(struct.pack(">H", int(q[ZIGZAG[i]])) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 131, 0x10) + zz16  # Pq=1, Tq=0
+    sof = struct.pack(">BHHB", 12, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    out += bytes([0xFF, 0xC9 if arith else 0xC1])
+    out += struct.pack(">H", 2 + len(sof)) + sof
+    if arith:
+        low, high = _DEFAULT_DC_COND
+        dac = struct.pack(">BBBB", 0x00, (high << 4) | low, 0x10, _DEFAULT_AC_KX)
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    else:
+        def dht(tc, th, bits, vals):
+            body = struct.pack(">B", (tc << 4) | th) + bytes(bits) + bytes(vals)
+            return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+        out += dht(0, 0, _DC12_BITS, _DC12_VALS)
+        out += dht(1, 0, _AC12_BITS, _AC12_VALS)
+    if rst:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, rst)
+    sos = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)

@@ -658,7 +658,7 @@ def decode_scan_sequential(data, pos, frame, quant, scan_tabs, dc_cond,
     tail)."""
     from .jpeg import _assemble_progressive
 
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -703,7 +703,7 @@ def decode_scan_progressive(data, pos, frame, coef, scan_tabs, dc_cond,
     coefficient store; returns the byte position of the next marker."""
     from .jpeg import _next_marker
 
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     byid = {cid: (hs, vs) for cid, hs, vs, _tq in comps}
