@@ -241,6 +241,14 @@ def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
 
         pcm = decode_ima_blocks(raw, n_channels, block_align, n_fact)
         return pcm.astype(np.float32) / 32768.0, sample_rate
+    if audio_fmt in (0x06, 0x07) and bits == 8:  # G.711 A-law / µ-law
+        from .g711 import decode_g711
+
+        x = decode_g711(raw, ulaw=audio_fmt == 0x07).astype(np.float32) / 32768.0
+        n_frames = len(x) // n_channels
+        if n_fact is not None:
+            n_frames = min(n_frames, n_fact)
+        return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} unsupported")
     if bits == 16:
