@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "ud_grouped_agg_wavg",
     # round-8 session 3: the arithmetic-JPEG proof entry (SOF0/2/9/10 mix)
     "dedup_image_phash_jpeg_arith",
+    # round-8 session 3: cross-format audio dedup (G.711 + PCM16 mix)
+    "dedup_audio_fingerprint_g711",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

@@ -261,6 +261,9 @@ PRIORITY_ORDER: list[str] = [
     # -- r8: arithmetic-coding JPEG proof — four-way format-mixed corpus
     # -- (SOF0/SOF2/SOF9/SOF10), same oracle as the other JPEG entries
     "dedup_image_phash_jpeg_arith",
+    # -- r8: cross-format audio dedup — G.711 µ-law/A-law + PCM16 mixed
+    # -- corpus, decode tables embedded in the DuckDB twin
+    "dedup_audio_fingerprint_g711",
 ]
 
 

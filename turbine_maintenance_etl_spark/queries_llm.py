@@ -2200,6 +2200,101 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g711_oracle() -> str:
+    """The cross-format audio oracle embeds both 256-entry G.711 decode
+    tables as DuckDB list literals, so the SQL twin replays the exact
+    codeword -> int16 mapping the Spark-side decoder applies."""
+    from turbine_maintenance_etl_spark.llm.g711 import ALAW_TABLE, ULAW_TABLE
+
+    ul = "[" + ", ".join(str(int(v)) for v in ULAW_TABLE) + "]"
+    al = "[" + ", ".join(str(int(v)) for v in ALAW_TABLE) + "]"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, doc_id // 2 AS g FROM documents),
+    samp AS (
+        SELECT doc_id, i, i // 10 AS k,
+               ABS(CASE WHEN g % 2 = 0
+                   THEN {ul}[(g * 7 + i * 13) % 256 + 1]
+                   ELSE {al}[(g * 7 + i * 13) % 256 + 1] END) AS a
+        FROM base, generate_series(0, 559) AS t(i)),
+    wins AS (
+        SELECT doc_id, k, SUM(a) AS wa FROM samp GROUP BY doc_id, k),
+    tot AS (
+        SELECT doc_id, SUM(wa) AS ta FROM wins GROUP BY doc_id),
+    fp AS (
+        SELECT w.doc_id,
+               CAST(SUM(CASE WHEN w.wa * 56 > t.ta
+                        THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS afp
+        FROM wins w JOIN tot t USING (doc_id) GROUP BY w.doc_id)
+    SELECT doc_id, afp, CAST(560 AS BIGINT) AS n_frames,
+           doc_id = MIN(doc_id) OVER (PARTITION BY afp) AS survivor
+    FROM fp
+    """
+
+
+@register("dedup_audio_fingerprint_g711", _g711_oracle())
+def dedup_audio_fingerprint_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT audio dedup (r8 session 3): the same audio stored
+    as G.711 telephony bytes and as PCM16 must fingerprint identically
+    and dedup together — the realistic mixed-corpus scenario. Each
+    group g gets a deterministic codeword sequence; doc v=0 carries the
+    RAW G.711 container (µ-law for even g, A-law for odd — both decode
+    paths run under the driver's oracle), v=1 carries the SAME decoded
+    values as PCM16 (different bytes, same audio). G.711 decode is
+    value-exact by construction (every sample is a table value; the
+    envelope's *32768 rint recovers the int16 exactly), so the DuckDB
+    twin — which embeds both 256-entry decode tables as list literals —
+    grades the whole path bit-for-bit. Scale shape unchanged: one
+    Arrow-batched map over the binary column, 8-byte fingerprint
+    shuffle, never samples."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.g711 import ALAW_TABLE, ULAW_TABLE
+    from turbine_maintenance_etl_spark.llm.multimodal import audio_fingerprint
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                i = np.arange(560, dtype=np.int64)
+                codes = ((g * 7 + i * 13) % 256).astype(np.uint8)
+                ulaw = g % 2 == 0
+                if v == 0:  # raw G.711 codewords
+                    raw = codes.tobytes()
+                    fmt = _struct.pack(
+                        "<HHIIHH", 0x07 if ulaw else 0x06, 1, 16000, 16000, 1, 8
+                    )
+                else:  # the SAME decoded values, PCM16 container
+                    table = ULAW_TABLE if ulaw else ALAW_TABLE
+                    raw = table[codes].astype("<i2").tobytes()
+                    fmt = _struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(raw)) + raw
+                )
+                wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+                rows.append({"doc_id": did, "media": wav})
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    fp = audio_fingerprint(media)
+    w = Window.partitionBy("afp")
+    return fp.select(
+        "doc_id",
+        "afp",
+        "n_frames",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("survivor"),
+    )
+
+
 @register(
     "dedup_video_frames",
     """
