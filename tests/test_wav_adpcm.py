@@ -148,6 +148,64 @@ def test_other_compressed_formats_still_rejected():
     x = np.zeros((100, 1), dtype=np.float32)
     data = bytearray(encode_wav_adpcm(x, 8000))
     i = data.find(b"fmt ") + 8
-    data[i : i + 2] = struct.pack("<H", 0x02)  # MS ADPCM: not implemented
+    data[i : i + 2] = struct.pack("<H", 0x55)  # MP3-in-WAV: not implemented
     with pytest.raises(NotImplementedError):
+        decode_wav_samples(bytes(data))
+
+
+# ------------------------------------------------------------ MS ADPCM
+
+
+def test_ms_nibble_decoder_replays_encoder_for_every_predictor():
+    from turbine_maintenance_etl_spark.llm.adpcm import (
+        ms_decode_nibbles,
+        ms_encode_nibbles,
+    )
+
+    rng = np.random.default_rng(11)
+    for pid in range(7):
+        s = rng.integers(-32768, 32768, 400).tolist()
+        nibs, rec = ms_encode_nibbles(s, pid, 64, s[1], s[0])
+        assert ms_decode_nibbles(nibs, pid, 64, s[1], s[0]) == rec
+
+
+@pytest.mark.parametrize("n_ch", [1, 2])
+def test_ms_adpcm_wav_container_round_trip(n_ch):
+    from turbine_maintenance_etl_spark.llm.adpcm import encode_wav_ms_adpcm
+
+    rng = np.random.default_rng(12 + n_ch)
+    t = np.arange(3000) / 16000.0
+    base = 0.5 * np.sin(2 * np.pi * 200 * t) + 0.02 * rng.standard_normal(3000)
+    x = np.stack([base, -base][:n_ch], axis=1).astype(np.float32)
+    y, rate = decode_wav_samples(encode_wav_ms_adpcm(x, 16000))
+    assert rate == 16000 and y.shape == x.shape
+    # the fixture encoder CYCLES all 7 registered predictors (coverage
+    # over fidelity), so the bound is looser than IMA's
+    err = np.abs(y - np.clip(x, -1, 1))
+    assert float(err.max()) < 0.25
+    assert float(err.mean()) < 0.03
+
+
+def test_ms_adpcm_header_samples_and_fact_trim():
+    from turbine_maintenance_etl_spark.llm.adpcm import encode_wav_ms_adpcm
+
+    # the first two output samples per block are the verbatim header
+    # samples (oldest first) — exact regardless of predictor quality
+    x = (np.linspace(-0.5, 0.5, 777).astype(np.float32))[:, None]
+    y, _ = decode_wav_samples(encode_wav_ms_adpcm(x, 8000))
+    assert y.shape == (777, 1)  # fact chunk trims final-block padding
+    pcm = np.round(np.clip(x[:, 0], -1, 1) * 32767).astype(int)
+    got = np.round(y[:, 0] * 32768).astype(int)
+    assert got[0] == pcm[0] and got[1] == pcm[1]
+    assert got[500] == pcm[500] and got[501] == pcm[501]  # block 2 header
+
+
+def test_ms_adpcm_corrupt_predictor_rejected():
+    from turbine_maintenance_etl_spark.llm.adpcm import encode_wav_ms_adpcm
+
+    x = np.zeros((100, 1), dtype=np.float32)
+    data = bytearray(encode_wav_ms_adpcm(x, 8000))
+    i = data.find(b"data") + 8
+    data[i] = 7  # predictor id out of range
+    with pytest.raises(ValueError, match="predictor"):
         decode_wav_samples(bytes(data))

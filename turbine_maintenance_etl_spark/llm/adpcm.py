@@ -195,3 +195,175 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
         + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------ MS ADPCM
+#
+# WAVE format tag 0x0002 (Microsoft ADPCM, public format spec): a
+# 4-bit coder with a 2-tap linear predictor chosen per block from 7
+# registered coefficient pairs and a per-step delta adapted through a
+# 16-entry table.  Unlike IMA, the nibbles are SIGNED (-8..7) and the
+# block header carries the predictor id, the initial delta and the
+# first two samples verbatim.
+
+MS_COEF1: tuple[int, ...] = (256, 512, 0, 192, 240, 460, 392)
+MS_COEF2: tuple[int, ...] = (0, -256, 0, 64, 0, -208, -232)
+MS_ADAPT: tuple[int, ...] = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def ms_decode_nibbles(nibbles, pred_id: int, delta: int, s1: int, s2: int):
+    """Decode signed 4-bit codes after a block header; returns the
+    samples list (NOT including the header's s2/s1)."""
+    c1, c2 = MS_COEF1[pred_id], MS_COEF2[pred_id]
+    out = []
+    for n in nibbles:
+        signed = n - 16 if n >= 8 else n
+        pred = _clamp16(((s1 * c1 + s2 * c2) >> 8) + signed * delta)
+        out.append(pred)
+        s2, s1 = s1, pred
+        delta = max(16, (MS_ADAPT[n] * delta) >> 8)
+    return out
+
+
+def ms_encode_nibbles(samples, pred_id: int, delta: int, s1: int, s2: int):
+    """Quantize samples against the running 2-tap prediction; returns
+    (nibbles, reconstruction) with the reconstruction tracking the
+    decoder exactly."""
+    c1, c2 = MS_COEF1[pred_id], MS_COEF2[pred_id]
+    nibs, rec = [], []
+    for s in samples:
+        pred = (s1 * c1 + s2 * c2) >> 8
+        n = (int(s) - pred) // delta if delta else 0
+        n = -8 if n < -8 else (7 if n > 7 else n)
+        code = n + 16 if n < 0 else n
+        val = _clamp16(pred + n * delta)
+        nibs.append(code)
+        rec.append(val)
+        s2, s1 = s1, val
+        delta = max(16, (MS_ADAPT[code] * delta) >> 8)
+    return nibs, rec
+
+
+def decode_ms_blocks(raw: bytes, n_channels: int, block_align: int,
+                     n_frames: int | None) -> np.ndarray:
+    """Decode the WAV ``data`` chunk of an MS ADPCM stream to int16
+    (frames, channels)."""
+    if block_align < 7 * n_channels + 1:
+        raise ValueError(f"bad MS ADPCM block align {block_align}")
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for b0 in range(0, len(raw) - block_align + 1, block_align):
+        block = raw[b0 : b0 + block_align]
+        preds = list(block[:n_channels])
+        if any(p > 6 for p in preds):
+            raise ValueError(f"bad MS ADPCM predictor id {max(preds)}")
+        deltas, s1s, s2s = [], [], []
+        off = n_channels
+        for ch in range(n_channels):
+            deltas.append(struct.unpack_from("<h", block, off + 2 * ch)[0])
+        off += 2 * n_channels
+        for ch in range(n_channels):
+            s1s.append(struct.unpack_from("<h", block, off + 2 * ch)[0])
+        off += 2 * n_channels
+        for ch in range(n_channels):
+            s2s.append(struct.unpack_from("<h", block, off + 2 * ch)[0])
+        off += 2 * n_channels
+        # header samples come out oldest-first
+        for ch in range(n_channels):
+            chans[ch].append(s2s[ch])
+            chans[ch].append(s1s[ch])
+        nibs = []
+        for byte in block[off:]:
+            nibs.append(byte >> 4)
+            nibs.append(byte & 0x0F)
+        # nibbles round-robin the channels (L in the high nibble first)
+        state = [
+            (deltas[ch], s1s[ch], s2s[ch]) for ch in range(n_channels)
+        ]
+        c1 = [MS_COEF1[p] for p in preds]
+        c2 = [MS_COEF2[p] for p in preds]
+        for i, n in enumerate(nibs):
+            ch = i % n_channels
+            delta, s1, s2 = state[ch]
+            signed = n - 16 if n >= 8 else n
+            val = _clamp16(((s1 * c1[ch] + s2 * c2[ch]) >> 8) + signed * delta)
+            chans[ch].append(val)
+            state[ch] = (max(16, (MS_ADAPT[n] * delta) >> 8), val, s1)
+    if not chans[0]:
+        raise ValueError("MS ADPCM stream shorter than one block")
+    out = np.array(chans, dtype=np.int16).T
+    if n_frames is not None:
+        if n_frames > out.shape[0]:
+            raise ValueError(
+                f"fact chunk claims {n_frames} frames, stream has {out.shape[0]}"
+            )
+        out = out[:n_frames]
+    return out
+
+
+def encode_wav_ms_adpcm(samples: np.ndarray, sample_rate: int,
+                        samples_per_block: int = 500) -> bytes:
+    """Minimal RIFF/WAVE MS-ADPCM (fmt 0x02) encoder for
+    (n_frames, n_channels) float32 samples in [-1, 1].  The predictor
+    id CYCLES through all 7 registered coefficient pairs block by
+    block, so a decoder differential exercises every predictor."""
+    if samples.ndim != 2:
+        raise ValueError(f"expected (frames, channels) samples, got {samples.shape}")
+    if samples_per_block % 2 or samples_per_block < 4:
+        raise ValueError("samples_per_block must be even and >= 4")
+    n_frames, n_ch = samples.shape
+    if n_frames == 0:
+        raise ValueError("cannot ADPCM-encode zero frames")
+    pcm = np.round(np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int64)
+    block_align = 7 * n_ch + (samples_per_block - 2) * n_ch // 2
+    blocks = bytearray()
+    for bi, f0 in enumerate(range(0, n_frames, samples_per_block)):
+        seg = pcm[f0 : f0 + samples_per_block]
+        if seg.shape[0] < samples_per_block:
+            seg = np.vstack(
+                [seg, np.repeat(seg[-1:], samples_per_block - seg.shape[0], 0)]
+            )
+        pred_id = bi % 7
+        blocks += bytes([pred_id] * n_ch)
+        nib_by_ch = []
+        for ch in range(n_ch):
+            s2, s1 = int(seg[0, ch]), int(seg[1, ch])
+            delta = max(16, int(np.abs(np.diff(seg[:, ch])).mean()) >> 2)
+            blocks += struct.pack("<h", delta)
+            nibs, _rec = ms_encode_nibbles(
+                seg[2:, ch].tolist(), pred_id, delta, s1, s2
+            )
+            nib_by_ch.append(nibs)
+        for ch in range(n_ch):
+            s2, s1 = int(seg[0, ch]), int(seg[1, ch])
+            blocks += struct.pack("<h", s1)
+        for ch in range(n_ch):
+            blocks += struct.pack("<h", int(seg[0, ch]))
+        # interleave nibbles round-robin, two per byte, high first
+        flat = []
+        for i in range(samples_per_block - 2):
+            for ch in range(n_ch):
+                flat.append(nib_by_ch[ch][i])
+        for k in range(0, len(flat), 2):
+            blocks.append((flat[k] << 4) | flat[k + 1])
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    coefs = b"".join(
+        struct.pack("<hh", MS_COEF1[i], MS_COEF2[i]) for i in range(7)
+    )
+    fmt = struct.pack(
+        "<HHIIHHHHH", 0x02, n_ch, sample_rate, byte_rate, block_align, 4,
+        4 + len(coefs), samples_per_block, 7,
+    ) + coefs
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

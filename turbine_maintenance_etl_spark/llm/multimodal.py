@@ -241,6 +241,11 @@ def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
 
         pcm = decode_ima_blocks(raw, n_channels, block_align, n_fact)
         return pcm.astype(np.float32) / 32768.0, sample_rate
+    if audio_fmt == 0x02 and bits == 4:  # MS ADPCM
+        from .adpcm import decode_ms_blocks
+
+        pcm = decode_ms_blocks(raw, n_channels, block_align, n_fact)
+        return pcm.astype(np.float32) / 32768.0, sample_rate
     if audio_fmt in (0x06, 0x07) and bits == 8:  # G.711 A-law / µ-law
         from .g711 import decode_g711
 
