@@ -104,3 +104,14 @@ def test_sof1_accepts_8bit_extended_sequential():
         decode_jpeg_pixels(bytes(data)),
         decode_jpeg_pixels(encode_jpeg_baseline(px, 85)),
     )
+
+
+def test_multimodal_dispatch_keeps_uint8_contract_for_12bit():
+    """image_phash & friends sniff the JPEG signature and consume
+    uint8 — a 12-bit stream must flow through the same dispatch with
+    the downconverted contract, not leak uint16 into the hash path."""
+    from turbine_maintenance_etl_spark.llm.multimodal import decode_image_pixels
+
+    px = _block_constant(16, 24, seed=99)
+    img = decode_image_pixels(encode_jpeg_12bit(px, 100))
+    assert img.dtype == np.uint8 and img.shape == (16, 24, 1)
