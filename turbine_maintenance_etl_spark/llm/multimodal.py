@@ -33,70 +33,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
 def decode_png_pixels(data: bytes) -> np.ndarray:
-    """Pure-Python PNG decode to a (height, width, channels) uint8 array.
+    """Pure-Python PNG decode to a (height, width, channels) uint8
+    array. Round 8: the full-coverage implementation lives in
+    ``llm/png.py`` — every legal still-image PNG decodes (bit depths
+    1-16, palette with tRNS alpha, ADAM7 interlacing, all filters);
+    this name stays as the stable import point for the pipeline
+    operators and tests."""
+    from .png import decode_png_pixels as _full
 
-    Supports the formats a feature-extraction pipeline actually meets in
-    bulk: 8-bit depth, color types 0/2/4/6 (no palette), non-interlaced,
-    with full scanline unfiltering (None/Sub/Up/Average/Paeth). Built on
-    stdlib ``zlib`` + numpy only — no PIL in this container."""
-    if not data.startswith(_PNG_SIG):
-        raise ValueError("not a PNG byte stream")
-    pos = 8
-    width = height = channels = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
-                raise NotImplementedError(
-                    f"PNG depth={depth} color={color} interlace={interlace} unsupported"
-                )
-            channels = _PNG_CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat += chunk
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    if width is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    stride = width * channels
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-    raw = raw.reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    for y in range(height):
-        f = int(raw[y, 0])
-        line = raw[y, 1:].astype(np.int64)
-        prior = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
-        if f == 0:  # None
-            rec = line
-        elif f == 2:  # Up — vectorizable (no intra-row dependency)
-            rec = (line + prior) & 0xFF
-        else:  # Sub / Average / Paeth depend on the reconstructed left pixel
-            rec = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = rec[x - channels] if x >= channels else 0
-                b = prior[x]
-                c = prior[x - channels] if x >= channels else 0
-                if f == 1:  # Sub
-                    pred = a
-                elif f == 3:  # Average
-                    pred = (a + b) // 2
-                elif f == 4:  # Paeth
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter type {f}")
-                rec[x] = (line[x] + pred) & 0xFF
-        out[y] = rec.astype(np.uint8)
-    return out.reshape(height, width, channels)
+    return _full(data)
 
 
 def decode_image_pixels(data: bytes) -> np.ndarray:
