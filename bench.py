@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "dedup_image_phash_jpeg_arith",
     # round-8 session 3: cross-format audio dedup (G.711 + PCM16 mix)
     "dedup_audio_fingerprint_g711",
+    # round-8 session 3: full-PNG-surface proof (palette/16-bit/Adam7 mix)
+    "dedup_image_phash_png_formats",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

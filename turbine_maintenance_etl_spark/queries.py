@@ -264,6 +264,9 @@ PRIORITY_ORDER: list[str] = [
     # -- r8: cross-format audio dedup — G.711 µ-law/A-law + PCM16 mixed
     # -- corpus, decode tables embedded in the DuckDB twin
     "dedup_audio_fingerprint_g711",
+    # -- r8: full-PNG-surface proof — palette/16-bit/Adam7 format-mixed
+    # -- corpus, same oracle as the JPEG entries
+    "dedup_image_phash_png_formats",
 ]
 
 

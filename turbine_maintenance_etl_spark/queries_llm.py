@@ -2200,6 +2200,64 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_image_phash_png_formats", _JPEG_PHASH_ORACLE)
+def dedup_image_phash_png_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-PNG-surface proof (r8 session 3): a four-way
+    format-mixed corpus — each image encoded 8-bit grayscale, 4-bit
+    PALETTE (gray triples, llm/png.py), 16-BIT grayscale (v*257, whose
+    high byte is exactly v), or 8-bit ADAM7-INTERLACED by g%4 — flows
+    through ONE decode path. All four containers decode to IDENTICAL
+    pixels by construction, so the SAME DuckDB twin that grades the
+    JPEG entries grades this one value-for-value; the PNG surface is
+    additionally cross-checked against the JVM's javax.imageio codec
+    in tests/test_png_full.py. Scale shape unchanged: one Arrow-batched
+    map over the binary column, 8-byte hash shuffle, never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        encode_png,
+        image_phash,
+        phash_dedup,
+    )
+    from turbine_maintenance_etl_spark.llm.png import encode_png_extended
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                br = np.arange(16)[:, None] // 8
+                bc = np.arange(24)[None, :] // 8
+                px = ((g * 37 + br * 29 + bc * 13) % 200 + v).astype(np.uint8)
+                mode = g % 4
+                if mode == 0:  # plain 8-bit grayscale
+                    data = encode_png(px[:, :, None])
+                elif mode == 1:  # 4-bit palette (<= 6 distinct values)
+                    vals = np.unique(px)
+                    idx = np.searchsorted(vals, px).astype(np.uint16)
+                    plte = np.stack([vals, vals, vals], 1).astype(np.uint8)
+                    data = encode_png_extended(idx, 4, 3, palette=plte)
+                elif mode == 2:  # 16-bit grayscale, high byte == v
+                    data = encode_png_extended(
+                        px.astype(np.uint16) * 257, 16, 0
+                    )
+                else:  # 8-bit grayscale, ADAM7 interlaced
+                    data = encode_png_extended(
+                        px.astype(np.uint16), 8, 0, interlace=1
+                    )
+                rows.append({"doc_id": did, "media": data})
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    return phash_dedup(image_phash(media)).select(
+        "doc_id", "dhash", "ahash", "survivor"
+    )
+
+
 def _g711_oracle() -> str:
     """The cross-format audio oracle embeds both 256-entry G.711 decode
     tables as DuckDB list literals, so the SQL twin replays the exact
