@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "dedup_audio_fingerprint_g711",
     # round-8 session 3: full-PNG-surface proof (palette/16-bit/Adam7 mix)
     "dedup_image_phash_png_formats",
+    # round-8 session 3: lossless-JPEG proof (SOF3, predictor-cycled)
+    "dedup_image_phash_jpeg_lossless",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

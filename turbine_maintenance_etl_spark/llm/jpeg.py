@@ -231,11 +231,31 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG byte stream")
     px = decode_jpeg_pixels_native(data)
     if px.dtype == np.uint16:
-        # 12-bit frame: rounded-proportional downconversion keeps the
+        # >8-bit frame: rounded-proportional downconversion keeps the
         # uint8 pipeline contract (feature extraction / phash consume
         # 8-bit); decode_jpeg_pixels_native exposes full precision
-        px = ((px.astype(np.int64) * 255 + 2047) // 4095).astype(np.uint8)
+        maxv = (1 << _frame_precision(data)) - 1
+        px = ((px.astype(np.int64) * 255 + maxv // 2) // maxv).astype(np.uint8)
     return px
+
+
+def _frame_precision(data: bytes) -> int:
+    """Sample precision from the SOFn header (cheap re-parse)."""
+    pos = 2
+    while pos + 4 <= len(data):
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue
+        if marker == 0xD9 or pos + 2 > len(data):
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return data[pos + 2]
+        pos += seglen
+    raise ValueError("no SOF header found")
 
 
 def decode_jpeg_pixels_native(data: bytes) -> np.ndarray:
@@ -263,6 +283,7 @@ def _decode_markers(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     arith = False
+    lossless = False
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table id -> (L, U)
     ac_kx: dict[int, int] = {}  # DAC: table id -> Kx
     coef: dict[int, np.ndarray] | None = None  # SOF2/SOF10 coefficient store
@@ -314,11 +335,15 @@ def _decode_markers(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_map(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended / SOF2 progressive (Huffman)
-            # SOF9 extended-sequential / SOF10 progressive (arithmetic)
+            # SOF3 lossless / SOF9 ext-sequential / SOF10 prog (arithmetic)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8 and not (prec == 12 and marker != 0xC0):
+            if marker == 0xC3:
+                lossless = True
+                if not (2 <= prec <= 16):
+                    raise ValueError(f"illegal lossless precision {prec}")
+            elif prec != 8 and not (prec == 12 and marker != 0xC0):
                 # 12-bit is legal in the extended/progressive modes only
                 # (T.81 Table B.2: baseline is 8-bit)
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -344,7 +369,7 @@ def _decode_markers(data: bytes) -> np.ndarray:
                     cid: np.zeros((my * vs, mx * hs, 64), dtype=np.int64)
                     for cid, hs, vs, _tq in comps
                 }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
@@ -381,6 +406,24 @@ def _decode_markers(data: bytes) -> np.ndarray:
                 if cs not in frame_ids:
                     raise ValueError(f"scan component {cs} not in frame")
                 scan_tabs[cs] = (tt >> 4, tt & 0x0F)
+            if lossless:
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan lossless JPEG"
+                    )
+                psel, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if se_ != 0 or (ahal >> 4) != 0:
+                    raise ValueError(
+                        f"invalid lossless scan header Se={se_} Ah={ahal >> 4}"
+                    )
+                for cid, (td, _ta) in scan_tabs.items():
+                    if td not in huff_dc:
+                        raise ValueError(f"scan references undefined DC table {td}")
+                return _decode_scan_lossless(
+                    data, pos + seglen, frame, huff_dc, scan_tabs,
+                    psel, ahal & 0x0F, restart_interval,
+                )
             if not progressive:
                 if ns != len(frame[2]):
                     # legal per T.81 (non-interleaved multi-scan) but the
@@ -1390,5 +1433,169 @@ def encode_jpeg_12bit(
     sos = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------- lossless (SOF3) — r8
+
+# T.81 Annex H: lossless JPEG codes prediction residuals with DC-style
+# Huffman categories (SSSS up to 16). Predictors 1-7 over
+# a = left, b = above, c = above-left (H.1.2.1):
+#   1:a  2:b  3:c  4:a+b-c  5:a+((b-c)>>1)  6:b+((a-c)>>1)  7:(a+b)>>1
+# First sample of the scan predicts 2^(P-1-Pt); the rest of the first
+# line predicts from a; the first sample of every other line from b.
+# Differences are modulo 2^16. This is the mode DICOM archives use, so
+# a curation pass over medical imagery meets it in bulk.
+
+_DC16_VALS = list(range(17))
+_DC16_BITS = [0, 0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _lossless_predict(rec, y, x, psel, default):
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(rec[y, x - 1])
+    if x == 0:
+        return int(rec[y - 1, x])
+    a, b = int(rec[y, x - 1]), int(rec[y - 1, x])
+    c = int(rec[y - 1, x - 1])
+    if psel == 1:
+        return a
+    if psel == 2:
+        return b
+    if psel == 3:
+        return c
+    if psel == 4:
+        return a + b - c
+    if psel == 5:
+        return a + ((b - c) >> 1)
+    if psel == 6:
+        return b + ((a - c) >> 1)
+    if psel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {psel}")
+
+
+def _decode_scan_lossless(data, pos, frame, huff_dc, scan_tabs, psel, pt,
+                          restart_interval) -> np.ndarray:
+    """Decode the single lossless scan of a SOF3 frame (components at
+    1x1 sampling, interleaved sample-per-component MCUs)."""
+    h, w, comps, prec = frame
+    if any(hs != 1 or vs != 1 for _cid, hs, vs, _tq in comps):
+        raise NotImplementedError("lossless JPEG with subsampled components")
+    if not (1 <= psel <= 7):
+        raise ValueError(f"invalid lossless predictor {psel}")
+    default = 1 << (prec - pt - 1)
+    planes = {cid: np.zeros((h, w), dtype=np.int64) for cid, *_ in comps}
+    tabs = {cid: huff_dc[scan_tabs[cid][0]] for cid, *_ in comps}
+    reader = _BitReader(data, pos)
+    n = 0
+    row_restart = None  # restart resets prediction to start-of-scan rules
+    try:
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and n and n % restart_interval == 0:
+                    m = reader.align_to_marker()
+                    if not (0xD0 <= m <= 0xD7):
+                        raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
+                    row_restart = (y, x)
+                n += 1
+                for cid, *_ in comps:
+                    t = _huff_decode(reader, tabs[cid])
+                    if t == 16:  # the one category without extra bits
+                        diff = 32768
+                    else:
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                    rec = planes[cid]
+                    if row_restart == (y, x):
+                        pred = default if x == 0 else int(rec[y, x - 1])
+                        if x == 0 and y > 0:
+                            pred = default
+                    else:
+                        pred = _lossless_predict(rec, y, x, psel, default)
+                    rec[y, x] = (pred + diff) % 65536
+    except _SegmentEnd:
+        raise ValueError("JPEG entropy stream ended mid-scan") from None
+    maxv = (1 << prec) - 1
+    out = np.stack(
+        [np.clip(planes[cid] << pt, 0, maxv) for cid, *_ in comps], axis=2
+    )
+    return out.astype(np.uint8 if prec <= 8 else np.uint16)
+
+
+def encode_jpeg_lossless(
+    px: np.ndarray,
+    precision: int = 8,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) or (h, w, c<=4) integer samples as LOSSLESS JPEG
+    (SOF3). decode(encode(x)) == x EXACTLY for any input within the
+    precision — the defining property the tests pin (no q100 trickery
+    needed, unlike the DCT modes)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc > 4:
+        raise ValueError(f"at most 4 components, got {nc}")
+    if not (2 <= precision <= 16):
+        raise ValueError(f"lossless precision must be 2..16, got {precision}")
+    pt = point_transform
+    vals = px.astype(np.int64) >> pt
+    if int(vals.max(initial=0)) >= (1 << (precision - pt)) or int(px.min(initial=0)) < 0:
+        raise ValueError("samples exceed the stated precision")
+    codes = _canonical_codes(_DC16_BITS, _DC16_VALS)
+    default = 1 << (precision - pt - 1)
+
+    wr = _BitWriter()
+    n = 0
+    row_restart = None
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                wr.flush()
+                wr.out += bytes([0xFF, 0xD0 + (n // restart_interval - 1) % 8])
+                row_restart = (y, x)
+            n += 1
+            for ci in range(nc):
+                rec = vals[:, :, ci]
+                if row_restart == (y, x):
+                    pred = default if x == 0 else int(rec[y, x - 1])
+                    if x == 0 and y > 0:
+                        pred = default
+                else:
+                    pred = _lossless_predict(rec, y, x, predictor, default)
+                diff = (int(rec[y, x]) - pred) % 65536
+                if diff >= 32768:
+                    diff -= 65536  # smallest-magnitude residue
+                if diff == -32768 or diff == 32768:
+                    code, ln = codes[16]
+                    wr.write(code, ln)
+                    continue
+                t = _category(diff)
+                code, ln = codes[t]
+                wr.write(code, ln)
+                if t:
+                    _write_signed(wr, diff, t)
+    wr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = struct.pack(">B", 0x00) + bytes(_DC16_BITS) + bytes(_DC16_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = struct.pack(">B", nc)
+    for ci in range(nc):
+        sos += struct.pack(">BB", ci + 1, 0x00)
+    sos += struct.pack(">BBB", predictor, 0, pt)  # Ss=psel Se=0 Ah=0 Al=Pt
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += wr.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -267,6 +267,8 @@ PRIORITY_ORDER: list[str] = [
     # -- r8: full-PNG-surface proof — palette/16-bit/Adam7 format-mixed
     # -- corpus, same oracle as the JPEG entries
     "dedup_image_phash_png_formats",
+    # -- r8: lossless-JPEG proof (SOF3, predictor-cycled) — same oracle
+    "dedup_image_phash_jpeg_lossless",
 ]
 
 

@@ -2200,6 +2200,51 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_image_phash_jpeg_lossless", _JPEG_PHASH_ORACLE)
+def dedup_image_phash_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSLESS-JPEG proof (r8 session 3, T.81 Annex H — the mode
+    DICOM archives use): a format-mixed corpus where even groups carry
+    baseline SOF0 (q100 block-constant, bit-exact) and odd groups carry
+    SOF3 lossless with the PREDICTOR CYCLING 1..7 by group — lossless
+    decode is exact for ANY pixels, so every container decodes to the
+    same formula values and the shared DuckDB twin grades the whole
+    path value-for-value. Scale shape unchanged: one Arrow-batched map
+    over the binary column, 8-byte hash shuffle, never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_lossless,
+    )
+    from turbine_maintenance_etl_spark.llm.multimodal import image_phash, phash_dedup
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                br = np.arange(16)[:, None] // 8
+                bc = np.arange(24)[None, :] // 8
+                px = ((g * 37 + br * 29 + bc * 13) % 200 + v).astype(np.uint8)
+                if g % 2 == 0:
+                    data = encode_jpeg_baseline(px[:, :, None], quality=100)
+                else:
+                    data = encode_jpeg_lossless(
+                        px[:, :, None], 8, predictor=(g // 2) % 7 + 1
+                    )
+                rows.append({"doc_id": did, "media": data})
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    return phash_dedup(image_phash(media)).select(
+        "doc_id", "dhash", "ahash", "survivor"
+    )
+
+
 @register("dedup_image_phash_png_formats", _JPEG_PHASH_ORACLE)
 def dedup_image_phash_png_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-PNG-surface proof (r8 session 3): a four-way
