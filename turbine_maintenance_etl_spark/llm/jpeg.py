@@ -16,10 +16,11 @@ Scope — what a bulk feature-extraction pipeline actually meets:
   12-BIT precision decodes in the extended/progressive modes (SOF1/
   SOF2/SOF9/SOF10, Pq=1 16-bit quantization tables, level shift 2048)
   — ``decode_jpeg_pixels`` downconverts to the uint8 pipeline
-  contract, ``decode_jpeg_pixels_native`` keeps uint16. Hierarchical
-  and lossless modes raise NotImplementedError — the callers'
-  poison-pill handling turns that into a tagged NULL row, same as any
-  other unsupported input.
+  contract, ``decode_jpeg_pixels_native`` keeps uint16. LOSSLESS
+  (SOF3, Annex H — all 7 predictors, precisions 2..16, the DICOM
+  mode) decodes exactly. Only hierarchical mode raises
+  NotImplementedError — the callers' poison-pill handling turns that
+  into a tagged NULL row, same as any other unsupported input.
 - ENCODE: baseline sequential, Annex K quantization tables scaled by
   the libjpeg quality formula, Annex K "typical" Huffman tables,
   4:4:4 or 4:2:0; plus a progressive encoder (DC-first + spectral
