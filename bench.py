@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "dedup_image_phash_png_formats",
     # round-8 session 3: lossless-JPEG proof (SOF3, predictor-cycled)
     "dedup_image_phash_jpeg_lossless",
+    # round-8 session 3: ADPCM container proof (constant-block IMA/MS mix)
+    "dedup_audio_fingerprint_adpcm",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

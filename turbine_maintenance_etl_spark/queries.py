@@ -269,6 +269,9 @@ PRIORITY_ORDER: list[str] = [
     "dedup_image_phash_png_formats",
     # -- r8: lossless-JPEG proof (SOF3, predictor-cycled) — same oracle
     "dedup_image_phash_jpeg_lossless",
+    # -- r8: ADPCM container proof — constant-block IMA/MS streams are
+    # -- exact, so the block machinery is SQL-checkable end to end
+    "dedup_audio_fingerprint_adpcm",
 ]
 
 

@@ -2200,6 +2200,97 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_audio_fingerprint_adpcm",
+    """
+    WITH base AS (
+        SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
+    cfg AS (
+        SELECT doc_id, g, v,
+               ((g * 131) % 2003) - 1001 AS p0,
+               ((g * 57 + 7) % 2003) - 1001 AS p1,
+               CASE WHEN g % 3 = 1 THEN 500 ELSE 505 END AS b
+        FROM base),
+    samp AS (
+        SELECT doc_id, i, i // 10 AS k,
+               CASE WHEN i < b THEN ABS(p0) ELSE ABS(p1) END AS a
+        FROM cfg, generate_series(0, 559) AS t(i)),
+    wins AS (
+        SELECT doc_id, k, SUM(a) AS wa FROM samp GROUP BY doc_id, k),
+    tot AS (
+        SELECT doc_id, SUM(wa) AS ta FROM wins GROUP BY doc_id),
+    fp AS (
+        SELECT w.doc_id,
+               CAST(SUM(CASE WHEN w.wa * 56 > t.ta
+                        THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS afp
+        FROM wins w JOIN tot t USING (doc_id) GROUP BY w.doc_id)
+    SELECT doc_id, afp, CAST(560 AS BIGINT) AS n_frames,
+           doc_id = MIN(doc_id) OVER (PARTITION BY afp) AS survivor
+    FROM fp
+    """,
+)
+def dedup_audio_fingerprint_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADPCM container proof (r8 session 3): piecewise-CONSTANT
+    signals code to all-zero nibbles in both ADPCM families (IMA: step
+    7>>3 = 0 with the index pinned at 0; MS: the cycled predictors 0/1
+    both satisfy c1+c2 = 256, so the 2-tap prediction reproduces the
+    constant exactly), which makes the lossy codecs EXACT on this
+    corpus — and therefore exactly SQL-checkable. Each group's signal
+    is two constant plateaus split at the format's own block boundary
+    (505 IMA / 500 MS), so the driver grades the whole container
+    machinery — per-channel block headers, nibble layout, fact-chunk
+    trimming — value-for-value; the nibble ARITHMETIC itself is pinned
+    separately by the audioop differentials in tests/test_wav_adpcm.py.
+    v=0 carries the native ADPCM container by g%3 (IMA / MS / plain
+    PCM16), v=1 the same decoded values as PCM16 — cross-format dedup
+    again. Scale shape unchanged: one Arrow-batched map, 8-byte
+    fingerprint shuffle, never samples."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.adpcm import (
+        encode_wav_adpcm,
+        encode_wav_ms_adpcm,
+    )
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                p0 = ((g * 131) % 2003) - 1001
+                p1 = ((g * 57 + 7) % 2003) - 1001
+                fmt = g % 3
+                boundary = 500 if fmt == 1 else 505
+                vals = np.where(np.arange(560) < boundary, p0, p1)
+                x = (vals / 32768.0).astype(np.float32)[:, None]
+                if v == 1 or fmt == 2:
+                    wav = encode_wav(x, 16000)
+                elif fmt == 0:
+                    wav = encode_wav_adpcm(x, 16000)
+                else:
+                    wav = encode_wav_ms_adpcm(x, 16000, 500)
+                rows.append({"doc_id": did, "media": wav})
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    fp = audio_fingerprint(media)
+    w = Window.partitionBy("afp")
+    return fp.select(
+        "doc_id",
+        "afp",
+        "n_frames",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("survivor"),
+    )
+
+
 @register("dedup_image_phash_jpeg_lossless", _JPEG_PHASH_ORACLE)
 def dedup_image_phash_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSLESS-JPEG proof (r8 session 3, T.81 Annex H — the mode
