@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "dedup_image_phash_jpeg_lossless",
     # round-8 session 3: ADPCM container proof (constant-block IMA/MS mix)
     "dedup_audio_fingerprint_adpcm",
+    # round-8 session 3: MJPEG-AVI container demux (lossless-JPEG frames)
+    "dedup_video_avi",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

@@ -272,6 +272,9 @@ PRIORITY_ORDER: list[str] = [
     # -- r8: ADPCM container proof — constant-block IMA/MS streams are
     # -- exact, so the block machinery is SQL-checkable end to end
     "dedup_audio_fingerprint_adpcm",
+    # -- r8: video CONTAINER proof — real MJPEG AVI demux with lossless
+    # -- JPEG frames, graded by the dedup_video_frames twin
+    "dedup_video_avi",
 ]
 
 

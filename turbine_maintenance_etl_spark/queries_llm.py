@@ -2489,9 +2489,7 @@ def dedup_audio_fingerprint_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_video_frames",
-    """
+_VIDEO_SIG_ORACLE = """
     WITH vids AS (
         SELECT doc_id AS video_id, doc_id // 2 AS vg, doc_id % 2 AS v
         FROM documents WHERE doc_id < 1000),
@@ -2517,8 +2515,10 @@ def dedup_audio_fingerprint_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT video_id, n_frames_sampled, sig,
            video_id = MIN(video_id) OVER (PARTITION BY sig) AS survivor
     FROM sigs
-    """,
-)
+    """
+
+
+@register("dedup_video_frames", _VIDEO_SIG_ORACLE)
 def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO dedup via frame-sampled perceptual signatures
     (llm/multimodal.py:video_frame_signatures) — a video is the honest
@@ -2569,6 +2569,60 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="video_id bigint, frame_idx bigint, media binary"
     )
     return video_frame_signatures(media, every_nth=2)
+
+
+@register("dedup_video_avi", _VIDEO_SIG_ORACLE)
+def dedup_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video CONTAINER proof (r8 session 3): each video is a REAL
+    Motion-JPEG AVI file (llm/avi.py — RIFF tree, avih/strh/strf
+    headers, 00dc frame chunks) whose frames are LOSSLESS JPEG (SOF3,
+    exact for any pixels), built from the SAME pixel formula as
+    dedup_video_frames — so the chain AVI demux -> frame explode ->
+    every-2nd sampling -> SOF3 decode -> dHash -> ordered signature
+    fold is graded by the IDENTICAL DuckDB twin, md5-exact. Scale
+    shape: container bytes cross Arrow once and fan out to frame rows;
+    the signature fold shuffles 8-byte hashes, never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.avi import (
+        encode_avi_mjpeg,
+        explode_avi_frames,
+    )
+    from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_lossless
+    from turbine_maintenance_etl_spark.llm.multimodal import (
+        video_frame_signatures,
+    )
+
+    vids = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 1000
+        )
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                vid = int(did)
+                vg, v = vid // 2, vid % 2
+                frames = []
+                for fi in range(10):
+                    r = np.arange(16)[:, None]
+                    c = np.arange(18)[None, :]
+                    px = ((vg * 41 + fi * 13 + r * 11 + c * 7) % 250
+                          + v * 2).astype(np.uint8)
+                    frames.append(encode_jpeg_lossless(px[:, :, None]))
+                rows.append(
+                    {"video_id": vid, "media": encode_avi_mjpeg(frames, 18, 16)}
+                )
+            yield pd.DataFrame(rows, columns=["video_id", "media"])
+
+    avis = vids.mapInPandas(gen, schema="video_id bigint, media binary")
+    frames = explode_avi_frames(avis).filter(F.col("err").isNull()).select(
+        "video_id", "frame_idx", "media"
+    )
+    return video_frame_signatures(frames, every_nth=2)
 
 
 @register(
