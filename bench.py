@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "dedup_audio_fingerprint_adpcm",
     # round-8 session 3: MJPEG-AVI container demux (lossless-JPEG frames)
     "dedup_video_avi",
+    # round-8 session 3: GIF proof (LZW, gray palette, interlace mix)
+    "dedup_image_phash_gif",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

@@ -46,18 +46,21 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
 
 def decode_image_pixels(data: bytes) -> np.ndarray:
     """Format-dispatching image decode to (h, w, channels) uint8:
-    PNG via the stdlib-zlib decoder above, baseline JPEG via the
-    from-spec codec in llm/jpeg.py (round-7: the last honest codec gap
-    closed — no PIL/libjpeg in this container). Anything else raises
-    NotImplementedError, which every decode operator already maps to a
-    tagged poison-pill row."""
+    full PNG (llm/png.py), the complete JPEG family (llm/jpeg.py +
+    llm/jpeg_arith.py), and GIF (llm/gif.py — first composited
+    frame). Anything else raises NotImplementedError, which every
+    decode operator already maps to a tagged poison-pill row."""
     if data.startswith(_PNG_SIG):
         return decode_png_pixels(data)
     if data[:2] == b"\xff\xd8":
         from turbine_maintenance_etl_spark.llm.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(data)
-    raise NotImplementedError("unsupported image format (PNG/JPEG available)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from turbine_maintenance_etl_spark.llm.gif import decode_gif_pixels
+
+        return decode_gif_pixels(data)
+    raise NotImplementedError("unsupported image format (PNG/JPEG/GIF available)")
 
 
 def _decode_image(data: bytes) -> dict:

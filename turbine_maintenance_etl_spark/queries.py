@@ -275,6 +275,8 @@ PRIORITY_ORDER: list[str] = [
     # -- r8: video CONTAINER proof — real MJPEG AVI demux with lossless
     # -- JPEG frames, graded by the dedup_video_frames twin
     "dedup_video_avi",
+    # -- r8: GIF proof — LZW + gray palette + interlace, same oracle
+    "dedup_image_phash_gif",
 ]
 
 

@@ -2394,6 +2394,51 @@ def dedup_image_phash_png_formats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("dedup_image_phash_gif", _JPEG_PHASH_ORACLE)
+def dedup_image_phash_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF proof (r8 session 3, llm/gif.py): each image carried as
+    a real GIF89a — LZW-compressed indices into a GRAY palette (r=g=b,
+    so the integer-mean grayscale is the identity), INTERLACED for odd
+    groups — decodes to the exact formula pixels, so the shared phash
+    twin grades the LZW decoder, palette lookup and interlace
+    reassembly value-for-value; the codec is additionally
+    cross-checked against javax.imageio in tests/test_gif_codec.py.
+    Scale shape unchanged: one Arrow-batched map, 8-byte hash shuffle,
+    never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from turbine_maintenance_etl_spark.llm.gif import encode_gif
+    from turbine_maintenance_etl_spark.llm.multimodal import image_phash, phash_dedup
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                br = np.arange(16)[:, None] // 8
+                bc = np.arange(24)[None, :] // 8
+                px = ((g * 37 + br * 29 + bc * 13) % 200 + v).astype(np.uint8)
+                vals = np.unique(px)
+                idx = np.searchsorted(vals, px)
+                size = max(2, 1 << int(len(vals) - 1).bit_length())
+                pal = np.zeros((size, 3), dtype=np.uint8)
+                pal[: len(vals)] = np.stack([vals, vals, vals], 1)
+                rows.append({
+                    "doc_id": did,
+                    "media": encode_gif([idx], pal, interlace=bool(g % 2)),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, media binary")
+    return phash_dedup(image_phash(media)).select(
+        "doc_id", "dhash", "ahash", "survivor"
+    )
+
+
 def _g711_oracle() -> str:
     """The cross-format audio oracle embeds both 256-entry G.711 decode
     tables as DuckDB list literals, so the SQL twin replays the exact
