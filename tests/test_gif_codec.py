@@ -139,3 +139,58 @@ def test_cross_implementation_with_imageio(spark, tmp_path):
         p2 = str(tmp_path / f"b{il}.gif")
         open(p2, "wb").write(encode_gif([fr], pal, interlace=il))
         assert np.array_equal(jread_rgb(p2), pal[fr]), il
+
+
+def test_animated_disposal2_differential_with_imageio(spark, tmp_path):
+    """ADVICE r8: disposal 2 with a declared transparency index must
+    restore the region to TRANSPARENT, not the background color.
+    External differential: javax.imageio decodes each frame raster;
+    compositing is replayed renderer-style on a TYPE_INT_ARGB canvas
+    (SrcOver draw, AlphaComposite.Clear for disposal 2), flattened via
+    getRGB exactly as our black-for-transparent convention — every
+    composited frame must match our decoder value-for-value."""
+    from turbine_maintenance_etl_spark.llm.gif import decode_gif_frames, encode_gif
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    h, w = 12, 14
+    f1 = rng.integers(1, 16, (8, 10))
+    f1[2:4, 3:6] = 0  # transparent holes
+    f2 = rng.integers(1, 16, (5, 6))
+    f2[0, :3] = 0
+    f3 = rng.integers(1, 16, (4, 4))
+    offsets = [(1, 1), (4, 3), (0, 0)]
+    disposals = [2, 2, 0]
+    data = encode_gif(
+        [f1, f2, f3], pal, width=w, height=h,
+        offsets=offsets, transparent=0, disposals=disposals,
+    )
+    p = str(tmp_path / "anim.gif")
+    open(p, "wb").write(data)
+
+    ImageIO = jvm.javax.imageio.ImageIO
+    File = jvm.java.io.File
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    AlphaComposite = jvm.java.awt.AlphaComposite
+    reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(ImageIO.createImageInputStream(File(p)))
+    assert reader.getNumImages(True) == 3
+    canvas = BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    g = canvas.createGraphics()
+    composited = []
+    for i, ((left, top), disp, fr) in enumerate(zip(offsets, disposals, [f1, f2, f3])):
+        g.drawImage(reader.read(i), left, top, None)
+        arr = np.array(
+            list(canvas.getRGB(0, 0, w, h, None, 0, w)), dtype=np.int64
+        ).reshape(h, w)
+        rgb = np.stack([(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], 2)
+        composited.append(np.where((((arr >> 24) & 0xFF) == 255)[:, :, None], rgb, 0))
+        if disp == 2:  # restore-to-transparent (transparency declared)
+            g.setComposite(AlphaComposite.Clear)
+            g.fillRect(left, top, fr.shape[1], fr.shape[0])
+            g.setComposite(AlphaComposite.SrcOver)
+    ours = decode_gif_frames(data)
+    assert len(ours) == 3
+    for i in range(3):
+        assert np.array_equal(ours[i], composited[i]), f"frame {i}"

@@ -66,6 +66,124 @@ def test_uint8_contract_scales_by_true_precision():
     )
 
 
+def _independent_lossless_encode(px: np.ndarray, predictor: int, rst: int) -> bytes:
+    """A second, from-scratch SOF3 encoder written directly from the
+    T.81 Annex H text (own bit writer, own canonical-code derivation,
+    own prediction logic) — the external oracle for the DRI prediction
+    reset (H.1.2.1): at the beginning of each restart interval the
+    first sample predicts 2^(P-1), the REST of that interval's first
+    line uses the 1-D predictor Ra, and only later lines return to the
+    normal rules (Rb at line start, selected predictor elsewhere)."""
+    import struct
+
+    h, w = px.shape
+    prec = 8
+    # canonical Huffman codes for BITS=[0,0,0,0,0,17,0,...] (17 codes
+    # of length 6 for SSSS 0..16 — the stream's declared table),
+    # derived per T.81 C.2 from scratch: first code of the shortest
+    # length is 0, codes increment in value order
+    codes = {v: (v, 6) for v in range(17)}
+
+    bits: list[int] = []
+    out = bytearray()
+
+    def put(code: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            bits.append((code >> i) & 1)
+        while len(bits) >= 8:
+            byte = 0
+            for b in bits[:8]:
+                byte = (byte << 1) | b
+            del bits[:8]
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    def flush() -> None:
+        # pad the trailing partial byte with 1-bits (T.81 F.1.2.3)
+        if len(bits) % 8:
+            put((1 << (8 - len(bits) % 8)) - 1, 8 - len(bits) % 8)
+
+    vals = px.astype(np.int64)
+    default = 1 << (prec - 1)
+    n = 0
+    rs = (0, 0)
+    rst_idx = 0
+    for y in range(h):
+        for x in range(w):
+            if rst and n and n % rst == 0:
+                flush()
+                out.append(0xFF)
+                out.append(0xD0 + rst_idx % 8)
+                rst_idx += 1
+                rs = (y, x)
+            n += 1
+            if (y, x) == rs:
+                pred = default
+            elif y == rs[0]:
+                pred = int(vals[y, x - 1])  # Ra for interval's first line
+            elif x == 0:
+                pred = int(vals[y - 1, x])  # Rb at start of later lines
+            else:
+                a, b, c = (
+                    int(vals[y, x - 1]),
+                    int(vals[y - 1, x]),
+                    int(vals[y - 1, x - 1]),
+                )
+                pred = {
+                    1: a,
+                    2: b,
+                    3: c,
+                    4: a + b - c,
+                    5: a + ((b - c) >> 1),
+                    6: b + ((a - c) >> 1),
+                    7: (a + b) >> 1,
+                }[predictor]
+            diff = (int(vals[y, x]) - pred) % 65536
+            if diff >= 32768:
+                diff -= 65536
+            if diff in (-32768, 32768):
+                put(*codes[16])
+                continue
+            t = 0 if diff == 0 else int(abs(diff)).bit_length()
+            put(*codes[t])
+            if t:
+                v = diff if diff >= 0 else diff + (1 << t) - 1
+                put(v, t)
+    flush()
+
+    hdr = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    hdr += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_bits = bytes([0, 0, 0, 0, 0, 17] + [0] * 10)
+    body = b"\x00" + dc_bits + bytes(range(17))
+    hdr += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if rst:
+        hdr += b"\xff\xdd" + struct.pack(">HH", 4, rst)
+    sos = b"\x01" + struct.pack(">BB", 1, 0x00) + struct.pack(">BBB", predictor, 0, 0)
+    hdr += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("predictor", [2, 4, 6, 7])
+def test_dri_prediction_reset_vs_independent_encoder(predictor):
+    """ADVICE round-8 (medium): the restart reset must follow H.1.2.1 —
+    default prediction for the interval's first sample, then Ra for the
+    remainder of that interval's first LINE (not the 2-D predictor).
+    Pinned against a from-scratch second encoder: (a) our encoder's
+    stream is byte-identical, (b) our decoder reproduces the samples
+    exactly — including restarts landing mid-line (w=7, rst=5) where
+    the pre-fix rule diverged."""
+    rng = np.random.default_rng(100 + predictor)
+    for (h, w), rst in [((6, 7), 5), ((5, 8), 8), ((4, 9), 3)]:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        independent = _independent_lossless_encode(px, predictor, rst)
+        ours = encode_jpeg_lossless(px[:, :, None], 8, predictor, 0, rst)
+        assert ours == independent, (predictor, (h, w), rst)
+        got = decode_jpeg_pixels_native(independent)
+        assert np.array_equal(got[:, :, 0], px)
+
+
 def test_invalid_lossless_streams_rejected():
     px = np.zeros((4, 4), dtype=np.uint8)
     data = bytearray(encode_jpeg_lossless(px, 8, predictor=3))

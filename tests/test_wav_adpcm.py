@@ -209,3 +209,62 @@ def test_ms_adpcm_corrupt_predictor_rejected():
     data[i] = 7  # predictor id out of range
     with pytest.raises(ValueError, match="predictor"):
         decode_wav_samples(bytes(data))
+
+
+# ------------------------------------------- truncated final blocks (r9)
+
+
+def _data_chunk(wav: bytes) -> tuple[bytes, int]:
+    i = wav.find(b"data")
+    n = struct.unpack_from("<I", wav, i + 4)[0]
+    return wav[i + 8 : i + 8 + n], i
+
+
+def test_ima_truncated_final_block_decodes_prefix():
+    """ADVICE r8: a legal short FINAL block (header + k whole word
+    rounds) must decode its samples instead of being silently dropped."""
+    rng = np.random.default_rng(21)
+    x = (0.4 * np.sin(np.arange(1200) / 7.0) + 0.02 * rng.standard_normal(1200)).astype(
+        np.float32
+    )[:, None]
+    wav = encode_wav_adpcm(x, 8000, samples_per_block=505)
+    raw, _ = _data_chunk(wav)
+    block_align = 4 + (505 - 1) // 2  # mono
+    full = decode_ima_blocks(raw, 1, block_align, None)
+    for k in (0, 1, 7):  # header only / 1 word / 7 words into block 2
+        cut = block_align + 4 + 4 * k
+        got = decode_ima_blocks(raw[:cut], 1, block_align, None)
+        want = 505 + 1 + 8 * k
+        assert got.shape == (want, 1)
+        assert np.array_equal(got, full[:want])
+    # a sub-header trailing fragment is ignored, not an error
+    got = decode_ima_blocks(raw[: block_align + 3], 1, block_align, None)
+    assert np.array_equal(got, full[:505])
+    # fact count beyond what a truncated stream holds still fails loudly
+    with pytest.raises(ValueError, match="claims"):
+        decode_ima_blocks(raw[: block_align + 4], 1, block_align, 1010)
+
+
+def test_ms_truncated_final_block_decodes_prefix():
+    from turbine_maintenance_etl_spark.llm.adpcm import (
+        decode_ms_blocks,
+        encode_wav_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(22)
+    x = (0.4 * np.sin(np.arange(1100) / 9.0) + 0.02 * rng.standard_normal(1100)).astype(
+        np.float32
+    )[:, None]
+    wav = encode_wav_ms_adpcm(x, 8000, samples_per_block=500)
+    raw, _ = _data_chunk(wav)
+    block_align = 7 + (500 - 2) // 2  # mono
+    full = decode_ms_blocks(raw, 1, block_align, None)
+    for j in (0, 1, 9):  # header only / +1 nibble byte / +9 bytes
+        cut = block_align + 7 + j
+        got = decode_ms_blocks(raw[:cut], 1, block_align, None)
+        want = 500 + 2 + 2 * j
+        assert got.shape == (want, 1)
+        assert np.array_equal(got, full[:want])
+    # sub-header fragment ignored
+    got = decode_ms_blocks(raw[: block_align + 6], 1, block_align, None)
+    assert np.array_equal(got, full[:500])

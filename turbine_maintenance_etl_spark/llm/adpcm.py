@@ -106,10 +106,16 @@ def decode_ima_blocks(raw: bytes, n_channels: int, block_align: int,
     if block_align < 4 * n_channels + 4 or block_align % 4:
         raise ValueError(f"bad IMA ADPCM block align {block_align}")
     data_words = (block_align - 4 * n_channels) // (4 * n_channels)
-    spb = data_words * 8 + 1  # samples per block per channel
     chans: list[list[int]] = [[] for _ in range(n_channels)]
-    for b0 in range(0, len(raw) - block_align + 1, block_align):
+    for b0 in range(0, len(raw), block_align):
         block = raw[b0 : b0 + block_align]
+        if len(block) < 4 * n_channels:
+            # trailing fragment too short to carry even the per-channel
+            # headers — nothing decodable in it
+            break
+        # a short FINAL block is legal in the wild (ADVICE r8): decode
+        # as many whole word rounds (4 bytes x n_channels) as it holds
+        words_here = min(data_words, (len(block) - 4 * n_channels) // (4 * n_channels))
         preds, idxs = [], []
         for ch in range(n_channels):
             pred, index, _rsv = struct.unpack_from("<hBB", block, 4 * ch)
@@ -119,7 +125,7 @@ def decode_ima_blocks(raw: bytes, n_channels: int, block_align: int,
             preds.append(pred)
             idxs.append(index)
         pos = 4 * n_channels
-        for _w in range(data_words):
+        for _w in range(words_here):
             for ch in range(n_channels):
                 word = block[pos : pos + 4]
                 pos += 4
@@ -140,8 +146,6 @@ def decode_ima_blocks(raw: bytes, n_channels: int, block_align: int,
                 f"fact chunk claims {n_frames} frames, stream has {out.shape[0]}"
             )
         out = out[:n_frames]
-    # spb is fixed per fmt header; decoding yielded a multiple of it
-    assert out.shape[0] % spb == 0 or n_frames is not None
     return out
 
 
@@ -258,8 +262,11 @@ def decode_ms_blocks(raw: bytes, n_channels: int, block_align: int,
     if block_align < 7 * n_channels + 1:
         raise ValueError(f"bad MS ADPCM block align {block_align}")
     chans: list[list[int]] = [[] for _ in range(n_channels)]
-    for b0 in range(0, len(raw) - block_align + 1, block_align):
+    for b0 in range(0, len(raw), block_align):
         block = raw[b0 : b0 + block_align]
+        if len(block) < 7 * n_channels:
+            # trailing fragment shorter than the block header — skip
+            break
         preds = list(block[:n_channels])
         if any(p > 6 for p in preds):
             raise ValueError(f"bad MS ADPCM predictor id {max(preds)}")
@@ -297,7 +304,10 @@ def decode_ms_blocks(raw: bytes, n_channels: int, block_align: int,
             state[ch] = (max(16, (MS_ADAPT[n] * delta) >> 8), val, s1)
     if not chans[0]:
         raise ValueError("MS ADPCM stream shorter than one block")
-    out = np.array(chans, dtype=np.int16).T
+    # a short final block can leave the round-robin one nibble short on
+    # the last channel — keep whole frames only
+    m = min(len(c) for c in chans)
+    out = np.array([c[:m] for c in chans], dtype=np.int16).T
     if n_frames is not None:
         if n_frames > out.shape[0]:
             raise ValueError(

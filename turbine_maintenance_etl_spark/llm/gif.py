@@ -162,10 +162,22 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     if width == 0 or height == 0:
         raise ValueError("zero-dimension GIF")
 
+    # The logical screen starts TRANSPARENT in every modern renderer
+    # (GIF89a's background color is a legacy field browsers ignore);
+    # this decoder's flat-RGB contract represents transparent as black
+    # — exactly javax.imageio's getRGB flattening, so the animated
+    # differential in tests/test_gif_codec.py compares value-for-value.
+    # The bg color is painted only by an explicit disposal-2 restore on
+    # a frame WITHOUT a declared transparency index (the literal
+    # "restore to background color" reading); with transparency active,
+    # disposal 2 restores to transparent per common renderers and
+    # javax.imageio (ADVICE r8).
     canvas = np.zeros((height, width, 3), dtype=np.uint8)
-    if gct is not None and bg_idx < gct.shape[0]:
-        canvas[:, :] = gct[bg_idx]
-    bg_fill = canvas[0, 0].copy() if gct is not None else np.zeros(3, np.uint8)
+    bg_fill = (
+        gct[bg_idx].copy()
+        if gct is not None and bg_idx < gct.shape[0]
+        else np.zeros(3, np.uint8)
+    )
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
@@ -235,8 +247,10 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
             region = np.where(keep[:, :, None], prev_region, region)
         canvas[top : top + fh, left : left + fw] = region
         frames.append(canvas.copy())
-        if disposal == 2:  # restore background
-            canvas[top : top + fh, left : left + fw] = bg_fill
+        if disposal == 2:  # restore bg (transparent when declared)
+            canvas[top : top + fh, left : left + fw] = (
+                0 if transparent is not None else bg_fill
+            )
         elif disposal == 3:  # restore previous
             canvas[top : top + fh, left : left + fw] = prev_region
         transparent = None

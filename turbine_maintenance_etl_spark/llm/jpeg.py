@@ -223,11 +223,12 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     """Decode baseline-sequential JPEG bytes to (h, w, channels) uint8.
 
     Grayscale -> channels=1; YCbCr -> channels=3 RGB (BT.601 full-range
-    JFIF conversion, integer-rounded). Baseline/progressive Huffman and
-    sequential/progressive arithmetic streams all decode; raises
-    ValueError on corrupt input and NotImplementedError on 12-bit/
-    hierarchical/lossless modes — callers' poison-pill handling treats
-    both as NULL rows."""
+    JFIF conversion, integer-rounded). Baseline/progressive Huffman,
+    sequential/progressive arithmetic, 12-bit, and lossless (SOF3)
+    streams all decode — >8-bit frames are downconverted to uint8 by
+    rounded proportion below. Raises ValueError on corrupt input;
+    only hierarchical mode raises NotImplementedError — callers'
+    poison-pill handling treats both as NULL rows."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG byte stream")
     px = decode_jpeg_pixels_native(data)
@@ -1446,6 +1447,9 @@ def encode_jpeg_12bit(
 #   1:a  2:b  3:c  4:a+b-c  5:a+((b-c)>>1)  6:b+((a-c)>>1)  7:(a+b)>>1
 # First sample of the scan predicts 2^(P-1-Pt); the rest of the first
 # line predicts from a; the first sample of every other line from b.
+# An RSTn resets prediction exactly as at the start of the scan:
+# default for the interval's first sample, Ra for the rest of the
+# interval's first line (H.1.2.1).
 # Differences are modulo 2^16. This is the mode DICOM archives use, so
 # a curation pass over medical imagery meets it in bulk.
 
@@ -1453,10 +1457,18 @@ _DC16_VALS = list(range(17))
 _DC16_BITS = [0, 0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 
 
-def _lossless_predict(rec, y, x, psel, default):
-    if y == 0 and x == 0:
+def _lossless_predict(rec, y, x, psel, default, rs=(0, 0)):
+    """Prediction per T.81 H.1.2.1 with ``rs`` = the current restart
+    interval's origin (scan origin when no DRI). The rules at the start
+    of a restart interval are EXACTLY the start-of-scan rules: the
+    interval's first sample predicts 2^(P-Pt-1); the remainder of the
+    interval's first line uses the 1-D predictor Ra; every later line
+    uses Rb at the start of the line and the selected predictor
+    elsewhere."""
+    ry, rx = rs
+    if y == ry and x == rx:
         return default
-    if y == 0:
+    if y == ry:
         return int(rec[y, x - 1])
     if x == 0:
         return int(rec[y - 1, x])
@@ -1493,7 +1505,8 @@ def _decode_scan_lossless(data, pos, frame, huff_dc, scan_tabs, psel, pt,
     tabs = {cid: huff_dc[scan_tabs[cid][0]] for cid, *_ in comps}
     reader = _BitReader(data, pos)
     n = 0
-    row_restart = None  # restart resets prediction to start-of-scan rules
+    rs = (0, 0)  # current restart interval's origin (T.81 H.1.2.1:
+    # an RSTn resets prediction exactly as at the start of the scan)
     try:
         for y in range(h):
             for x in range(w):
@@ -1501,7 +1514,7 @@ def _decode_scan_lossless(data, pos, frame, huff_dc, scan_tabs, psel, pt,
                     m = reader.align_to_marker()
                     if not (0xD0 <= m <= 0xD7):
                         raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
-                    row_restart = (y, x)
+                    rs = (y, x)
                 n += 1
                 for cid, *_ in comps:
                     t = _huff_decode(reader, tabs[cid])
@@ -1510,12 +1523,7 @@ def _decode_scan_lossless(data, pos, frame, huff_dc, scan_tabs, psel, pt,
                     else:
                         diff = _extend(reader.read_bits(t), t) if t else 0
                     rec = planes[cid]
-                    if row_restart == (y, x):
-                        pred = default if x == 0 else int(rec[y, x - 1])
-                        if x == 0 and y > 0:
-                            pred = default
-                    else:
-                        pred = _lossless_predict(rec, y, x, psel, default)
+                    pred = _lossless_predict(rec, y, x, psel, default, rs)
                     rec[y, x] = (pred + diff) % 65536
     except _SegmentEnd:
         raise ValueError("JPEG entropy stream ended mid-scan") from None
@@ -1553,22 +1561,17 @@ def encode_jpeg_lossless(
 
     wr = _BitWriter()
     n = 0
-    row_restart = None
+    rs = (0, 0)  # restart interval origin — same H.1.2.1 reset as decode
     for y in range(h):
         for x in range(w):
             if restart_interval and n and n % restart_interval == 0:
                 wr.flush()
                 wr.out += bytes([0xFF, 0xD0 + (n // restart_interval - 1) % 8])
-                row_restart = (y, x)
+                rs = (y, x)
             n += 1
             for ci in range(nc):
                 rec = vals[:, :, ci]
-                if row_restart == (y, x):
-                    pred = default if x == 0 else int(rec[y, x - 1])
-                    if x == 0 and y > 0:
-                        pred = default
-                else:
-                    pred = _lossless_predict(rec, y, x, predictor, default)
+                pred = _lossless_predict(rec, y, x, predictor, default, rs)
                 diff = (int(rec[y, x]) - pred) % 65536
                 if diff >= 32768:
                     diff -= 65536  # smallest-magnitude residue
