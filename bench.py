@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "dedup_video_avi",
     # round-8 session 3: GIF proof (LZW, gray palette, interlace mix)
     "dedup_image_phash_gif",
+    # round-9: the ML scoring surface — the frozen-weight LR chain
+    # (impute/scale stats + narrow map) and the MLP pandas-UDF forward
+    # pass (one ArrowEvalPython, zero shuffles)
+    "ml_linear_scoring",
+    "ml_mlp_forward_scoring",
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed

@@ -228,3 +228,41 @@ def test_cli_train_mlp(spark, etl_setup, tmp_path):
     assert out["model"] == "mlp"
     assert set(out["metrics"]) == {"rmse", "mae", "r2"}
     assert out["metrics"]["rmse"] > 0
+
+
+def test_linear_scoring_twin_matches_pipeline_transform(spark, etl_setup):
+    """UD2 evidence (r8 verdict item 2): the arithmetic scoring twin
+    (frozen_linear_scores with the stats/weights extracted from the
+    fitted model) must reproduce PipelineModel.transform +
+    clamp_predictions value-for-value — proving the twin the DuckDB
+    oracle replays IS the MLlib scoring path's semantics."""
+    from turbine_maintenance_etl_spark.ml.pipeline import (
+        clamp_predictions,
+        linear_scoring_twin,
+        make_pipeline,
+    )
+
+    cfg, res = etl_setup
+    train = res.features.filter(F.col("dataset") == "FD001")
+    feats = feature_columns(train)
+    model = make_pipeline(feats, "linear_regression").fit(train)
+    keys = ["dataset", "unit_nr", "time_cycles"]
+    want = (
+        clamp_predictions(model.transform(train))
+        .select(*keys, "prediction")
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    got = (
+        linear_scoring_twin(model, train)
+        .select(*keys, "prediction")
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    np.testing.assert_allclose(
+        got["prediction"].to_numpy(), want["prediction"].to_numpy(),
+        rtol=1e-9, atol=1e-9,
+    )

@@ -243,6 +243,90 @@ def train_and_score(
     return model, scored, metrics
 
 
+def frozen_linear_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    coefficients: list[float],
+    intercept: float,
+    medians: list[float] | None = None,
+    means: list[float] | None = None,
+    stds: list[float] | None = None,
+    clamp: bool = True,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """The ARITHMETIC TWIN of the fitted scoring chain Imputer(median)
+    → StandardScaler(withMean, withStd) → LinearRegression → clamp-at-0
+    (reference scripts/ml_pipeline.py:430-440 incl. the F4 clamp) with
+    a frozen coefficient vector — the exactly-SQL-checkable member of
+    the ML scoring family, same doctrine as
+    llm/classify.hashed_linear_scores: training (LBFGS/OWLQN) is
+    iterative and stays rows-only, but SCORING is pure arithmetic, so a
+    DuckDB twin can replay it value-for-value.
+
+    When ``medians``/``means``/``stds`` are given (extracted from a
+    fitted PipelineModel — see ``linear_scoring_twin``) they are plan
+    literals and scoring is ONE narrow JVM map over the scan — the
+    production shape at 100 TB: no shuffle, no Python, no UDF. When
+    None they are computed from ``df`` itself (exact ``percentile``
+    for the median — MLlib's Imputer uses approxQuantile, the exact
+    stat is what a cross-engine oracle can check) as two 1-row
+    aggregates broadcast back over the scan.
+
+    Scaling semantics match MLlib exactly: sample stddev (ddof=1), and
+    a zero/NULL-variance column scales to 0.0 (StandardScalerModel
+    zeroes the factor instead of dividing by 0)."""
+    work = df
+    if medians is None:
+        med = work.agg(
+            *[F.percentile(F.col(c), F.lit(0.5)).alias(f"_med_{c}") for c in feature_cols]
+        )
+        work = work.crossJoin(F.broadcast(med))
+        med_exprs = {c: F.col(f"_med_{c}") for c in feature_cols}
+    else:
+        med_exprs = {c: F.lit(float(m)) for c, m in zip(feature_cols, medians)}
+    imputed = {c: F.coalesce(F.col(c).cast("double"), med_exprs[c]) for c in feature_cols}
+    work = work.withColumns({f"_imp_{c}": e for c, e in imputed.items()})
+    if means is None or stds is None:
+        st = work.agg(
+            *[F.avg(f"_imp_{c}").alias(f"_avg_{c}") for c in feature_cols],
+            *[F.stddev_samp(f"_imp_{c}").alias(f"_std_{c}") for c in feature_cols],
+        )
+        work = work.crossJoin(F.broadcast(st))
+        mean_exprs = {c: F.col(f"_avg_{c}") for c in feature_cols}
+        std_exprs = {c: F.col(f"_std_{c}") for c in feature_cols}
+    else:
+        mean_exprs = {c: F.lit(float(m)) for c, m in zip(feature_cols, means)}
+        std_exprs = {c: F.lit(float(s)) for c, s in zip(feature_cols, stds)}
+    pred = F.lit(float(intercept))
+    for c, coef in zip(feature_cols, coefficients):
+        scaled = F.coalesce(
+            (F.col(f"_imp_{c}") - mean_exprs[c]) / F.nullif(std_exprs[c], F.lit(0.0)),
+            F.lit(0.0),
+        )
+        pred = pred + F.lit(float(coef)) * scaled
+    if clamp:
+        pred = F.greatest(pred, F.lit(0.0))
+    return work.withColumn(out_col, pred).select(*df.columns, out_col)
+
+
+def linear_scoring_twin(model: PipelineModel, df: DataFrame) -> DataFrame:
+    """Score ``df`` through ``frozen_linear_scores`` using the stats and
+    weights EXTRACTED from a fitted Imputer→Assembler→Scaler→LR
+    pipeline — the proof (tests/test_pipeline_ml.py) that the
+    arithmetic twin IS the semantics of ``PipelineModel.transform`` +
+    ``clamp_predictions`` on the scoring path."""
+    imputer, assembler, scaler, lr = model.stages
+    in_cols = list(imputer.getInputCols())
+    sur = imputer.surrogateDF.collect()[0].asDict()
+    medians = [float(sur[c]) for c in in_cols]
+    means = [float(v) for v in scaler.mean]
+    stds = [float(v) for v in scaler.std]
+    coefs = [float(v) for v in lr.coefficients]
+    return frozen_linear_scores(
+        df, in_cols, coefs, float(lr.intercept), medians, means, stds
+    )
+
+
 def train_with_cv(
     train_df: DataFrame,
     model_name: str = "random_forest",

@@ -277,6 +277,14 @@ PRIORITY_ORDER: list[str] = [
     "dedup_video_avi",
     # -- r8: GIF proof — LZW + gray palette + interlace, same oracle
     "dedup_image_phash_gif",
+    # -- r9: the ML scoring surface's full oracles (UD2/UD3 evidence —
+    # -- frozen-weight arithmetic twins of the LR scoring chain and the
+    # -- MLP pandas-UDF forward pass; training stays rows-only)
+    "ml_linear_scoring",
+    "ml_mlp_forward_scoring",
+    # -- r9: S8 config-driven multi-file ingest graded end to end (YAML
+    # -- config -> run_etl -> per-dataset checksums + kept-sensor list)
+    "s8_config_ingest_suite",
 ]
 
 

@@ -1288,3 +1288,175 @@ def ud_grouped_agg_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wavg("value", "w"), 6).alias("wavg"),
         cnt("value").alias("n"),
     )
+
+
+# ------------------------------------------------- ML scoring oracles (r9)
+#
+# Round-8 verdict item 2: the ML scoring surface (SURVEY §2.10 UD2/UD3)
+# was the one family still pytest-only where full oracles are feasible.
+# Training (LBFGS / Adam) is iterative and stays rows-only by design;
+# SCORING with frozen weights is pure arithmetic, so a DuckDB twin can
+# replay it value-for-value — the same doctrine that graded
+# quality_classifier_scoring in round 8.
+
+# exact dyadic fractions: their decimal repr round-trips to the same
+# float64 in both engines, so the weights' provenance is out of scope
+# and the SCORING machinery is what gets graded
+_ML_LR_COEFS = (0.8203125, -1.546875, 2.25)
+_ML_LR_INTERCEPT = 42.25
+
+
+@register(
+    "ml_linear_scoring",
+    f"""
+    WITH src AS (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS x1,
+               CAST(user_id % 97 AS DOUBLE) AS x2,
+               CAST(event_id % 53 AS DOUBLE) AS x3
+        FROM events),
+    med AS (
+        SELECT MEDIAN(x1) AS m1, MEDIAN(x2) AS m2, MEDIAN(x3) AS m3 FROM src),
+    imp AS (
+        SELECT event_id,
+               COALESCE(x1, m1) AS i1,
+               COALESCE(x2, m2) AS i2,
+               COALESCE(x3, m3) AS i3
+        FROM src, med),
+    st AS (
+        SELECT AVG(i1) AS a1, STDDEV_SAMP(i1) AS s1,
+               AVG(i2) AS a2, STDDEV_SAMP(i2) AS s2,
+               AVG(i3) AS a3, STDDEV_SAMP(i3) AS s3
+        FROM imp)
+    SELECT event_id,
+           ROUND(GREATEST(
+               {_ML_LR_INTERCEPT!r}
+               + {_ML_LR_COEFS[0]!r} * COALESCE((i1 - a1) / NULLIF(s1, 0.0), 0.0)
+               + {_ML_LR_COEFS[1]!r} * COALESCE((i2 - a2) / NULLIF(s2, 0.0), 0.0)
+               + {_ML_LR_COEFS[2]!r} * COALESCE((i3 - a3) / NULLIF(s3, 0.0), 0.0),
+               0.0), 4) AS predicted_rul
+    FROM imp, st
+    """,
+)
+def ml_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD2 scoring with frozen coefficients
+    (ml/pipeline.py:frozen_linear_scores): the full LinearRegression
+    scoring chain — Imputer(median) → StandardScaler(withMean, withStd,
+    sample stddev) → dot + intercept → clamp-at-0 (reference
+    scripts/ml_pipeline.py:430-440 incl. the F4 clamp) — replayed
+    value-for-value by the DuckDB twin: exact median, NULL injection
+    (event_id % 13) exercising the impute path, zero-variance guard.
+    tests/test_pipeline_ml.py proves the same arithmetic reproduces a
+    REAL fitted PipelineModel.transform to 1e-9, so this entry grades
+    the semantics the trained weights flow through."""
+    from turbine_maintenance_etl_spark.ml.pipeline import frozen_linear_scores
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("x1"),
+        (F.col("user_id") % 97).cast("double").alias("x2"),
+        (F.col("event_id") % 53).cast("double").alias("x3"),
+    )
+    scored = frozen_linear_scores(
+        e, ["x1", "x2", "x3"], list(_ML_LR_COEFS), _ML_LR_INTERCEPT
+    )
+    return scored.select(
+        "event_id", F.round(F.col("prediction"), 4).alias("predicted_rul")
+    )
+
+
+def _mlp_frozen_weights() -> tuple[list[list[list[int]]], list[list[int]]]:
+    """Deterministic small-integer weights for the 3→4→3→1 frozen MLP:
+    integer weights + integer features keep every float64 operation
+    EXACT (products/sums far below 2^53), so the forward pass is
+    bit-checkable across engines — the integer-ized variant the r8
+    verdict prescribed for ml/mlp.py."""
+    import random
+
+    rng = random.Random(7)
+    dims = [3, 4, 3, 1]
+    ws = [
+        [[rng.randint(-3, 3) for _ in range(dims[i + 1])] for _ in range(dims[i])]
+        for i in range(3)
+    ]
+    bs = [[rng.randint(-3, 3) for _ in range(dims[i + 1])] for i in range(3)]
+    return ws, bs
+
+
+def _mlp_oracle_sql() -> str:
+    ws, bs = _mlp_frozen_weights()
+
+    def layer(col_in: list[str], wi: int, relu: bool) -> list[str]:
+        outs = []
+        for j in range(len(ws[wi][0])):
+            s = " + ".join(
+                f"({ws[wi][i][j]}) * {c}" for i, c in enumerate(col_in)
+            )
+            e = f"{bs[wi][j]} + {s}"
+            outs.append(f"GREATEST(0.0, {e})" if relu else f"({e})")
+        return outs
+
+    i_cols = ["i1", "i2", "i3"]
+    h1 = layer(i_cols, 0, True)
+    h2 = layer([f"h1_{j}" for j in range(len(h1))], 1, True)
+    out = layer([f"h2_{k}" for k in range(len(h2))], 2, False)[0]
+    h1_sel = ", ".join(f"{e} AS h1_{j}" for j, e in enumerate(h1))
+    h2_sel = ", ".join(f"{e} AS h2_{k}" for k, e in enumerate(h2))
+    return f"""
+    WITH src AS (
+        SELECT event_id,
+               CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE CAST(FLOOR(value) AS DOUBLE) END AS x1,
+               CAST(user_id % 19 AS DOUBLE) AS x2,
+               CAST(event_id % 23 AS DOUBLE) AS x3
+        FROM events),
+    imp AS (
+        SELECT event_id, COALESCE(x1, 0.0) AS i1,
+               COALESCE(x2, 0.0) AS i2, COALESCE(x3, 0.0) AS i3
+        FROM src),
+    l1 AS (SELECT event_id, {h1_sel} FROM imp),
+    l2 AS (SELECT event_id, {h2_sel} FROM l1)
+    SELECT event_id, CAST(GREATEST({out}, 0.0) AS BIGINT) AS predicted_rul
+    FROM l2
+    """
+
+
+@register("ml_mlp_forward_scoring", _mlp_oracle_sql())
+def ml_mlp_forward_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD3 scoring through the REAL distributed MLP path
+    (ml/mlp.py:NumpyMLPRegressor.transform — Arrow-batched pandas UDF,
+    weights broadcast, one matmul chain per batch) with FROZEN
+    integer weights: mean_=0/scale_=1 keeps standardization the
+    identity, integer features (floor/modulo) keep the whole forward
+    pass exact-integer in float64, and the DuckDB twin expands the
+    3→4→3→1 ReLU network symbolically — a flipped bit anywhere in the
+    assemble→broadcast→Arrow→matmul path hash-mismatches. Training
+    (Adam) stays rows-only by design; this grades the corpus-scale
+    scoring shape."""
+    import numpy as np
+
+    from turbine_maintenance_etl_spark.ml.mlp import NumpyMLPRegressor
+
+    ws, bs = _mlp_frozen_weights()
+    mlp = NumpyMLPRegressor(hidden=(4, 3))
+    mlp.weights_ = [np.array(w, dtype=np.float64) for w in ws]
+    mlp.biases_ = [np.array(b, dtype=np.float64) for b in bs]
+    mlp.mean_ = np.zeros(3)
+    mlp.scale_ = np.ones(3)
+    mlp.feature_cols_ = ["x1", "x2", "x3"]
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.floor("value").cast("double"))
+        .alias("x1"),
+        (F.col("user_id") % 19).cast("double").alias("x2"),
+        (F.col("event_id") % 23).cast("double").alias("x3"),
+    )
+    scored = mlp.transform(e)
+    return scored.select(
+        "event_id",
+        F.greatest(F.col("prediction"), F.lit(0.0)).cast("bigint").alias("predicted_rul"),
+    )

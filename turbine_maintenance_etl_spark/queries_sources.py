@@ -775,3 +775,117 @@ def s_acid_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _s8_oracle_sql() -> str:
+    """DuckDB twin of the config-driven multi-dataset ingest: same raw
+    files, independent CSV reader, the constant-sensor intersection
+    replayed via an unnest melt (count>0 AND min<>max per sensor per
+    dataset, set-intersected), rul replayed as per-unit max - cycle."""
+    sensors = ", ".join(f"sensor{i}" for i in range(1, 22))
+    sensor_names = ",".join(f"'sensor{i}'" for i in range(1, 22))
+
+    def per_ds(tag: str, code: str, path: str) -> str:
+        return f"""
+    t_{tag} AS (SELECT * FROM read_csv('{path}', sep=' ', header=false,
+                                       names={_CMAPSS_NAMES_SQL})),
+    v_{tag} AS (
+        SELECT name FROM (
+            SELECT unnest([{sensor_names}]) AS name,
+                   unnest([{sensors}]) AS val
+            FROM t_{tag})
+        GROUP BY name HAVING COUNT(val) > 0 AND MIN(val) <> MAX(val)),
+    scan_{tag} AS (
+        SELECT 'scan' AS probe, '{code}' AS key,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT unit_nr) AS BIGINT) AS n2,
+               ROUND(SUM(CAST(time_cycles AS DOUBLE)), 2) AS checksum
+        FROM t_{tag}),
+    rul_{tag} AS (
+        SELECT 'rul' AS probe, '{code}' AS key,
+               CAST(SUM(cnt) AS BIGINT) AS n, CAST(0 AS BIGINT) AS n2,
+               ROUND(SUM(CAST(cnt AS DOUBLE) * mx - s), 2) AS checksum
+        FROM (SELECT unit_nr, COUNT(*) AS cnt, MAX(time_cycles) AS mx,
+                     SUM(CAST(time_cycles AS DOUBLE)) AS s
+              FROM t_{tag} GROUP BY unit_nr))"""
+
+    return f"""
+    WITH {per_ds('a', 'FD001', f'{_RAW_DIR}/train_FD001.txt')},
+    {per_ds('b', 'FD003', f'{_RAW_DIR}/test_FD003.txt')},
+    kept AS (SELECT name FROM v_a INTERSECT SELECT name FROM v_b),
+    units AS (
+        SELECT 'units' AS probe, 'ALL' AS key,
+               CAST((SELECT COUNT(DISTINCT unit_nr) FROM t_a)
+                    + (SELECT COUNT(DISTINCT unit_nr) FROM t_b) AS BIGINT) AS n,
+               CAST(0 AS BIGINT) AS n2,
+               ROUND(CAST((SELECT COUNT(*) FROM t_a)
+                          + (SELECT COUNT(*) FROM t_b) AS DOUBLE), 2) AS checksum
+        )
+    SELECT * FROM scan_a UNION ALL SELECT * FROM scan_b
+    UNION ALL SELECT * FROM rul_a UNION ALL SELECT * FROM rul_b
+    UNION ALL SELECT * FROM units
+    UNION ALL
+    SELECT 'kept' AS probe,
+           STRING_AGG(name, ',' ORDER BY CAST(SUBSTRING(name, 7) AS INT)) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS n2,
+           0.0 AS checksum
+    FROM kept
+    """
+
+
+@register("s8_config_ingest_suite", _s8_oracle_sql())
+def s8_config_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (config-driven multi-file ingest, reference
+    scripts/etl_turbofan.py:165-216): a YAML config naming TWO raw
+    CMAPSS files runs the REAL ingest path — EtlConfig.from_yaml →
+    run_etl (per-dataset whitespace scan, constant-sensor intersection
+    pre-pass, dataset-tagged union, feature engine) — and reduces it to
+    order-insensitive probe rows: per-dataset counts + cycle checksums
+    (the union is lossless), the kept-sensor list itself (the
+    intersection logic value-checked name-for-name), the summed RUL of
+    the feature table (the W1 window over the config-ingested union),
+    and the full-union units_summary mass (the reference's
+    replace-per-iteration bug intentionally NOT reproduced —
+    SURVEY.md §7.4.5)."""
+    import os
+    import tempfile
+
+    from turbine_maintenance_etl_spark.pipeline import EtlConfig, run_etl
+
+    yaml_text = (
+        "datasets:\n"
+        f"  - code: FD001\n    train: {_RAW_DIR}/train_FD001.txt\n"
+        f"  - code: FD003\n    train: {_RAW_DIR}/test_FD003.txt\n"
+        "windows: [5, 20]\n"
+        "output_path: /tmp/s8_unused\n"
+    )
+    fd, path = tempfile.mkstemp(suffix=".yaml", text=True)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(yaml_text)
+        cfg = EtlConfig.from_yaml(path)
+    finally:
+        os.unlink(path)
+    res = run_etl(spark, cfg, write=False)
+
+    schema = "probe string, key string, n bigint, n2 bigint, checksum double"
+    scan = res.cycles_raw.groupBy("dataset").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("unit_nr").cast("bigint").alias("n2"),
+        F.round(F.sum(F.col("time_cycles").cast("double")), 2).alias("checksum"),
+    ).select(F.lit("scan").alias("probe"), F.col("dataset").alias("key"), "n", "n2", "checksum")
+    rul = res.features.groupBy("dataset").agg(
+        F.count("*").alias("n"),
+        F.lit(0).cast("bigint").alias("n2"),
+        F.round(F.sum(F.col("rul").cast("double")), 2).alias("checksum"),
+    ).select(F.lit("rul").alias("probe"), F.col("dataset").alias("key"), "n", "n2", "checksum")
+    units = res.units.agg(
+        F.count("*").alias("n"),
+        F.lit(0).cast("bigint").alias("n2"),
+        F.round(F.sum(F.col("cycles_count").cast("double")), 2).alias("checksum"),
+    ).select(F.lit("units").alias("probe"), F.lit("ALL").alias("key"), "n", "n2", "checksum")
+    kept = spark.createDataFrame(
+        [("kept", ",".join(res.kept_sensors), len(res.kept_sensors), 0, 0.0)],
+        schema,
+    )
+    return scan.unionByName(rul).unionByName(units).unionByName(kept)
