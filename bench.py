@@ -130,7 +130,7 @@ BENCH_QUERIES = [
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed
-# pass at the TARGET SF before the timed loop. The sf0.001 warm-up
+# pass at the TARGET SF before its timed reps. The sf0.001 warm-up
 # covers JVM/codegen for the miniature plan shapes, but the first
 # target-SF run of an entry still pays (a) per-corpus state builds —
 # generated multimodal tables, memoized ANN index fits, acid
@@ -140,6 +140,15 @@ BENCH_QUERIES = [
 # pipeline_curation_v3 22.5s first run at sf0.1, ~7s after; phash_jpeg
 # 3.8 -> 1.4). Driver medians should measure steady state, which is
 # what a deployed pipeline pays.
+#
+# Round-9 (r8 verdict item 4): the warm run happens IMMEDIATELY BEFORE
+# each entry's timed reps rather than as one big pass up front. Same
+# total work, better placement: with the up-front pass, ~60 other
+# entries ran between an entry's warm run and its first timed rep, so
+# rep 1 still paid GC/python-worker churn left by its neighbors —
+# measured r8 spreads dedup_image_phash [0.83, 2.07] and
+# dedup_video_avi [1.65, 3.27] under the old placement vs [0.89, 1.16]
+# / [1.82, 2.20] when the same entries run back-to-back.
 WARM_AT_TARGET = list(BENCH_QUERIES)
 
 # Loud-fail on registry drift (round-5 verdict #5): bench must break at
@@ -182,10 +191,6 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in BENCH_QUERIES:
             _materialize(REGISTRY[name].fn(spark, warm_dir))
-    # full target-SF warm pass: steady-state timing (see WARM_AT_TARGET)
-    for name in WARM_AT_TARGET:
-        _materialize(REGISTRY[name].fn(spark, sf_dir))
-
     # MEDIAN of three genuinely-cold runs per query (round-4 verdict #5:
     # best-of-N made the ±10-14% shared-VM noise band indistinguishable
     # from real regressions). clearCache() before each run so
@@ -199,6 +204,8 @@ def main() -> None:
     minmax: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
+        # adjacent target-SF warm run (see WARM_AT_TARGET note above)
+        _materialize(fn(spark, sf_dir))
         runs: list[float] = []
         for i in range(5):
             spark.catalog.clearCache()
