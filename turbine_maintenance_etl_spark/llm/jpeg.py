@@ -1491,6 +1491,122 @@ def _lossless_predict(rec, y, x, psel, default, rs=(0, 0)):
     raise ValueError(f"invalid lossless predictor {psel}")
 
 
+def _decode_lossless_diffs(data: bytes, pos: int, h: int, w: int,
+                           order: list, tabs: dict) -> dict:
+    """Phase 1 of the two-phase lossless decode: entropy-decode every
+    prediction residual in one tight loop over a PRE-DESTUFFED buffer
+    (round-9). The generic _BitReader pays three method calls and a
+    stuffing check per bit; destuffing once up front (0xFF00 -> 0xFF,
+    any real marker terminates the segment, same semantics) lets the
+    Huffman walk run on local integer arithmetic — measured ~1.7x on
+    the whole SOF3 decode on top of the vectorized reconstruction."""
+    buf = bytearray()
+    p, n_data = pos, len(data)
+    while p < n_data:
+        b = data[p]
+        if b == 0xFF:
+            if p + 1 < n_data and data[p + 1] == 0x00:
+                buf.append(0xFF)
+                p += 2
+                continue
+            break  # real marker ends the entropy segment
+        buf.append(b)
+        p += 1
+    out = {cid: [] for cid in order}
+    appends = [out[cid].append for cid in order]
+    tables = [tabs[cid] for cid in order]
+    byte_i = 0
+    bit_i = 0
+    try:
+        for _ in range(h * w):
+            for tab, app in zip(tables, appends):
+                code, length = 0, 0
+                sym = None
+                while length < 16:
+                    code = (code << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
+                    bit_i += 1
+                    if bit_i == 8:
+                        bit_i = 0
+                        byte_i += 1
+                    length += 1
+                    sym = tab.get((length, code))
+                    if sym is not None:
+                        break
+                if sym is None:
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                if sym == 16:  # the one category without extra bits
+                    app(32768)
+                    continue
+                v = 0
+                for _b in range(sym):
+                    v = (v << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
+                    bit_i += 1
+                    if bit_i == 8:
+                        bit_i = 0
+                        byte_i += 1
+                app(_extend(v, sym) if sym else 0)
+    except IndexError:
+        raise ValueError("JPEG entropy stream ended mid-scan") from None
+    return out
+
+
+def _reconstruct_lossless(d: np.ndarray, psel: int, default: int) -> np.ndarray:
+    """Rebuild samples from a fully-decoded (h, w) diff array — phase 2
+    of the two-phase lossless decode (round-9: the entropy pass is
+    inherently bit-serial, but prediction is a linear recurrence for
+    predictors 1-5, so reconstruction runs as numpy cumsums in uint16 —
+    whose natural wraparound IS the required mod-2^16 arithmetic).
+    Predictors 6/7 shift the serially-dependent left neighbor, so they
+    keep a scalar loop. Only valid without restart intervals (an RSTn
+    resets the recurrence mid-array; the scalar path handles DRI)."""
+    h, w = d.shape
+    du = d.astype(np.uint16)
+    # scalar adds go through Python ints + mask: same mod-2^16 result
+    # as the uint16 wraparound, without numpy's scalar-overflow warning
+    du[0, 0] = (int(du[0, 0]) + default) & 0xFFFF
+    if psel == 4:  # a+b-c == 2-D inclusive prefix sum of the diffs
+        return (
+            np.cumsum(np.cumsum(du, axis=0, dtype=np.uint16), axis=1, dtype=np.uint16)
+            .astype(np.int64)
+        )
+    if psel == 1:  # Ra rows; col 0 chains down via Rb
+        t = du.copy()
+        t[:, 0] = np.cumsum(du[:, 0], dtype=np.uint16)
+        return np.cumsum(t, axis=1, dtype=np.uint16).astype(np.int64)
+    row0 = np.cumsum(du[0], dtype=np.uint16)  # first line is always Ra
+    if psel == 2:  # Rb columns below the Ra first line
+        t = du.copy()
+        t[0] = row0
+        return np.cumsum(t, axis=0, dtype=np.uint16).astype(np.int64)
+    rec = np.empty((h, w), dtype=np.uint16)
+    rec[0] = row0
+    if psel == 3:  # Rc: row y is row y-1 shifted right, one vector op/row
+        for y in range(1, h):
+            rec[y, 0] = (int(rec[y - 1, 0]) + int(du[y, 0])) & 0xFFFF
+            rec[y, 1:] = rec[y - 1, :-1] + du[y, 1:]
+        return rec.astype(np.int64)
+    if psel == 5:  # a + ((b-c)>>1): the (b-c)>>1 term only reads the
+        # previous row, so each row is one cumsum over known increments
+        for y in range(1, h):
+            prev = rec[y - 1].astype(np.int64)
+            k = ((prev[1:] - prev[:-1]) >> 1).astype(np.uint16) + du[y, 1:]
+            t = np.empty(w, dtype=np.uint16)
+            t[0] = (int(rec[y - 1, 0]) + int(du[y, 0])) & 0xFFFF
+            t[1:] = k
+            rec[y] = np.cumsum(t, dtype=np.uint16)
+        return rec.astype(np.int64)
+    # predictors 6/7: nonlinear in the left neighbor — scalar rows
+    out = rec.astype(np.int64)
+    for y in range(1, h):
+        out[y, 0] = (out[y - 1, 0] + int(d[y, 0])) % 65536
+        for x in range(1, w):
+            a, b = int(out[y, x - 1]), int(out[y - 1, x])
+            c = int(out[y - 1, x - 1])
+            pred = b + ((a - c) >> 1) if psel == 6 else (a + b) >> 1
+            out[y, x] = (pred + int(d[y, x])) % 65536
+    return out
+
+
 def _decode_scan_lossless(data, pos, frame, huff_dc, scan_tabs, psel, pt,
                           restart_interval) -> np.ndarray:
     """Decode the single lossless scan of a SOF3 frame (components at
@@ -1503,30 +1619,46 @@ def _decode_scan_lossless(data, pos, frame, huff_dc, scan_tabs, psel, pt,
     default = 1 << (prec - pt - 1)
     planes = {cid: np.zeros((h, w), dtype=np.int64) for cid, *_ in comps}
     tabs = {cid: huff_dc[scan_tabs[cid][0]] for cid, *_ in comps}
-    reader = _BitReader(data, pos)
-    n = 0
-    rs = (0, 0)  # current restart interval's origin (T.81 H.1.2.1:
-    # an RSTn resets prediction exactly as at the start of the scan)
-    try:
-        for y in range(h):
-            for x in range(w):
-                if restart_interval and n and n % restart_interval == 0:
-                    m = reader.align_to_marker()
-                    if not (0xD0 <= m <= 0xD7):
-                        raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
-                    rs = (y, x)
-                n += 1
-                for cid, *_ in comps:
-                    t = _huff_decode(reader, tabs[cid])
-                    if t == 16:  # the one category without extra bits
-                        diff = 32768
-                    else:
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                    rec = planes[cid]
-                    pred = _lossless_predict(rec, y, x, psel, default, rs)
-                    rec[y, x] = (pred + diff) % 65536
-    except _SegmentEnd:
-        raise ValueError("JPEG entropy stream ended mid-scan") from None
+    order = [cid for cid, *_ in comps]
+    if not restart_interval:
+        # two-phase fast path (round-9): tight-loop entropy pass over a
+        # destuffed buffer, then vectorized prediction recurrences. A
+        # DRI stream resets the recurrence mid-array, so it keeps the
+        # scalar path below.
+        diff_lists = _decode_lossless_diffs(data, pos, h, w, order, tabs)
+        for cid in order:
+            planes[cid] = _reconstruct_lossless(
+                np.array(diff_lists[cid], dtype=np.int64).reshape(h, w),
+                psel,
+                default,
+            )
+    else:
+        reader = _BitReader(data, pos)
+        n = 0
+        rs = (0, 0)  # current restart interval's origin (T.81 H.1.2.1:
+        # an RSTn resets prediction exactly as at the start of the scan)
+        try:
+            for y in range(h):
+                for x in range(w):
+                    if n and n % restart_interval == 0:
+                        m = reader.align_to_marker()
+                        if not (0xD0 <= m <= 0xD7):
+                            raise ValueError(
+                                f"expected RST marker, got 0xFF{m:02X}"
+                            )
+                        rs = (y, x)
+                    n += 1
+                    for cid in order:
+                        t = _huff_decode(reader, tabs[cid])
+                        if t == 16:  # the category without extra bits
+                            diff = 32768
+                        else:
+                            diff = _extend(reader.read_bits(t), t) if t else 0
+                        rec = planes[cid]
+                        pred = _lossless_predict(rec, y, x, psel, default, rs)
+                        rec[y, x] = (pred + diff) % 65536
+        except _SegmentEnd:
+            raise ValueError("JPEG entropy stream ended mid-scan") from None
     maxv = (1 << prec) - 1
     out = np.stack(
         [np.clip(planes[cid] << pt, 0, maxv) for cid, *_ in comps], axis=2
@@ -1560,30 +1692,70 @@ def encode_jpeg_lossless(
     default = 1 << (precision - pt - 1)
 
     wr = _BitWriter()
-    n = 0
-    rs = (0, 0)  # restart interval origin — same H.1.2.1 reset as decode
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and n and n % restart_interval == 0:
-                wr.flush()
-                wr.out += bytes([0xFF, 0xD0 + (n // restart_interval - 1) % 8])
-                rs = (y, x)
-            n += 1
-            for ci in range(nc):
-                rec = vals[:, :, ci]
-                pred = _lossless_predict(rec, y, x, predictor, default, rs)
-                diff = (int(rec[y, x]) - pred) % 65536
-                if diff >= 32768:
-                    diff -= 65536  # smallest-magnitude residue
-                if diff == -32768 or diff == 32768:
-                    code, ln = codes[16]
-                    wr.write(code, ln)
-                    continue
-                t = _category(diff)
-                code, ln = codes[t]
+    if not restart_interval:
+        # vectorized prediction (round-9): unlike the decoder, every
+        # neighbor is known up front, so ALL seven predictors are one
+        # shifted-view expression; only the bit writing stays serial
+        diffs = np.empty((h, w, nc), dtype=np.int64)
+        for ci in range(nc):
+            p = vals[:, :, ci]
+            pred = np.empty((h, w), dtype=np.int64)
+            pred[0, 0] = default
+            pred[0, 1:] = p[0, :-1]
+            if h > 1:
+                pred[1:, 0] = p[:-1, 0]
+                a, b = p[1:, :-1], p[:-1, 1:]
+                c = p[:-1, :-1]
+                pred[1:, 1:] = {
+                    1: a,
+                    2: b,
+                    3: c,
+                    4: a + b - c,
+                    5: a + ((b - c) >> 1),
+                    6: b + ((a - c) >> 1),
+                    7: (a + b) >> 1,
+                }[predictor]
+            diffs[:, :, ci] = (p - pred) % 65536
+        for d in diffs.reshape(-1):
+            diff = int(d)
+            if diff >= 32768:
+                diff -= 65536  # smallest-magnitude residue
+            if diff == -32768 or diff == 32768:
+                code, ln = codes[16]
                 wr.write(code, ln)
-                if t:
-                    _write_signed(wr, diff, t)
+                continue
+            t = _category(diff)
+            code, ln = codes[t]
+            wr.write(code, ln)
+            if t:
+                _write_signed(wr, diff, t)
+    else:
+        n = 0
+        rs = (0, 0)  # restart interval origin — H.1.2.1 reset as decode
+        for y in range(h):
+            for x in range(w):
+                if n and n % restart_interval == 0:
+                    wr.flush()
+                    wr.out += bytes(
+                        [0xFF, 0xD0 + (n // restart_interval - 1) % 8]
+                    )
+                    rs = (y, x)
+                n += 1
+                for ci in range(nc):
+                    rec = vals[:, :, ci]
+                    pred = _lossless_predict(rec, y, x, predictor, default, rs)
+                    diff = (int(rec[y, x]) - pred) % 65536
+                    if diff >= 32768:
+                        diff -= 65536  # smallest-magnitude residue
+                    if diff == -32768 or diff == 32768:
+                        code, ln = codes[16]
+                        wr.write(code, ln)
+                        continue
+                    t = _category(diff)
+                    code, ln = codes[t]
+                    wr.write(code, ln)
+                    if t:
+                        _write_signed(wr, diff, t)
     wr.flush()
 
     out = bytearray(b"\xff\xd8")
