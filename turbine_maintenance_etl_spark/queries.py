@@ -121,14 +121,19 @@ PRIORITY_ORDER: list[str] = [
     "export_hash_shards",
     "dedup_span_rewrite",
     # -- round-5 promotions: the round-4 flagships, now driver-graded ---
-    "quality_sb3_perplexity",
     "dedup_normalized_exact",
     "dedup_image_phash",
-    # -- round-7 swap (WINDOW_CHANGELOG round 7): the two rows-only
-    # -- capstones leave the window for full-oracle entries; they park
-    # -- immediately below (slots 51-52) and stay benched.
-    "s_acid_table_restore",
-    "dedup_audio_fingerprint",
+    # -- round-9 swap (WINDOW_CHANGELOG round 9): the last §2 families
+    # -- that were pytest-only — the ML scoring surface (UD2/UD3,
+    # -- frozen-weight arithmetic twins) and S8 config-driven ingest —
+    # -- take the slots of three entries whose families stay graded
+    # -- in-window (LM gate: quality_lm_perplexity; multimodal dedup:
+    # -- dedup_image_phash; acid: roundtrip + CDF + capstone). The
+    # -- demoted three park directly below the window, stay benched and
+    # -- selfchecked.
+    "ml_linear_scoring",
+    "ml_mlp_forward_scoring",
+    "s8_config_ingest_suite",
     # -- round-6 promotions: transactional table format + the round-6
     # -- flagships (streaming capstone, CDF rollup, leakage-proof split)
     "s_acid_table_roundtrip",
@@ -141,8 +146,12 @@ PRIORITY_ORDER: list[str] = [
     # -- the reference has no JSON functions; the JSON surface stays
     # -- covered below the window by f_json_struct_parse/udtf_json_pairs)
     "pipeline_curation_v3",
-    # -- below the window from here: first the round-8 session-2
-    # -- swap-outs (still full-oracle, selfchecked every round)
+    # -- below the window from here: first the round-9 swap-outs (still
+    # -- full-oracle, benched, selfchecked every round)
+    "quality_sb3_perplexity",
+    "s_acid_table_restore",
+    "dedup_audio_fingerprint",
+    # -- then the round-8 session-2 swap-outs (same standing)
     "quality_psi_drift",
     "text_tfidf_top_terms",
     # -- r8: progressive-JPEG proof — format-mixed corpus, same oracle
@@ -277,14 +286,6 @@ PRIORITY_ORDER: list[str] = [
     "dedup_video_avi",
     # -- r8: GIF proof — LZW + gray palette + interlace, same oracle
     "dedup_image_phash_gif",
-    # -- r9: the ML scoring surface's full oracles (UD2/UD3 evidence —
-    # -- frozen-weight arithmetic twins of the LR scoring chain and the
-    # -- MLP pandas-UDF forward pass; training stays rows-only)
-    "ml_linear_scoring",
-    "ml_mlp_forward_scoring",
-    # -- r9: S8 config-driven multi-file ingest graded end to end (YAML
-    # -- config -> run_etl -> per-dataset checksums + kept-sensor list)
-    "s8_config_ingest_suite",
 ]
 
 
