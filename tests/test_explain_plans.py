@@ -307,3 +307,25 @@ def test_perceptual_dedup_plans_are_narrow(spark):
     assert not re.search(
         r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition", vplan
     )
+
+
+def test_mlp_forward_scoring_zero_shuffle(spark):
+    """UD3 scoring (r9): the frozen-weight MLP forward pass must stay
+    one scan -> one ArrowEvalPython — zero exchanges, weights travel as
+    a broadcast variable, never a join."""
+    plan = plan_of(REGISTRY["ml_mlp_forward_scoring"].fn(spark, SF_DIR))
+    assert n_exchanges(plan) == 0
+    assert plan.count("ArrowEvalPython") >= 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_linear_scoring_broadcasts_stats_only(spark):
+    """UD2 scoring (r9): the in-query fit stats (median / mean / std)
+    are 1-row aggregates broadcast back over the scan — the corpus
+    itself must never shuffle (no SortMergeJoin/ShuffledHashJoin; the
+    only exchanges are the SinglePartition partial->final stat aggs),
+    and the row path is pure JVM (no Python evals)."""
+    plan = plan_of(REGISTRY["ml_linear_scoring"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # 1-row stat frames
+    assert "EvalPython" not in plan
