@@ -196,7 +196,7 @@ def main() -> None:
     # from real regressions). clearCache() before each run so
     # operator-internal persists never carry between runs (no
     # cache-assisted fast repeats). If the three runs still disagree
-    # badly (max > 1.5x min) the host was noisy — take up to two extra
+    # badly (max > 1.5x min) the host was noisy — take up to four extra
     # runs before the median, so the reported number is steady-state
     # cold execution. Per-query min/max ride along in queries_minmax so
     # the next round's verdict can tell noise from regression.
@@ -207,7 +207,7 @@ def main() -> None:
         # adjacent target-SF warm run (see WARM_AT_TARGET note above)
         _materialize(fn(spark, sf_dir))
         runs: list[float] = []
-        for i in range(5):
+        for i in range(7):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
