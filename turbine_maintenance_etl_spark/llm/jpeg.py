@@ -152,33 +152,43 @@ def _decode_map(bits: list[int], vals: list[int]):
 
 class _BitReader:
     """MSB-first reader over entropy-coded bytes, handling 0xFF00 byte
-    stuffing and stopping (with position) at any real marker."""
+    stuffing and stopping (raising _SegmentEnd) at any real marker.
+
+    Round-9: the reader destuffs one whole restart segment up front
+    (``_destuff_to_marker``) and serves bits from the buffered copy —
+    the previous per-bit path paid a stuffing check and two method
+    calls per bit. Semantics are unchanged: reading past the segment's
+    entropy bytes raises _SegmentEnd exactly where the old reader met
+    the marker, and ``pos`` exposes the raw stream position of that
+    marker for ``_next_marker``."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
-        self.pos = pos
-        self.bit = 0
-        self.marker: int | None = None
+        self._load(pos)
 
-    def _cur_byte(self) -> int:
-        d, p = self.data, self.pos
-        if p >= len(d):
-            raise ValueError("truncated JPEG entropy stream")
-        b = d[p]
-        if b == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else None
-            if nxt != 0x00:  # a real marker terminates the segment
-                self.marker = nxt
-                raise _SegmentEnd()
-        return b
+    def _load(self, pos: int) -> None:
+        self.buf, self._mpos, self.marker = _destuff_to_marker(self.data, pos)
+        self.i = 0
+        self.bit = 0
+
+    @property
+    def pos(self) -> int:
+        """Raw stream position of the current segment's terminator —
+        any marker scan from here finds the same marker the old
+        byte-wise reader would have stopped at."""
+        return self._mpos
 
     def read_bit(self) -> int:
-        b = self._cur_byte()
+        if self.i >= len(self.buf):
+            if self._mpos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            raise _SegmentEnd()
+        b = self.buf[self.i]
         v = (b >> (7 - self.bit)) & 1
         self.bit += 1
         if self.bit == 8:
             self.bit = 0
-            self.pos += 2 if b == 0xFF else 1  # skip the stuffed 0x00
+            self.i += 1
         return v
 
     def read_bits(self, n: int) -> int:
@@ -188,15 +198,13 @@ class _BitReader:
         return v
 
     def align_to_marker(self) -> int:
-        """Skip to the next marker byte pair; returns the marker code."""
-        self.bit = 0
-        d, p = self.data, self.pos
-        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
-            p += 1
-        if p + 1 >= len(d):
+        """Skip to the current segment's terminating marker pair;
+        returns the marker code and loads the next segment."""
+        if self.marker is None:
             raise ValueError("truncated JPEG: expected marker")
-        self.pos = p + 2
-        return d[p + 1]
+        m = self.marker
+        self._load(self._mpos + 2)
+        return m
 
 
 class _SegmentEnd(Exception):
