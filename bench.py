@@ -130,7 +130,8 @@ BENCH_QUERIES = [
 ]
 
 # Round-8 (r7 verdict item 3): every benched entry gets one untimed
-# pass at the TARGET SF before its timed reps. The sf0.001 warm-up
+# pass at the TARGET SF before its timed reps (the warm call sits
+# inside the timing loop below). The sf0.001 warm-up
 # covers JVM/codegen for the miniature plan shapes, but the first
 # target-SF run of an entry still pays (a) per-corpus state builds —
 # generated multimodal tables, memoized ANN index fits, acid
@@ -149,18 +150,13 @@ BENCH_QUERIES = [
 # measured r8 spreads dedup_image_phash [0.83, 2.07] and
 # dedup_video_avi [1.65, 3.27] under the old placement vs [0.89, 1.16]
 # / [1.82, 2.20] when the same entries run back-to-back.
-WARM_AT_TARGET = list(BENCH_QUERIES)
 
 # Loud-fail on registry drift (round-5 verdict #5): bench must break at
 # import when an entry is renamed/unregistered or left out of
 # PRIORITY_ORDER, not silently keep benching a stale hand-kept list.
 from turbine_maintenance_etl_spark.queries import PRIORITY_ORDER  # noqa: E402
 
-_drift = [
-    n
-    for n in BENCH_QUERIES + WARM_AT_TARGET
-    if n not in REGISTRY or n not in PRIORITY_ORDER
-]
+_drift = [n for n in BENCH_QUERIES if n not in REGISTRY or n not in PRIORITY_ORDER]
 if _drift:
     raise RuntimeError(
         f"bench.py drifted from the registry/order: {_drift} — fix BENCH_QUERIES "
@@ -204,7 +200,7 @@ def main() -> None:
     minmax: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        # adjacent target-SF warm run (see WARM_AT_TARGET note above)
+        # adjacent target-SF warm run (see the round-9 note above)
         _materialize(fn(spark, sf_dir))
         runs: list[float] = []
         for i in range(7):

@@ -195,5 +195,9 @@ def test_invalid_lossless_streams_rejected():
         decode_jpeg_pixels(bytes(data))
     with pytest.raises(ValueError, match="precision"):
         encode_jpeg_lossless(px, precision=17)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(px, predictor=0)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(px, predictor=8)
     with pytest.raises(ValueError, match="exceed"):
         encode_jpeg_lossless(np.full((4, 4), 300, np.uint16), precision=8)

@@ -266,3 +266,28 @@ def test_linear_scoring_twin_matches_pipeline_transform(spark, etl_setup):
         got["prediction"].to_numpy(), want["prediction"].to_numpy(),
         rtol=1e-9, atol=1e-9,
     )
+
+    # NaN parity: MLlib's Imputer imputes NaN (its default missingValue)
+    # as well as NULL — the twin must too, or it silently emits NaN
+    # predictions where the fitted model imputes (r9 review finding)
+    feat0 = feats[0]
+    nan_df = train.withColumn(
+        feat0,
+        F.when(F.col("time_cycles") % 5 == 0, F.lit(float("nan")))
+        .otherwise(F.col(feat0)),
+    )
+    want_nan = (
+        clamp_predictions(model.transform(nan_df))
+        .select(*keys, "prediction")
+        .toPandas().sort_values(keys).reset_index(drop=True)
+    )
+    got_nan = (
+        linear_scoring_twin(model, nan_df)
+        .select(*keys, "prediction")
+        .toPandas().sort_values(keys).reset_index(drop=True)
+    )
+    assert not np.isnan(got_nan["prediction"].to_numpy()).any()
+    np.testing.assert_allclose(
+        got_nan["prediction"].to_numpy(), want_nan["prediction"].to_numpy(),
+        rtol=1e-9, atol=1e-9,
+    )

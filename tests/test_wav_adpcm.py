@@ -268,3 +268,33 @@ def test_ms_truncated_final_block_decodes_prefix():
     # sub-header fragment ignored
     got = decode_ms_blocks(raw[: block_align + 6], 1, block_align, None)
     assert np.array_equal(got, full[:500])
+
+
+def test_trailing_junk_fragments_ignored():
+    """r9 review finding: a trailing fragment whose header doesn't
+    validate is writer junk — skip it instead of poison-pilling the
+    whole stream (a FULL block with a bad header still fails loudly)."""
+    from turbine_maintenance_etl_spark.llm.adpcm import (
+        decode_ms_blocks,
+        encode_wav_ms_adpcm,
+    )
+
+    x = (0.3 * np.sin(np.arange(1010) / 7.0)).astype(np.float32)[:, None]
+    wav = encode_wav_adpcm(x, 8000, samples_per_block=505)
+    raw, _ = _data_chunk(wav)
+    ba = 4 + (505 - 1) // 2
+    full = decode_ima_blocks(raw, 1, ba, None)
+    got = decode_ima_blocks(raw + b"\xff" * 10, 1, ba, None)  # index 255
+    assert np.array_equal(got, full)
+    # full-size block with a bad header still raises
+    with pytest.raises(ValueError, match="step index"):
+        decode_ima_blocks(raw + b"\xff" * ba, 1, ba, None)
+
+    wav2 = encode_wav_ms_adpcm(x, 8000, samples_per_block=500)
+    raw2, _ = _data_chunk(wav2)
+    ba2 = 7 + (500 - 2) // 2
+    full2 = decode_ms_blocks(raw2, 1, ba2, None)
+    got2 = decode_ms_blocks(raw2 + b"\x09" * 12, 1, ba2, None)  # pred id 9
+    assert np.array_equal(got2, full2)
+    with pytest.raises(ValueError, match="predictor"):
+        decode_ms_blocks(raw2 + b"\x09" * ba2, 1, ba2, None)

@@ -116,14 +116,26 @@ def decode_ima_blocks(raw: bytes, n_channels: int, block_align: int,
         # a short FINAL block is legal in the wild (ADVICE r8): decode
         # as many whole word rounds (4 bytes x n_channels) as it holds
         words_here = min(data_words, (len(block) - 4 * n_channels) // (4 * n_channels))
-        preds, idxs = [], []
+        partial = len(block) < block_align
+        hdrs = []
+        bad_index = None
         for ch in range(n_channels):
             pred, index, _rsv = struct.unpack_from("<hBB", block, 4 * ch)
             if index > 88:
-                raise ValueError(f"bad IMA ADPCM step index {index}")
+                bad_index = index
+                break
+            hdrs.append((pred, index))
+        if bad_index is not None:
+            if partial:
+                # a trailing fragment whose 'header' doesn't validate is
+                # writer junk, not a legal short final block — skip it
+                # (a FULL block with a bad header still fails loudly)
+                break
+            raise ValueError(f"bad IMA ADPCM step index {bad_index}")
+        preds = [p for p, _i in hdrs]
+        idxs = [i for _p, i in hdrs]
+        for ch, (pred, _i) in enumerate(hdrs):
             chans[ch].append(pred)  # header predictor IS the first sample
-            preds.append(pred)
-            idxs.append(index)
         pos = 4 * n_channels
         for _w in range(words_here):
             for ch in range(n_channels):
@@ -269,6 +281,9 @@ def decode_ms_blocks(raw: bytes, n_channels: int, block_align: int,
             break
         preds = list(block[:n_channels])
         if any(p > 6 for p in preds):
+            if len(block) < block_align:
+                # junk trailing fragment, not a legal short final block
+                break
             raise ValueError(f"bad MS ADPCM predictor id {max(preds)}")
         deltas, s1s, s2s = [], [], []
         off = n_channels

@@ -234,9 +234,11 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     JFIF conversion, integer-rounded). Baseline/progressive Huffman,
     sequential/progressive arithmetic, 12-bit, and lossless (SOF3)
     streams all decode — >8-bit frames are downconverted to uint8 by
-    rounded proportion below. Raises ValueError on corrupt input;
-    only hierarchical mode raises NotImplementedError — callers'
-    poison-pill handling treats both as NULL rows."""
+    rounded proportion below. Raises ValueError on corrupt input and
+    NotImplementedError on the unimplemented layouts: hierarchical
+    mode, non-interleaved multi-scan sequential/lossless frames, and
+    2-/4-component color — callers' poison-pill handling treats both
+    exception types as NULL rows."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG byte stream")
     px = decode_jpeg_pixels_native(data)
@@ -552,7 +554,12 @@ def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
     # IDCT batch over all blocks in phase 2.
     pred = {cid: 0 for cid, *_ in comps}
     zig = ZIGZAG
-    blocks: list[list[int]] = []
+    # preallocated int32 store, one 64-coef row flushed per block: the
+    # tight loop fills a small Python list (fast appends/writes) and
+    # numpy copies it once, so peak memory is ~4 bytes/coef instead of
+    # boxed-int lists of the whole image (r9 review finding)
+    coefs = np.zeros((n_mcus * len(layout), 64), dtype=np.int32)
+    bidx = 0
     buf, mpos, marker = _destuff_to_marker(data, pos)
     bi = bb = 0  # byte / bit cursor into the destuffed segment
     mcu_count = 0
@@ -629,14 +636,15 @@ def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
                             bi += 1
                     c[zig[k]] = v if v >= (1 << (sbits - 1)) else v - (1 << sbits) + 1
                     k += 1
-                blocks.append(c)
+                coefs[bidx] = c
+                bidx += 1
     except IndexError:
         raise ValueError("JPEG entropy stream ended mid-MCU") from None
 
     # phase 2: vectorized dequant + one batched IDCT over every block
     qmat = np.stack([quant[tq].astype(np.float64) for *_x, tq in layout])
     coef = (
-        np.array(blocks, dtype=np.float64).reshape(n_mcus, len(layout), 64)
+        coefs.astype(np.float64).reshape(n_mcus, len(layout), 64)
         * qmat[None, :, :]
     ).reshape(-1, 8, 8)
     # broadcasting matmul dispatches to BLAS (einsum here runs naive
@@ -1596,51 +1604,48 @@ def _decode_lossless_diffs(data: bytes, pos: int, h: int, w: int,
     any real marker terminates the segment, same semantics) lets the
     Huffman walk run on local integer arithmetic — measured ~1.7x on
     the whole SOF3 decode on top of the vectorized reconstruction."""
-    buf = bytearray()
-    p, n_data = pos, len(data)
-    while p < n_data:
-        b = data[p]
-        if b == 0xFF:
-            if p + 1 < n_data and data[p + 1] == 0x00:
-                buf.append(0xFF)
-                p += 2
-                continue
-            break  # real marker ends the entropy segment
-        buf.append(b)
-        p += 1
-    out = {cid: [] for cid in order}
-    appends = [out[cid].append for cid in order]
+    buf, _mpos, _marker = _destuff_to_marker(data, pos)
+    # preallocated int32 planes + per-row Python buffers: the tight
+    # loop appends to small lists (fast) and flushes one numpy row per
+    # scanline, so peak memory stays ~4 bytes/sample instead of a
+    # boxed-int list of every diff (r9 review finding)
+    out = {cid: np.zeros((h, w), dtype=np.int32) for cid in order}
     tables = [tabs[cid] for cid in order]
     byte_i = 0
     bit_i = 0
     try:
-        for _ in range(h * w):
-            for tab, app in zip(tables, appends):
-                code, length = 0, 0
-                sym = None
-                while length < 16:
-                    code = (code << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
-                    bit_i += 1
-                    if bit_i == 8:
-                        bit_i = 0
-                        byte_i += 1
-                    length += 1
-                    sym = tab.get((length, code))
-                    if sym is not None:
-                        break
-                if sym is None:
-                    raise ValueError("invalid Huffman code in JPEG stream")
-                if sym == 16:  # the one category without extra bits
-                    app(32768)
-                    continue
-                v = 0
-                for _b in range(sym):
-                    v = (v << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
-                    bit_i += 1
-                    if bit_i == 8:
-                        bit_i = 0
-                        byte_i += 1
-                app(_extend(v, sym) if sym else 0)
+        for y in range(h):
+            rows: list[list[int]] = [[] for _ in order]
+            appends = [r.append for r in rows]
+            for _x in range(w):
+                for tab, app in zip(tables, appends):
+                    code, length = 0, 0
+                    sym = None
+                    while length < 16:
+                        code = (code << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
+                        bit_i += 1
+                        if bit_i == 8:
+                            bit_i = 0
+                            byte_i += 1
+                        length += 1
+                        sym = tab.get((length, code))
+                        if sym is not None:
+                            break
+                    if sym is None:
+                        raise ValueError("invalid Huffman code in JPEG stream")
+                    if sym == 16:  # the one category without extra bits
+                        app(32768)
+                        continue
+                    v = 0
+                    for _b in range(sym):
+                        v = (v << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
+                        bit_i += 1
+                        if bit_i == 8:
+                            bit_i = 0
+                            byte_i += 1
+                    app(_extend(v, sym) if sym else 0)
+            for cid, row in zip(order, rows):
+                out[cid][y] = row
     except IndexError:
         raise ValueError("JPEG entropy stream ended mid-scan") from None
     return out
@@ -1721,13 +1726,9 @@ def _decode_scan_lossless(data, pos, frame, huff_dc, scan_tabs, psel, pt,
         # destuffed buffer, then vectorized prediction recurrences. A
         # DRI stream resets the recurrence mid-array, so it keeps the
         # scalar path below.
-        diff_lists = _decode_lossless_diffs(data, pos, h, w, order, tabs)
+        diffs = _decode_lossless_diffs(data, pos, h, w, order, tabs)
         for cid in order:
-            planes[cid] = _reconstruct_lossless(
-                np.array(diff_lists[cid], dtype=np.int64).reshape(h, w),
-                psel,
-                default,
-            )
+            planes[cid] = _reconstruct_lossless(diffs[cid], psel, default)
     else:
         reader = _BitReader(data, pos)
         n = 0
@@ -1778,6 +1779,8 @@ def encode_jpeg_lossless(
     h, w, nc = px.shape
     if nc > 4:
         raise ValueError(f"at most 4 components, got {nc}")
+    if not (1 <= predictor <= 7):
+        raise ValueError(f"invalid lossless predictor {predictor}")
     if not (2 <= precision <= 16):
         raise ValueError(f"lossless precision must be 2..16, got {precision}")
     pt = point_transform

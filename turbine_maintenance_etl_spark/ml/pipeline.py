@@ -275,16 +275,23 @@ def frozen_linear_scores(
     Scaling semantics match MLlib exactly: sample stddev (ddof=1), and
     a zero/NULL-variance column scales to 0.0 (StandardScalerModel
     zeroes the factor instead of dividing by 0)."""
+    # MLlib's Imputer treats NaN (its default missingValue) as missing
+    # alongside NULL; nanvl(col, NULL) maps NaN -> NULL up front so the
+    # median ignores it and coalesce imputes it — without this the twin
+    # would emit NaN predictions where model.transform imputes (the
+    # same SQL-NULL-vs-NaN pitfall ml/mlp.py:171 documents)
+    null_d = F.lit(None).cast("double")
+    src = {c: F.nanvl(F.col(c).cast("double"), null_d) for c in feature_cols}
     work = df
     if medians is None:
         med = work.agg(
-            *[F.percentile(F.col(c), F.lit(0.5)).alias(f"_med_{c}") for c in feature_cols]
+            *[F.percentile(src[c], F.lit(0.5)).alias(f"_med_{c}") for c in feature_cols]
         )
         work = work.crossJoin(F.broadcast(med))
         med_exprs = {c: F.col(f"_med_{c}") for c in feature_cols}
     else:
         med_exprs = {c: F.lit(float(m)) for c, m in zip(feature_cols, medians)}
-    imputed = {c: F.coalesce(F.col(c).cast("double"), med_exprs[c]) for c in feature_cols}
+    imputed = {c: F.coalesce(src[c], med_exprs[c]) for c in feature_cols}
     work = work.withColumns({f"_imp_{c}": e for c, e in imputed.items()})
     if means is None or stds is None:
         st = work.agg(
