@@ -167,9 +167,12 @@ class _BitReader:
         self._load(pos)
 
     def _load(self, pos: int) -> None:
-        self.buf, self._mpos, self.marker = _destuff_to_marker(self.data, pos)
-        self.i = 0
-        self.bit = 0
+        buf, self._mpos, self.marker = _destuff_to_marker(self.data, pos)
+        # unpack the whole segment to a bit LIST once (C-speed): per-bit
+        # reads become one list index + one increment, and _huff_decode
+        # walks the list with local variables
+        self.bits = np.unpackbits(np.frombuffer(bytes(buf), np.uint8)).tolist()
+        self.p = 0
 
     @property
     def pos(self) -> int:
@@ -178,23 +181,30 @@ class _BitReader:
         byte-wise reader would have stopped at."""
         return self._mpos
 
+    def _at_end(self):
+        """Reading past the segment's entropy bits: the old byte-wise
+        reader met the terminating marker here (_SegmentEnd), or ran
+        off a truncated stream (ValueError)."""
+        if self._mpos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        raise _SegmentEnd()
+
     def read_bit(self) -> int:
-        if self.i >= len(self.buf):
-            if self._mpos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            raise _SegmentEnd()
-        b = self.buf[self.i]
-        v = (b >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.i += 1
-        return v
+        p = self.p
+        if p >= len(self.bits):
+            self._at_end()
+        self.p = p + 1
+        return self.bits[p]
 
     def read_bits(self, n: int) -> int:
+        p = self.p
+        bits = self.bits
+        if p + n > len(bits):
+            self._at_end()
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        for b in bits[p : p + n]:
+            v = (v << 1) | b
+        self.p = p + n
         return v
 
     def align_to_marker(self) -> int:
@@ -212,12 +222,21 @@ class _SegmentEnd(Exception):
 
 
 def _huff_decode(reader: _BitReader, table: dict) -> int:
+    bits = reader.bits
+    p = reader.p
+    n = len(bits)
+    get = table.get
     code, length = 0, 0
     while length < 16:
-        code = (code << 1) | reader.read_bit()
+        if p >= n:
+            reader.p = p
+            reader._at_end()
+        code = (code << 1) | bits[p]
+        p += 1
         length += 1
-        sym = table.get((length, code))
+        sym = get((length, code))
         if sym is not None:
+            reader.p = p
             return sym
     raise ValueError("invalid Huffman code in JPEG stream")
 
