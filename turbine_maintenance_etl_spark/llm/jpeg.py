@@ -154,13 +154,20 @@ class _BitReader:
     """MSB-first reader over entropy-coded bytes, handling 0xFF00 byte
     stuffing and stopping (raising _SegmentEnd) at any real marker.
 
-    Round-9: the reader destuffs one whole restart segment up front
-    (``_destuff_to_marker``) and serves bits from the buffered copy —
-    the previous per-bit path paid a stuffing check and two method
-    calls per bit. Semantics are unchanged: reading past the segment's
-    entropy bytes raises _SegmentEnd exactly where the old reader met
-    the marker, and ``pos`` exposes the raw stream position of that
-    marker for ``_next_marker``."""
+    Round-9 destuffed one whole restart segment up front
+    (``_destuff_to_marker``) and served bits from a whole-segment
+    Python list — fast, but a no-DRI stream is ONE segment, and a list
+    of bit ints costs ~64 bytes of pointer per entropy byte (a 10 MB
+    scan would transiently take ~640 MB per task). Round-10 keeps the
+    list-indexing hot path but unpacks a fixed 64 KiB byte WINDOW at a
+    time (~4 MB of list, refilled ~once per 512K bits); the destuffed
+    segment itself stays a 1x-encoded-size numpy array. Semantics are
+    unchanged: reading past the segment's entropy bits raises
+    _SegmentEnd exactly where the old reader met the marker, and
+    ``pos`` exposes the raw stream position of that marker for
+    ``_next_marker``."""
+
+    _WINDOW_BYTES = 1 << 16  # destuffed bytes per unpacked bit window
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -168,11 +175,37 @@ class _BitReader:
 
     def _load(self, pos: int) -> None:
         buf, self._mpos, self.marker = _destuff_to_marker(self.data, pos)
-        # unpack the whole segment to a bit LIST once (C-speed): per-bit
-        # reads become one list index + one increment, and _huff_decode
-        # walks the list with local variables
-        self.bits = np.unpackbits(np.frombuffer(bytes(buf), np.uint8)).tolist()
-        self.p = 0
+        self._buf = np.frombuffer(bytes(buf), np.uint8)
+        self._nbits = int(self._buf.size) * 8
+        self._fill(0)
+
+    def _fill(self, abs_bit: int) -> None:
+        """Unpack the window holding absolute bit ``abs_bit`` to a bit
+        LIST (C-speed): per-bit reads stay one list index + one
+        increment, and _huff_decode walks the list with local
+        variables. ``self.p`` is window-relative; ``self._base`` is the
+        window's absolute bit offset."""
+        byte0 = abs_bit >> 3
+        self._base = byte0 << 3
+        self.bits = np.unpackbits(
+            self._buf[byte0 : byte0 + self._WINDOW_BYTES]
+        ).tolist()
+        self.p = abs_bit - self._base
+
+    def _advance(self) -> None:
+        """Window exhausted at ``self.p``: refill from the next bit, or
+        raise once the segment's entropy bits are spent — the old
+        byte-wise reader met the terminating marker here (_SegmentEnd),
+        or ran off a truncated stream (ValueError)."""
+        abs_bit = self._base + self.p
+        if abs_bit >= self._nbits:
+            self._end()
+        self._fill(abs_bit)
+
+    def _end(self):
+        if self._mpos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        raise _SegmentEnd()
 
     @property
     def pos(self) -> int:
@@ -181,18 +214,11 @@ class _BitReader:
         byte-wise reader would have stopped at."""
         return self._mpos
 
-    def _at_end(self):
-        """Reading past the segment's entropy bits: the old byte-wise
-        reader met the terminating marker here (_SegmentEnd), or ran
-        off a truncated stream (ValueError)."""
-        if self._mpos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        raise _SegmentEnd()
-
     def read_bit(self) -> int:
         p = self.p
         if p >= len(self.bits):
-            self._at_end()
+            self._advance()  # raises at segment end; else p < len(bits)
+            p = self.p
         self.p = p + 1
         return self.bits[p]
 
@@ -200,7 +226,14 @@ class _BitReader:
         p = self.p
         bits = self.bits
         if p + n > len(bits):
-            self._at_end()
+            if self._base + p + n > self._nbits:
+                self._end()
+            # window boundary: accumulate via read_bit (refills as it
+            # goes; correct for any window size)
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
         v = 0
         for b in bits[p : p + n]:
             v = (v << 1) | b
@@ -229,8 +262,13 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
     code, length = 0, 0
     while length < 16:
         if p >= n:
+            # window boundary (refill and keep the partial code) or
+            # true segment end (_advance raises)
             reader.p = p
-            reader._at_end()
+            reader._advance()
+            bits = reader.bits
+            p = reader.p
+            n = len(bits)
         code = (code << 1) | bits[p]
         p += 1
         length += 1
@@ -585,10 +623,12 @@ def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
     try:
         for _mcu in range(n_mcus):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                if marker is None or not (0xD0 <= marker <= 0xD7):
+                if marker is None:
                     raise ValueError(
-                        f"expected RST marker, got 0xFF{(marker or 0):02X}"
+                        "truncated JPEG: entropy stream ended, expected RST marker"
                     )
+                if not (0xD0 <= marker <= 0xD7):
+                    raise ValueError(f"expected RST marker, got 0xFF{marker:02X}")
                 buf, mpos, marker = _destuff_to_marker(data, mpos + 2)
                 bi = bb = 0
                 for cid in pred:
