@@ -291,3 +291,49 @@ def test_linear_scoring_twin_matches_pipeline_transform(spark, etl_setup):
         got_nan["prediction"].to_numpy(), want_nan["prediction"].to_numpy(),
         rtol=1e-9, atol=1e-9,
     )
+
+
+def test_ml_scoring_registry_oracle_parity_with_nan_values(spark, tmp_path):
+    """r9 ADVICE: the testdata generators emit no NaNs, so the
+    NaN-vs-NULL twin divergence in the ML scoring entries was latent —
+    DuckDB's COALESCE(NaN, 0) = NaN (NaN is not NULL) while the Spark
+    side imputes. Inject NaN readings into a synthetic events table and
+    replay BOTH registry entries against their own DuckDB oracles; the
+    ISNAN/nanvl guards make the twins hash-identical."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import compare
+    from turbine_maintenance_etl_spark.queries import REGISTRY
+    import turbine_maintenance_etl_spark.queries_ext  # noqa: F401
+
+    n = 400
+    idx = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "event_id": idx,
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(idx, unit="s"),
+            "user_id": (idx * 7) % 101,
+            "event_type": ["view"] * n,
+            # NaN rows deliberately overlap and miss the entries'
+            # NULL-injection moduli (11 and 13)
+            "value": np.where(idx % 7 == 3, np.nan, idx * 0.5 - 20.0),
+            "props": ["{}"] * n,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    try:
+        for name in ("ml_mlp_forward_scoring", "ml_linear_scoring"):
+            q = REGISTRY[name]
+            spark_pdf = q.fn(spark, str(tmp_path)).toPandas()
+            assert not spark_pdf["predicted_rul"].isna().any()
+            duck_pdf = con.execute(q.oracle).df()
+            problems = compare(spark_pdf, duck_pdf, name)
+            assert not problems, "\n".join(problems)
+    finally:
+        con.close()

@@ -1311,7 +1311,8 @@ _ML_LR_INTERCEPT = 42.25
     f"""
     WITH src AS (
         SELECT event_id,
-               CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS x1,
+               CASE WHEN event_id % 13 = 0 OR ISNAN(value) THEN NULL
+                    ELSE value END AS x1,
                CAST(user_id % 97 AS DOUBLE) AS x2,
                CAST(event_id % 53 AS DOUBLE) AS x3
         FROM events),
@@ -1407,7 +1408,7 @@ def _mlp_oracle_sql() -> str:
     return f"""
     WITH src AS (
         SELECT event_id,
-               CASE WHEN event_id % 11 = 0 THEN NULL
+               CASE WHEN event_id % 11 = 0 OR ISNAN(value) THEN NULL
                     ELSE CAST(FLOOR(value) AS DOUBLE) END AS x1,
                CAST(user_id % 19 AS DOUBLE) AS x2,
                CAST(event_id % 23 AS DOUBLE) AS x3
@@ -1447,10 +1448,17 @@ def ml_mlp_forward_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     mlp.scale_ = np.ones(3)
     mlp.feature_cols_ = ["x1", "x2", "x3"]
 
+    # nanvl maps a NaN reading to NULL BEFORE floor, mirroring the
+    # oracle's ISNAN branch — without it a NaN survives DuckDB's
+    # COALESCE (NaN is not NULL) while the UDF imputes it, diverging
+    # the twin (same SQL-NULL-vs-NaN pitfall as ml/pipeline.py:279)
     e = _t(spark, sf_dir, "events").select(
         "event_id",
         F.when(F.col("event_id") % 11 == 0, None)
-        .otherwise(F.floor("value").cast("double"))
+        .otherwise(
+            F.floor(F.nanvl(F.col("value"), F.lit(None).cast("double")))
+            .cast("double")
+        )
         .alias("x1"),
         (F.col("user_id") % 19).cast("double").alias("x2"),
         (F.col("event_id") % 23).cast("double").alias("x3"),
