@@ -201,3 +201,36 @@ def test_invalid_lossless_streams_rejected():
         encode_jpeg_lossless(px, predictor=8)
     with pytest.raises(ValueError, match="exceed"):
         encode_jpeg_lossless(np.full((4, 4), 300, np.uint16), precision=8)
+
+
+def test_dri_mid_row_restart_frozen_fixture():
+    """r9 ADVICE (low): lock the H.1.2.1 restart-origin interop
+    interpretation against a FROZEN byte-level stream, so the encoder
+    and decoder cannot co-drift to a different reading. The fixture is
+    a 5x7 predictor-4 SOF3 stream with restart_interval=4 — every RSTn
+    lands mid-row — generated once by the from-scratch independent
+    encoder above and embedded literally. Interpretation chosen (and
+    documented at llm/jpeg.py _lossless_predict): after an RSTn, the
+    interval's first sample predicts 2^(P-Pt-1) and the REMAINDER of
+    that interval's first line uses the 1-D predictor Ra; third-party
+    encoders that keep 2-D prediction after a mid-row restart would
+    produce a different byte stream for these samples."""
+    px = np.array(
+        [
+            [81, 190, 0, 65, 184, 70, 133],
+            [202, 146, 161, 175, 69, 185, 209],
+            [189, 96, 202, 196, 4, 155, 38],
+            [15, 20, 186, 50, 86, 165, 214],
+            [42, 168, 63, 148, 129, 221, 87],
+        ],
+        dtype=np.uint8,
+    )
+    blob = bytes.fromhex(
+        "ffd8ffc3000b080005000701011100ffc4002400000000000011000000000000"
+        "00000000000102030405060708090a0b0c0d0e0f10ffdd00040004ffda000801"
+        "01000400001901f690823c1fffd01b81c68df8fe7fffd11642789c395fffd21b"
+        "9170210cd7ffd31e506483f225ff00ffd41d290a23e21bcfffd51d88d20f3c6c"
+        "7fffd61d48ff00872c3d5fffd7063dc21e7fffd9"
+    )
+    assert np.array_equal(decode_jpeg_pixels_native(blob)[:, :, 0], px)
+    assert encode_jpeg_lossless(px[:, :, None], 8, 4, 0, 4) == blob

@@ -1627,7 +1627,19 @@ def _lossless_predict(rec, y, x, psel, default, rs=(0, 0)):
     interval's first sample predicts 2^(P-Pt-1); the remainder of the
     interval's first line uses the 1-D predictor Ra; every later line
     uses Rb at the start of the line and the selected predictor
-    elsewhere."""
+    elsewhere.
+
+    Interop note (r9 advice): T.81 is ambiguous about a restart landing
+    MID-row — some third-party encoders keep the 2-D predictor for the
+    rest of that row and only special-case the restart sample itself.
+    This codec commits to the reading above (restart == start-of-scan,
+    applied to the whole remainder of the interval's first line),
+    symmetrically in encoder and decoder; the interpretation is locked
+    by a frozen byte-level fixture
+    (tests/test_jpeg_lossless.py::test_dri_mid_row_restart_frozen_fixture)
+    and an independent from-scratch encoder differential. Streams from
+    encoders using the other reading decode without error but with
+    different samples after each mid-row RSTn."""
     ry, rx = rs
     if y == ry and x == rx:
         return default
