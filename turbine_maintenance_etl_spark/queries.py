@@ -151,6 +151,11 @@ PRIORITY_ORDER: list[str] = [
     "quality_sb3_perplexity",
     "s_acid_table_restore",
     "dedup_audio_fingerprint",
+    # -- r10: UD4 persistence closed with a full oracle (r9 verdict item
+    # -- 3) — save/load the fitted Imputer→Scaler→LR pipeline and score
+    # -- through the LOADED model, exact-design training so the DuckDB
+    # -- twin replays the arithmetic value-for-value
+    "ml_pipeline_persistence_scoring",
     # -- then the round-8 session-2 swap-outs (same standing)
     "quality_psi_drift",
     "text_tfidf_top_terms",

@@ -1468,3 +1468,105 @@ def ml_mlp_forward_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.greatest(F.col("prediction"), F.lit(0.0)).cast("bigint").alias("predicted_rul"),
     )
+
+
+# exact-design constants for the UD4 persistence entry: intercept and
+# coefficients are multiples of 2^-4 (so every true prediction has <= 4
+# decimal digits and ROUND(x, 4) is the identity — solver noise ~1e-13
+# can never flip a rounding boundary 5e-5 away); feature offsets/scales
+# are dyadic so training means/stds are EXACTLY the chosen values
+_UD4_INTERCEPT = 5.1875
+_UD4_COEFS = (0.8125, -1.5625, 2.25)
+_UD4_MEANS = (8.25, -3.5, 100.0)
+_UD4_SCALES = (0.5, 0.25, 2.0)
+# per-feature standardized training columns: each a permutation of
+# (-1,-1,0,1,1), so mean = offset exactly and SAMPLE stddev = scale
+# exactly (sum of squared devs = 4 = n-1); jointly full-rank with the
+# intercept column, so the zero-residual OLS fit recovers the
+# generating weights
+_UD4_ZDESIGN = (
+    (-1, -1, 0, 1, 1),
+    (1, -1, 1, 0, -1),
+    (0, 1, -1, 1, -1),
+)
+
+
+@register(
+    "ml_pipeline_persistence_scoring",
+    f"""
+    WITH src AS (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE CAST(event_id % 9 AS DOUBLE) - 4 END AS k1,
+               CAST(user_id % 7 AS DOUBLE) - 3 AS k2,
+               CAST(event_id % 5 AS DOUBLE) - 2 AS k3
+        FROM events)
+    SELECT event_id,
+           ROUND(GREATEST({_UD4_INTERCEPT!r}
+               + {_UD4_COEFS[0]!r} * COALESCE(k1, 0.0)
+               + ({_UD4_COEFS[1]!r}) * k2
+               + {_UD4_COEFS[2]!r} * k3, 0.0), 4) AS predicted_rul
+    FROM src
+    """,
+)
+def ml_pipeline_persistence_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 model persistence, driver-graded end to end (r9 verdict item
+    3): fit the full Imputer(median) → VectorAssembler → StandardScaler
+    → LinearRegression pipeline, ``write().save()`` it, ``PipelineModel
+    .load()`` it back, and score events through the LOADED model's real
+    ``transform`` + clamp — the reference's pickle→load→predict chain
+    (scripts/ml_pipeline.py:600-630) re-expressed as MLlib persistence.
+
+    The oracle can replay the arithmetic because the training set is an
+    EXACT DESIGN: 5 rows built so the scaler stats are the chosen
+    dyadics and the zero-residual OLS solution is the frozen dyadic
+    weights, making every true prediction a multiple of 2^-4 (ROUND 4dp
+    identity; the fitted weights carry ~1e-15 solver noise, orders of
+    magnitude inside the rounding margin). NULL injection (event_id %
+    13) exercises the loaded Imputer's surrogate; the clamp hits ~17%
+    of rows. Plan shape at 100 TB: training/persistence are bounded
+    driver-side artifacts; scoring is ONE narrow JVM map over the
+    events scan — no shuffle, no Python."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    from turbine_maintenance_etl_spark.ml.pipeline import (
+        clamp_predictions,
+        make_pipeline,
+    )
+
+    rows = []
+    for i in range(5):
+        k = tuple(z[i] for z in _UD4_ZDESIGN)
+        rows.append(
+            tuple(m + d * kj for m, d, kj in zip(_UD4_MEANS, _UD4_SCALES, k))
+            + (_UD4_INTERCEPT + sum(c * kj for c, kj in zip(_UD4_COEFS, k)),)
+        )
+    train = spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, rul double"
+    )
+    model = make_pipeline(["x1", "x2", "x3"]).fit(train)
+    path = tempfile.mkdtemp(prefix="ud4_pipeline_")
+    try:
+        model.write().overwrite().save(path)
+        loaded = PipelineModel.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+    k1 = F.when(F.col("event_id") % 13 == 0, None).otherwise(
+        (F.col("event_id") % 9).cast("double") - 4
+    )
+    k2 = (F.col("user_id") % 7).cast("double") - 3
+    k3 = (F.col("event_id") % 5).cast("double") - 2
+    scoring = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.lit(_UD4_MEANS[0]) + F.lit(_UD4_SCALES[0]) * k1).alias("x1"),
+        (F.lit(_UD4_MEANS[1]) + F.lit(_UD4_SCALES[1]) * k2).alias("x2"),
+        (F.lit(_UD4_MEANS[2]) + F.lit(_UD4_SCALES[2]) * k3).alias("x3"),
+    )
+    scored = clamp_predictions(loaded.transform(scoring))
+    return scored.select(
+        "event_id", F.round(F.col("prediction"), 4).alias("predicted_rul")
+    )
