@@ -146,6 +146,14 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+# Decode-side canvas bound: a GIF's logical screen is declared in the
+# header, so an adversarial 4-byte field could demand a multi-GB canvas
+# before any data-length check can object. 2^26 pixels (8192x8192, a
+# ~200 MB RGB canvas plus compositing copies) is far beyond any real
+# GIF while keeping per-task decode memory bounded at corpus scale.
+MAX_CANVAS_PIXELS = 1 << 26
+
+
 def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     """Decode every frame of a GIF, composited over the logical screen
     per the disposal methods, to (h, w, 3) uint8 RGB arrays."""
@@ -161,6 +169,17 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
         pos += 3 * n
     if width == 0 or height == 0:
         raise ValueError("zero-dimension GIF")
+    if width * height > MAX_CANVAS_PIXELS:
+        # the canvas is allocated from the 4 header bytes alone, BEFORE
+        # any pixel data exists to justify it — without this cap a
+        # ~200-byte stream declaring a 65535x65535 logical screen
+        # allocates ~12 GB and spends ~a minute compositing per decode
+        # task (found by the r10 corrupted-stream fuzz; an executor-OOM
+        # DoS on untrusted corpora)
+        raise ValueError(
+            f"GIF logical screen {width}x{height} exceeds the "
+            f"{MAX_CANVAS_PIXELS}-pixel decode cap"
+        )
 
     # The logical screen starts TRANSPARENT in every modern renderer
     # (GIF89a's background color is a legacy field browsers ignore);

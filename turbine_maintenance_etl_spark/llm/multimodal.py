@@ -44,22 +44,38 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
     return _full(data)
 
 
+# Exception types a corrupted stream may surface from the from-spec
+# codecs that are NOT in the operators' poison-pill catch list — the
+# dispatch boundary converts them to ValueError so one flipped byte in
+# untrusted media can never kill an executor task (r9 verdict item 5;
+# the corrupted-stream fuzz in tests/test_multimodal_fuzz.py found
+# IndexError escaping a truncated GIF image descriptor). Valid-stream
+# correctness is pinned separately by the codec oracles/differentials,
+# so this cannot mask a wrong-pixels bug — only re-tag a crash.
+_CORRUPT_STREAM_ERRORS = (IndexError, KeyError, EOFError, OverflowError)
+
+
 def decode_image_pixels(data: bytes) -> np.ndarray:
     """Format-dispatching image decode to (h, w, channels) uint8:
     full PNG (llm/png.py), the complete JPEG family (llm/jpeg.py +
     llm/jpeg_arith.py), and GIF (llm/gif.py — first composited
     frame). Anything else raises NotImplementedError, which every
-    decode operator already maps to a tagged poison-pill row."""
-    if data.startswith(_PNG_SIG):
-        return decode_png_pixels(data)
-    if data[:2] == b"\xff\xd8":
-        from turbine_maintenance_etl_spark.llm.jpeg import decode_jpeg_pixels
+    decode operator already maps to a tagged poison-pill row.
+    Corrupted streams raise ValueError (non-pill exception types are
+    converted here, at the dispatch boundary)."""
+    try:
+        if data.startswith(_PNG_SIG):
+            return decode_png_pixels(data)
+        if data[:2] == b"\xff\xd8":
+            from turbine_maintenance_etl_spark.llm.jpeg import decode_jpeg_pixels
 
-        return decode_jpeg_pixels(data)
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        from turbine_maintenance_etl_spark.llm.gif import decode_gif_pixels
+            return decode_jpeg_pixels(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from turbine_maintenance_etl_spark.llm.gif import decode_gif_pixels
 
-        return decode_gif_pixels(data)
+            return decode_gif_pixels(data)
+    except _CORRUPT_STREAM_ERRORS as e:
+        raise ValueError(f"corrupt image stream: {type(e).__name__}: {e}") from e
     raise NotImplementedError("unsupported image format (PNG/JPEG/GIF available)")
 
 
@@ -184,24 +200,29 @@ def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         # crafted/corrupt headers must raise ValueError (caught by the
         # poison-pill path), never divide by zero downstream
         raise ValueError(f"bad WAV header: channels={n_channels} rate={sample_rate}")
-    if audio_fmt == 0x11 and bits == 4:
-        from .adpcm import decode_ima_blocks
+    try:
+        if audio_fmt == 0x11 and bits == 4:
+            from .adpcm import decode_ima_blocks
 
-        pcm = decode_ima_blocks(raw, n_channels, block_align, n_fact)
-        return pcm.astype(np.float32) / 32768.0, sample_rate
-    if audio_fmt == 0x02 and bits == 4:  # MS ADPCM
-        from .adpcm import decode_ms_blocks
+            pcm = decode_ima_blocks(raw, n_channels, block_align, n_fact)
+            return pcm.astype(np.float32) / 32768.0, sample_rate
+        if audio_fmt == 0x02 and bits == 4:  # MS ADPCM
+            from .adpcm import decode_ms_blocks
 
-        pcm = decode_ms_blocks(raw, n_channels, block_align, n_fact)
-        return pcm.astype(np.float32) / 32768.0, sample_rate
-    if audio_fmt in (0x06, 0x07) and bits == 8:  # G.711 A-law / µ-law
-        from .g711 import decode_g711
+            pcm = decode_ms_blocks(raw, n_channels, block_align, n_fact)
+            return pcm.astype(np.float32) / 32768.0, sample_rate
+        if audio_fmt in (0x06, 0x07) and bits == 8:  # G.711 A-law / µ-law
+            from .g711 import decode_g711
 
-        x = decode_g711(raw, ulaw=audio_fmt == 0x07).astype(np.float32) / 32768.0
-        n_frames = len(x) // n_channels
-        if n_fact is not None:
-            n_frames = min(n_frames, n_fact)
-        return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+            x = decode_g711(raw, ulaw=audio_fmt == 0x07).astype(np.float32) / 32768.0
+            n_frames = len(x) // n_channels
+            if n_fact is not None:
+                n_frames = min(n_frames, n_fact)
+            return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+    except _CORRUPT_STREAM_ERRORS as e:
+        # same boundary conversion as decode_image_pixels: corrupted
+        # block/table state must pill, never crash the task
+        raise ValueError(f"corrupt WAV stream: {type(e).__name__}: {e}") from e
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} unsupported")
     if bits == 16:
