@@ -223,3 +223,57 @@ def test_header_dimension_extremes_pill_fast():
     wv[k + 20 : k + 22] = struct.pack("<H", 0xFFFF)
     with pytest.raises(AUDIO_PILL):
         decode_wav_samples(bytes(wv))
+
+
+# ---- AVI container (llm/avi.py) — the pill is (ValueError,
+# struct.error), per explode_avi_frames' catch list
+
+AVI_PILL = (ValueError, struct.error)
+
+
+def _avi_blobs() -> list[bytes]:
+    from turbine_maintenance_etl_spark.llm.avi import encode_avi_mjpeg
+    from turbine_maintenance_etl_spark.llm.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(5)
+    frames = [
+        bytes(
+            encode_jpeg_lossless(
+                rng.integers(0, 256, (8, 9, 1)).astype(np.uint8), 8
+            )
+        )
+        for _ in range(4)
+    ]
+    return [encode_avi_mjpeg(frames, 9, 8, fps=5)]
+
+
+AVI_BLOBS = _avi_blobs()
+
+
+@settings(max_examples=250, deadline=3000)
+@given(mode=st.integers(0, 3), seed=st.integers(0, 2**31 - 1))
+def test_corrupted_avi_streams_never_escape_the_pill(mode, seed):
+    from turbine_maintenance_etl_spark.llm.avi import decode_avi_frames
+
+    rng = np.random.default_rng(seed)
+    data = _corrupt(AVI_BLOBS[0], mode, rng)
+    try:
+        frames = decode_avi_frames(data)
+        assert frames and all(isinstance(f, bytes) for f in frames)
+    except AVI_PILL:
+        pass
+
+
+def test_deeply_nested_avi_lists_decode_iteratively():
+    """r10 fuzz finding: the recursive LIST walk let a crafted 24 KB
+    stream (one LIST per ~12 bytes) blow the interpreter recursion
+    limit — RecursionError is not in the pill and killed the task. The
+    explicit-stack walk must handle arbitrary nesting in linear time."""
+    from turbine_maintenance_etl_spark.llm.avi import decode_avi_frames
+
+    inner = b"00dc" + struct.pack("<I", 2) + b"ab"
+    payload = inner
+    for _ in range(50_000):
+        payload = b"LIST" + struct.pack("<I", 4 + len(payload)) + b"xxxx" + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"AVI " + payload
+    assert decode_avi_frames(blob) == [b"ab"]

@@ -72,7 +72,14 @@ def decode_avi_frames(data: bytes) -> list[bytes]:
     end = min(len(data), 8 + riff_size)
     frames: list[bytes] = []
 
-    def walk(pos: int, stop: int) -> None:
+    # explicit-stack walk: the previous recursive version let a crafted
+    # ~12-bytes-per-level nested-LIST stream (a 24 KB blob suffices)
+    # blow the interpreter recursion limit — RecursionError is not in
+    # the poison-pill catch list, so it killed the task instead of
+    # pilling (found by the r10 corrupted-stream fuzz)
+    stack: list[tuple[int, int]] = [(12, end)]
+    while stack:
+        pos, stop = stack.pop()
         while pos + 8 <= stop:
             cid = data[pos : pos + 4]
             (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -80,12 +87,16 @@ def decode_avi_frames(data: bytes) -> list[bytes]:
             if body + sz > stop:
                 raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
-                walk(body + 4, body + sz)
-            elif cid in (b"00dc", b"00db"):
+                # resume the current level after the sublist; LIST
+                # bodies nest, so sublist frames still append in
+                # stream order (the sublist is walked before the
+                # remainder of this level)
+                stack.append((body + sz + (sz & 1), stop))
+                pos, stop = body + 4, body + sz
+                continue
+            if cid in (b"00dc", b"00db"):
                 frames.append(bytes(data[body : body + sz]))
             pos = body + sz + (sz & 1)
-
-    walk(12, end)
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames
