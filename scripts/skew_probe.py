@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -88,14 +87,9 @@ def build_skewed_documents(spark, sf_dir: str, out_dir: str, reps: int) -> None:
     out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
 
-def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
-    best = float("inf")
-    for _ in range(runs):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+# one timing protocol for every probe — a local copy would silently
+# diverge from scale_probe's published numbers (r10 review)
+from scripts.scale_probe import time_query  # noqa: E402
 
 
 def main() -> None:

@@ -201,7 +201,7 @@ def test_header_dimension_extremes_pill_fast():
     t0 = time.time()
     with pytest.raises(ValueError, match="decode cap"):
         decode_image_pixels(bytes(gf))
-    assert time.time() - t0 < 0.5
+    assert time.time() - t0 < 5.0  # was ~55s pre-cap; generous for loaded hosts
     # JPEG SOF dims 65535x65535
     jb = bytearray(IMAGE_BLOBS[0])
     i = jb.find(b"\xff\xc0")
@@ -209,14 +209,14 @@ def test_header_dimension_extremes_pill_fast():
     t0 = time.time()
     with pytest.raises(IMAGE_PILL):
         decode_image_pixels(bytes(jb))
-    assert time.time() - t0 < 2.0
+    assert time.time() - t0 < 10.0
     # PNG IHDR dims 2^31-1 square
     png = bytearray(IMAGE_BLOBS[6])
     png[16:24] = struct.pack(">II", 0x7FFFFFFF, 0x7FFFFFFF)
     t0 = time.time()
     with pytest.raises(IMAGE_PILL):
         decode_image_pixels(bytes(png))
-    assert time.time() - t0 < 2.0
+    assert time.time() - t0 < 10.0
     # ADPCM block_align 65535 with a short data chunk
     wv = bytearray(AUDIO_BLOBS[3])
     k = wv.find(b"fmt ")
@@ -277,3 +277,71 @@ def test_deeply_nested_avi_lists_decode_iteratively():
         payload = b"LIST" + struct.pack("<I", 4 + len(payload)) + b"xxxx" + payload
     blob = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"AVI " + payload
     assert decode_avi_frames(blob) == [b"ab"]
+
+
+def test_retained_frames_and_zip_bomb_caps():
+    """r10 review findings beyond the header caps: (a) a GIF animation
+    retains a full canvas copy per frame, so frame COUNT multiplies the
+    canvas cost — the retained-total cap must trip, and the production
+    single-image path (decode_gif_pixels) must decode only frame 1 of a
+    long animation; (b) PNG IDAT inflates up to ~1000x, so decompress
+    must be bounded by the header-derived payload size."""
+    from turbine_maintenance_etl_spark.llm.gif import (
+        MAX_TOTAL_PIXELS,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    idx = np.zeros((64, 64), dtype=np.uint8)
+    many = encode_gif([idx] * 40, pal)
+    # 40 composited 64x64 frames decode fine (well under the cap)...
+    assert len(decode_gif_frames(many)) == 40
+    # ...but the single-image path stops after ONE frame
+    assert decode_image_pixels(many).shape == (64, 64, 3)
+    assert len(decode_gif_frames(many, max_frames=1)) == 1
+    # retained-total cap: screen at the canvas cap x 5 frames overflows
+    # MAX_TOTAL_PIXELS on frame 5; frames are 1x1 so the stream is tiny
+    big = encode_gif(
+        [np.zeros((1, 1), dtype=np.uint8)] * 5, pal, width=8192, height=8192
+    )
+    with pytest.raises(ValueError, match="retained-decode cap"):
+        decode_gif_frames(big)
+    assert MAX_TOTAL_PIXELS // (8192 * 8192) == 4  # cap geometry the test relies on
+    # ...while the single-image consumer is untouched by animation length
+    assert decode_image_pixels(big).shape == (8192, 8192, 3)
+
+    # PNG zip bomb: 16M-pixel gray image of zeros compresses to ~16 KB;
+    # corrupt the IHDR to declare a LEGAL small size — the bounded
+    # decompress must not inflate the full 16 MB before failing
+    from turbine_maintenance_etl_spark.llm.png import encode_png_extended
+
+    bomb_src = encode_png_extended(np.zeros((4096, 4096), dtype=np.uint8), color=0)
+    assert len(bomb_src) < 100_000
+    hacked = bytearray(bomb_src)
+    hacked[16:24] = struct.pack(">II", 16, 16)  # declared 16x16
+    import resource, time as _t
+
+    t0 = _t.time()
+    peak0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(IMAGE_PILL):
+        decode_image_pixels(bytes(hacked))
+    assert _t.time() - t0 < 5.0
+    # inflating only expected+1 bytes: no multi-MB spike
+    assert resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - peak0 < 8 * 1024
+
+
+def test_jpeg_and_png_dimension_caps():
+    from turbine_maintenance_etl_spark.llm.jpeg import MAX_FRAME_PIXELS
+    from turbine_maintenance_etl_spark.llm.png import MAX_IMAGE_PIXELS
+
+    jb = bytearray(IMAGE_BLOBS[0])
+    i = jb.find(b"\xff\xc0")
+    jb[i + 5 : i + 9] = struct.pack(">HH", 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_image_pixels(bytes(jb))
+    png = bytearray(IMAGE_BLOBS[6])
+    png[16:24] = struct.pack(">II", 1 << 16, 1 << 16)
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_image_pixels(bytes(png))
+    assert MAX_FRAME_PIXELS == MAX_IMAGE_PIXELS == 1 << 26

@@ -153,10 +153,30 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 # GIF while keeping per-task decode memory bounded at corpus scale.
 MAX_CANVAS_PIXELS = 1 << 26
 
+# Total RETAINED pixels across all composited frames of one decode
+# (r10 review finding): frames are full canvas copies, so animation
+# length multiplies the canvas cost. 2^28 pixels (~768 MB of RGB across
+# all frames — e.g. 4 cap-sized frames, or thousands of ordinary ones)
+# bounds per-task decode memory independent of how many 1-pixel frames
+# a crafted stream packs into its sub-blocks.
+MAX_TOTAL_PIXELS = 1 << 28
 
-def decode_gif_frames(data: bytes) -> list[np.ndarray]:
-    """Decode every frame of a GIF, composited over the logical screen
-    per the disposal methods, to (h, w, 3) uint8 RGB arrays."""
+
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Decode the first ``max_frames`` frames of a GIF (all when None),
+    composited over the logical screen per the disposal methods, to
+    (h, w, 3) uint8 RGB arrays.
+
+    Retained-memory bound (r10 review finding): each decoded frame is a
+    FULL canvas copy, so total retention is frames x canvas — a ~15 KB
+    stream declaring a cap-sized screen with hundreds of 1x1 frames
+    would retain ~100 GB even though every single canvas is inside
+    MAX_CANVAS_PIXELS. Decodes whose cumulative retained pixels would
+    exceed MAX_TOTAL_PIXELS raise ValueError; single-image consumers
+    pass ``max_frames=1`` (decode_gif_pixels) and stop paying for
+    animation length entirely."""
     if len(data) < 13 or data[:6] not in (_SIG87, _SIG89):
         raise ValueError("not a GIF byte stream")
     width, height = struct.unpack("<HH", data[6:10])
@@ -265,7 +285,14 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
             keep = grid == transparent
             region = np.where(keep[:, :, None], prev_region, region)
         canvas[top : top + fh, left : left + fw] = region
+        if (len(frames) + 1) * width * height > MAX_TOTAL_PIXELS:
+            raise ValueError(
+                f"GIF animation exceeds the {MAX_TOTAL_PIXELS}-pixel "
+                f"retained-decode cap at frame {len(frames) + 1}"
+            )
         frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if disposal == 2:  # restore bg (transparent when declared)
             canvas[top : top + fh, left : left + fw] = (
                 0 if transparent is not None else bg_fill
@@ -281,8 +308,9 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
 
 def decode_gif_pixels(data: bytes) -> np.ndarray:
     """First composited frame as (h, w, 3) uint8 — the single-image
-    contract the feature/phash pipeline consumes."""
-    return decode_gif_frames(data)[0]
+    contract the feature/phash pipeline consumes. Stops decoding after
+    frame 1, so a crafted thousand-frame animation costs one frame."""
+    return decode_gif_frames(data, max_frames=1)[0]
 
 
 # ------------------------------------------------------------ encode

@@ -308,6 +308,16 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     return px
 
 
+# Decode-side frame bound (r10 review; same class as the GIF canvas
+# cap): every dense array in the decode — the progressive coefficient
+# store, phase-2 float64 dequant/IDCT batches, the assembled planes —
+# is sized from the SOF's unverified h/w fields. 2^26 pixels
+# (8192x8192) bounds per-task decode memory at corpus scale; a decoder
+# for trusted gigapixel imagery would raise it, a curation pass over
+# untrusted corpora should not.
+MAX_FRAME_PIXELS = 1 << 26
+
+
 def _frame_precision(data: bytes) -> int:
     """Sample precision from the SOFn header (cheap re-parse)."""
     pos = 2
@@ -408,6 +418,16 @@ def _decode_markers(data: bytes) -> np.ndarray:
             # SOF0 baseline / SOF1 extended / SOF2 progressive (Huffman)
             # SOF3 lossless / SOF9 ext-sequential / SOF10 prog (arithmetic)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if h * w > MAX_FRAME_PIXELS:
+                # the coefficient store / phase-2 float64 planes are
+                # sized from these 4 unverified header bytes — the same
+                # header-declared-allocation DoS class as the GIF canvas
+                # cap (r10 review): a crafted 65535x65535 SOF implies a
+                # ~34 GB dense coefficient materialization
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds the "
+                    f"{MAX_FRAME_PIXELS}-pixel decode cap"
+                )
             if marker == 0xC3:
                 lossless = True
                 if not (2 <= prec <= 16):

@@ -52,7 +52,19 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
 # IndexError escaping a truncated GIF image descriptor). Valid-stream
 # correctness is pinned separately by the codec oracles/differentials,
 # so this cannot mask a wrong-pixels bug — only re-tag a crash.
-_CORRUPT_STREAM_ERRORS = (IndexError, KeyError, EOFError, OverflowError)
+# MemoryError and RecursionError are included (r10 review): the decode
+# caps bound header-DECLARED allocations, but a refusal can still
+# surface as numpy's MemoryError subclass under a tight executor
+# cgroup, and both raise cleanly BEFORE state is corrupted — pilling
+# the row beats failing the task 4 retries in a row.
+_CORRUPT_STREAM_ERRORS = (
+    IndexError,
+    KeyError,
+    EOFError,
+    OverflowError,
+    MemoryError,
+    RecursionError,
+)
 
 
 def decode_image_pixels(data: bytes) -> np.ndarray:

@@ -109,6 +109,12 @@ def _extract_samples(lines: np.ndarray, width: int, depth: int,
     return (b * weights).sum(axis=2, dtype=np.uint16)
 
 
+# Decode-side pixel bound (r10 review; same class as the GIF canvas and
+# JPEG frame caps): 2^26 pixels (8192x8192) bounds per-task decode
+# memory on untrusted corpora.
+MAX_IMAGE_PIXELS = 1 << 26
+
+
 def decode_png_pixels(data: bytes) -> np.ndarray:
     """Decode any legal still-image PNG to (height, width, channels)
     uint8 (grey -> 1, grey+alpha -> 2, RGB/palette -> 3, RGBA or
@@ -147,9 +153,38 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
+    if width * height > MAX_IMAGE_PIXELS:
+        # the ADAM7 canvas (np.zeros below) and every scanline array
+        # are sized from these 8 unverified header bytes — same
+        # header-declared-allocation DoS class as the GIF/JPEG caps
+        # (r10 review)
+        raise ValueError(
+            f"PNG {width}x{height} exceeds the "
+            f"{MAX_IMAGE_PIXELS}-pixel decode cap"
+        )
     spp = _SPP[color]
     bpp = max(1, spp * depth // 8)
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+
+    def pass_payload(pw: int, ph: int) -> int:
+        return ph * ((pw * spp * depth + 7) // 8 + 1) if pw > 0 and ph > 0 else 0
+
+    if interlace == 0:
+        expected = pass_payload(width, height)
+    else:
+        expected = sum(
+            pass_payload((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        )
+    # bounded inflate (r10 review): zlib expands up to ~1000x, so a
+    # 1 MB IDAT of zeros is a ~1 GB allocation if decompressed blindly.
+    # The exact payload size is derivable from the header; ask for at
+    # most expected+1 bytes — an oversized stream yields exactly one
+    # extra byte and fails the same size-mismatch check as before,
+    # without ever materializing the bomb.
+    raw = np.frombuffer(
+        zlib.decompressobj().decompress(bytes(idat), expected + 1),
+        dtype=np.uint8,
+    )
 
     def subimage(off: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
         rowbytes = (pw * spp * depth + 7) // 8
