@@ -312,7 +312,7 @@ def test_quadratic_kernels_guarded(spark):
         F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
     )
     q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="broadcast"):
         brute_force_topk(emb, q, max_queries=10)
     # forcing works
     assert brute_force_topk(emb, q.limit(3), max_queries=None).count() > 0

@@ -16,10 +16,11 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from turbine_maintenance_etl_spark.ops.materialize import barrier
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from turbine_maintenance_etl_spark.ops.materialize import barrier
 
 from turbine_maintenance_etl_spark.llm.text import tokens_expr
 from turbine_maintenance_etl_spark.util import ensure_parallelism
@@ -229,7 +230,13 @@ def lsh_band_buckets(
     probe with ``incremental_lsh_candidates``. B rows of
     (int, 32-char hash) per document — ~300 bytes/doc at the defaults,
     independent of document size."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # bare assert vanishes under python -O and would silently drop
+        # the trailing signature slots, changing collision probability
+        # with no error (r10 review)
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
     rows = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
     return (
@@ -299,7 +306,6 @@ def incremental_lsh_candidates(
             # neither lineage re-executes — new_buckets is B rows/doc of
             # the BATCH, sizes is one row per distinct index bucket;
             # both bounded (the r7 minhash_lsh_candidates treatment).
-            from turbine_maintenance_etl_spark.ops.materialize import barrier
 
             new_buckets = barrier(new_buckets, "incr-lsh-new-buckets")
             sizes = barrier(sizes, "incr-lsh-bucket-sizes")
@@ -359,7 +365,13 @@ def minhash_lsh_candidates(
     timestamps, which exact-dedup cannot absorb) still collapses to one
     survivor instead of silently passing uncapped through a
     candidate-level dedup chain."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # bare assert vanishes under python -O and would silently drop
+        # the trailing signature slots, changing collision probability
+        # with no error (r10 review)
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
     if saturated_policy not in ("skip", "representative"):
         raise ValueError(
             f"saturated_policy must be 'skip' or 'representative', "
@@ -375,14 +387,27 @@ def minhash_lsh_candidates(
         # framing above), so materializing it is bounded and exactly
         # what a production deployment stores anyway. Measured r7:
         # split_cluster_aware 4.0 -> ~3.1s warm at sf0.1.
-        from turbine_maintenance_etl_spark.ops.materialize import barrier
 
         buckets = barrier(buckets, "lsh-buckets")
-    grouped = buckets.groupBy("band", "bh").agg(
+    # The cap must exclude over-cap buckets BEFORE collect_list builds
+    # the array (r10 review): a single aggregation key's buffer cannot
+    # spill, so filtering on F.size AFTER the agg still materialized
+    # the multi-million-element mega-bucket array it was documented to
+    # prevent. The window count hash-partitions on the SAME (band, bh)
+    # key as the groupBy, so it rides one shuffle — over-cap rows are
+    # dropped row-wise and the collect_list buffer is bounded by the
+    # cap by construction.
+    to_group = buckets
+    if max_bucket_size is not None:
+        w_sz = Window.partitionBy("band", "bh")
+        to_group = (
+            buckets.withColumn("_bsz", F.count("*").over(w_sz))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    grouped = to_group.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     # expand each bucket's id list into its (i < j) combinations
     ids = F.col("ids")
     pairs = F.flatten(
@@ -444,7 +469,13 @@ def minhash_lsh_bucket_stats(
     max_bucket_size observed, n_capped_buckets, n_docs_in_capped.
     A nonzero capped count means near-100%-duplicate boilerplate the
     exact-dedup pass should have removed first."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # bare assert vanishes under python -O and would silently drop
+        # the trailing signature slots, changing collision probability
+        # with no error (r10 review)
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
     sizes = (
         lsh_band_buckets(df, num_hashes, bands, n, text_col, id_col, seed)
         .groupBy("band", "bh")
@@ -843,7 +874,6 @@ def remove_duplicated_spans(
     # duplicated tokens only — a small fraction of the corpus by the
     # time a curation chain runs this, so the checkpoint is bounded by
     # the duplication mass, not the corpus.
-    from turbine_maintenance_etl_spark.ops.materialize import barrier
 
     removed = barrier(
         _coverage(marked).join(_coverage(canonical), [id_col, "idx"], "anti"),

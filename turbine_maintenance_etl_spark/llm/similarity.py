@@ -112,15 +112,7 @@ def brute_force_topk(
     (small by contract) query side. Pass ``max_queries=None`` to skip
     the guard in controlled benchmarks.
     """
-    if max_queries is not None:
-        n_q = queries.count()
-        if n_q > max_queries:
-            raise ValueError(
-                f"brute_force_topk got {n_q} query vectors (> {max_queries}): "
-                "this operator is the O(Q*N) exact baseline — use "
-                "lsh_bucketed_topk or ivf_topk for large query sets, or pass "
-                "max_queries=None to force it"
-            )
+    _guard_query_count(queries, max_queries, "brute_force_topk")
     # per-row norms ride the join as columns (computed BEFORE the
     # broadcast hint so the hinted subtree carries them): the per-pair
     # cosine then pays ONE O(dim) interpreted aggregate (the dot
@@ -194,6 +186,24 @@ def inverted_index_topk(
     chunk with its own document.
     """
     _guard_query_count(queries, max_queries, "inverted_index_topk")
+
+    def _int_weight(w: Column) -> Column:
+        # loud integer contract (r10 review): a silent cast('bigint')
+        # truncated float weights (0.7 -> 0), returning empty/wrong
+        # results for callers passing normalized vectors; raise at
+        # execution instead
+        return F.when(w == F.floor(w), w.cast("bigint")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "inverted_index_topk requires integer weights "
+                        "(hashing encoder with normalize=False); got "
+                    ),
+                    w.cast("string"),
+                )
+            )
+        )
+
     q_extra = [F.col(group_col).alias("_qg")] if group_col else []
     c_extra = [F.col(group_col).alias("_cg")] if group_col else []
     q = F.broadcast(
@@ -204,7 +214,7 @@ def inverted_index_topk(
         .select(
             query_id_col,
             "_comp",
-            F.col("_w").cast("bigint").alias("_qw"),
+            _int_weight(F.col("_w")).alias("_qw"),
             *(["_qg"] if group_col else []),
         )
     )
@@ -216,13 +226,20 @@ def inverted_index_topk(
             *c_extra,
         )
         .filter(F.col("_w") != 0.0)
-        .withColumn("_cw", F.col("_w").cast("bigint"))
+        .withColumn("_cw", _int_weight(F.col("_w")))
     )
-    joined = c.join(q, "_comp")
+    # the id self-match filter applies ALWAYS (r10 review: with
+    # group_col it was skipped, so a row sharing the query's id but not
+    # its group came back as its own neighbor); the group exclusion is
+    # SQL <> semantics — a NULL group matches nothing and such rows are
+    # excluded from group-filtered retrieval, the same rows the DuckDB
+    # twin's <> drops (callers wanting NULL-group rows retrievable
+    # should coalesce a sentinel group first)
+    joined = c.join(q, "_comp").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
     if group_col:
         joined = joined.filter(F.col("_cg") != F.col("_qg"))
-    else:
-        joined = joined.filter(F.col("neighbor_id") != F.col(query_id_col))
     scored = (
         joined.groupBy(query_id_col, "neighbor_id")
         .agg(F.sum(F.col("_qw") * F.col("_cw")).alias("score"))
@@ -914,9 +931,17 @@ def fit_pq(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub, ksub = dim // m, 1 << nbits
+    # _nonzero_vectors (r10 review): the scoring side filters NULL and
+    # zero-norm vectors, so the trainer must too — a vector with a NULL
+    # ELEMENT passes isNotNull but crashes np.array on the driver, and
+    # zero-norm vectors would pull centroids toward a population the
+    # encoder never scores (same filter ivf_topk/fit_pq_sampled use)
     X = _collect_train_sample(
-        ensure_parallelism(candidates).select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+        _nonzero_vectors(
+            ensure_parallelism(candidates).select(
+                F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+            ),
+            "_v",
         ),
         id_col,
         "_v",
@@ -1126,6 +1151,9 @@ def pq_topk(
     ~64x smaller index. Recall < 1 from quantization error; raise
     m/nbits for recall, lower for compression. Deterministic; rows-only
     registry check (iterative k-means), recall pinned in pytest."""
+    # guard BEFORE training (r10 review): an oversized query set must
+    # raise before the sample collect + m k-means fits are paid for
+    _guard_query_count(queries, max_queries, "pq_topk")
     if codebooks is None:
         codebooks = fit_pq(
             candidates, dim, m=m, nbits=nbits, seed=seed,
@@ -1153,10 +1181,13 @@ def pq_topk(
 
     _recon.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     recon_udf = pandas_udf("array<double>")(_recon)
-    _guard_query_count(queries, max_queries, "pq_topk")
+    # ensure_parallelism (r10 review): the Arrow encode/reconstruct pass
+    # is the hot numpy kernel — a single-row-group parquet input would
+    # otherwise pin it to one core (every sibling topk already wraps
+    # its candidate side)
     enc = (
         _nonzero_vectors(
-            candidates.select(
+            ensure_parallelism(candidates).select(
                 F.col(id_col).alias("neighbor_id"),
                 as_double_array(F.col(vec_col)).alias("_cv"),
             ),
@@ -1301,6 +1332,17 @@ def ivfpq_topk(
         )
     centers = np.array(index[0], dtype=np.float64)  # (C, dim)
     books = np.array(index[1], dtype=np.float64)  # (m, k, dsub)
+    # derive the PQ geometry from the index ITSELF (r10 review): a
+    # prebuilt index trained with a different m than this call's
+    # argument would otherwise reshape residuals with the wrong
+    # (m, dsub) and crash the Arrow UDF with an opaque broadcast error
+    # (pq_topk already derives mm/ksub/dsub from books.shape)
+    m, _ksub, dsub = (int(x) for x in books.shape)
+    if m * dsub != centers.shape[1]:
+        raise ValueError(
+            f"IVF-PQ index geometry mismatch: codebooks imply dim "
+            f"{m * dsub}, centroids have dim {centers.shape[1]}"
+        )
 
     bc = candidates.sparkSession.sparkContext.broadcast((centers, books))
     centroids = [[float(x) for x in ctr] for ctr in centers]
@@ -1510,6 +1552,15 @@ def ivfpq_sampled_topk(
     n_c = len(centroids)
     centers = np.array(centroids, dtype=np.float64)  # (C, dim)
     books = np.array(books_l, dtype=np.float64)  # (m, ksub, dsub)
+    # derive m/dsub from the index itself — a prebuilt index with a
+    # different m than this call's argument must not mis-reshape the
+    # residuals (r10 review; same fix as ivfpq_topk)
+    m, _ksub, dsub = (int(x) for x in books.shape)
+    if m * dsub != centers.shape[1]:
+        raise ValueError(
+            f"IVF-PQ index geometry mismatch: codebooks imply dim "
+            f"{m * dsub}, centroids have dim {centers.shape[1]}"
+        )
     bc = candidates.sparkSession.sparkContext.broadcast((centers, books))
 
     c = _nonzero_vectors(
