@@ -1379,15 +1379,16 @@ def test_row_tiebreak_hash_map_entry_order_insensitive(spark):
     assert h_other != h_fwd
 
 
-def test_curation_index_pin_excl_and_midwrite_retry(spark, tmp_path):
-    """Round-7 advice: the pin is now O_CREAT|O_EXCL (check+write is one
-    atomic unit — two processors with DIFFERENT configs racing a fresh
-    index can no longer both pass the missing-sidecar check), and a
-    reader that lands while the winner is mid-write retries briefly
-    instead of failing on incomplete JSON."""
+def test_curation_index_pin_appears_only_complete(spark, tmp_path):
+    """r10 review (supersedes the round-7 O_EXCL+mid-write-retry
+    protocol): the pin is temp-file + fsync + link(2), so the sidecar
+    only ever APPEARS fully written — no mid-write window exists for a
+    reader to retry through, and a crash can no longer strand an empty
+    sidecar that bricks every later processor. A complete matching pin
+    proceeds; a corrupt sidecar (the legacy torn state) fails LOUDLY
+    instead of being silently trusted or spun on."""
+    import glob as _glob
     import json as _json
-    import threading
-    import time as _time
 
     from turbine_maintenance_etl_spark.streaming.ingest import (
         make_curation_batch_processor,
@@ -1397,27 +1398,26 @@ def test_curation_index_pin_excl_and_midwrite_retry(spark, tmp_path):
     idx = str(tmp_path / "index")
     os.makedirs(idx, exist_ok=True)
     p = os.path.join(idx, "_lsh_config.json")
-    # simulate a winner caught mid-write: sidecar exists but is empty
-    fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.close(fd)
-
-    def _finish_write():
-        _time.sleep(0.3)
-        with open(p, "w") as f:
-            _json.dump({"num_hashes": 32, "bands": 8, "n": 3}, f)
-
-    t = threading.Thread(target=_finish_write)
-    t.start()
+    # a pre-existing COMPLETE pin with the winner's config
+    with open(p, "w") as f:
+        _json.dump({"num_hashes": 32, "bands": 8, "n": 3}, f)
     text = (
         "the quick brown fox jumps over the lazy dog and then the dog "
         "sleeps near the river bank for a long time on a warm day"
     )
     batch = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    # default processor config matches the winner's: must wait out the
-    # empty-file window and proceed
+    # matching config: proceeds under the existing pin
     make_curation_batch_processor(cur, idx, bands=8)(batch, 0)
-    t.join()
     assert acid.read_table(spark, idx).count() == 8
-    # and a mismatched config against the now-complete pin still refuses
+    # the pin protocol may not leave temp files behind
+    assert not _glob.glob(os.path.join(idx, "_lsh_config.*.tmp"))
+    # a mismatched config against the complete pin refuses
     with pytest.raises(ValueError, match="rebuilding the index"):
         make_curation_batch_processor(cur, idx, bands=4)(batch, 1)
+    # a corrupt (e.g. legacy-torn empty) sidecar fails loudly, never
+    # silently passes or spins: the new protocol cannot produce one, so
+    # its existence means external damage a human must look at
+    with open(p, "w"):
+        pass
+    with pytest.raises(_json.JSONDecodeError):
+        make_curation_batch_processor(cur, idx, bands=8)(batch, 2)

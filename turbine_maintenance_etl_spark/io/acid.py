@@ -49,6 +49,61 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifest"
 
 
+def _type_has_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _type_has_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_type_has_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _canon_maps(col, dt):
+    """Rewrite `col` so every map at any nesting depth carries its
+    entries key-sorted (as a sorted entries array — JSON-stable)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                _canon_maps(e["value"], dt.valueType).alias("value"),
+            ),
+        )
+        # comparator touches only keys (unique within a map), so
+        # map-typed VALUES never need to be orderable
+        return F.array_sort(
+            entries,
+            lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+            .when(a["key"] > b["key"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    if isinstance(dt, ArrayType) and _type_has_map(dt.elementType):
+        return F.transform(col, lambda e: _canon_maps(e, dt.elementType))
+    if isinstance(dt, StructType) and _type_has_map(dt):
+        return F.struct(
+            *[_canon_maps(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+    return col
+
+
+def value_tiebreak_hash(col, dt):
+    """Column-level tiebreak hash: ``xxhash64`` of the column, routed
+    through the key-sorted JSON canonicalization when (and only when)
+    the type contains a map — identical to the raw xxhash64 for
+    map-free types, and analysis-safe for map-bearing ones (xxhash64
+    raises for MapType). Shared by ``row_tiebreak_hash`` and
+    ``ops.asof.asof_join`` (r10 review) so the rule lives once."""
+    from pyspark.sql import functions as F
+
+    return F.xxhash64(F.to_json(_canon_maps(col, dt)) if _type_has_map(dt) else col)
+
+
 def row_tiebreak_hash(df: DataFrame):
     """Deterministic full-row hash for order tiebreaks in keyed merges.
 
@@ -65,48 +120,11 @@ def row_tiebreak_hash(df: DataFrame):
     Shared by merge_table / upsert_table / sinks.upsert_by_key so the
     tiebreak rule stays identical everywhere."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    def has_map(dt) -> bool:
-        if isinstance(dt, MapType):
-            return True
-        if isinstance(dt, ArrayType):
-            return has_map(dt.elementType)
-        if isinstance(dt, StructType):
-            return any(has_map(f.dataType) for f in dt.fields)
-        return False
-
-    def canon(col, dt):
-        """Rewrite `col` so every map at any nesting depth carries its
-        entries key-sorted (as a sorted entries array — JSON-stable)."""
-        if isinstance(dt, MapType):
-            entries = F.transform(
-                F.map_entries(col),
-                lambda e: F.struct(
-                    e["key"].alias("key"),
-                    canon(e["value"], dt.valueType).alias("value"),
-                ),
-            )
-            # comparator touches only keys (unique within a map), so
-            # map-typed VALUES never need to be orderable
-            return F.array_sort(
-                entries,
-                lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
-                .when(a["key"] > b["key"], F.lit(1))
-                .otherwise(F.lit(0)),
-            )
-        if isinstance(dt, ArrayType) and has_map(dt.elementType):
-            return F.transform(col, lambda e: canon(e, dt.elementType))
-        if isinstance(dt, StructType) and has_map(dt):
-            return F.struct(
-                *[canon(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
-            )
-        return col
 
     return F.xxhash64(
         *[
-            F.to_json(canon(F.col(f.name), f.dataType))
-            if has_map(f.dataType)
+            F.to_json(_canon_maps(F.col(f.name), f.dataType))
+            if _type_has_map(f.dataType)
             else F.col(f.name)
             for f in df.schema.fields
         ]
@@ -562,16 +580,21 @@ def merge_table(
                     F.min(key0).alias("lo"),
                     F.max(key0).alias("hi"),
                     F.count(F.lit(1)).alias("n"),
+                    F.count(key0).alias("nk"),
                 ).collect()[0]
             b = probe["row"]
             lo, hi = _stat_val(b["lo"]), _stat_val(b["hi"])
             if b["n"] == 0:  # empty incoming batch: the merge is a no-op
                 return list(base.dirs)
-            if lo is None or hi is None:
+            if lo is None or hi is None or b["nk"] < b["n"]:
                 # rows exist but key bounds are unusable (all-NULL key,
-                # or a type the stat normalizer can't order): pruning
-                # would silently DROP the batch — full rewrite instead,
-                # matching the no-stats path's semantics
+                # or a type the stat normalizer can't order), OR the
+                # batch MIXES NULL and non-NULL keys (nk < n — r10
+                # review): min/max say nothing about NULL keys, so a
+                # carried dir's stale NULL-key row would survive next to
+                # the batch's newer one, diverging from the full-rewrite
+                # path's latest-wins dedup. Full rewrite in all three
+                # cases, matching the no-stats path's semantics.
                 touched, carried = list(base.dirs), []
             else:
                 touched, carried = _touched_closure(base, lo, hi)

@@ -137,8 +137,13 @@ def upsert_by_key(
     )
     # materialize BEFORE overwriting: the plan reads the same path it is
     # about to replace, and a lazy scan racing the delete would corrupt
-    # the table (localCheckpoint pins the merged rows to executor disk)
-    latest = latest.localCheckpoint(eager=True)
+    # the table. Routed through barrier() (r10 review): in reliable
+    # mode an executor lost mid-overwrite would otherwise make the
+    # localCheckpointed rows unrecomputable AFTER the source files are
+    # already deleted — the one place that lineage cut can lose data.
+    from turbine_maintenance_etl_spark.ops.materialize import barrier
+
+    latest = barrier(latest, tag="upsert-latest")
     writer = latest.write.mode("overwrite")
     if partition_cols:
         # per-writer dynamic overwrite: relying on the SESSION conf means

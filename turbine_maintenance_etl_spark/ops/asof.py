@@ -94,8 +94,18 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
     # third key: content hash of the right struct — duplicate right rows
     # at one (key, ts) resolve to the max-hash row on every run/replan
-    # instead of whichever the sort happened to emit last
-    order = [F.col("_ts").asc(), F.col("_side").asc(), F.xxhash64("_rv").asc()]
+    # instead of whichever the sort happened to emit last. Hash via the
+    # shared map-safe tiebreak (r10 review): raw xxhash64 raises
+    # AnalysisException when a value column contains a MapType —
+    # identical hash for map-free schemas, JSON-canonicalized otherwise.
+    from turbine_maintenance_etl_spark.io.acid import value_tiebreak_hash
+
+    rv_type = unioned.schema["_rv"].dataType
+    order = [
+        F.col("_ts").asc(),
+        F.col("_side").asc(),
+        value_tiebreak_hash(F.col("_rv"), rv_type).asc(),
+    ]
     if tie_break:
         order.append(F.col(tie_break).asc_nulls_first())
     w = (

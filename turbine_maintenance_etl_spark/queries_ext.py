@@ -1115,7 +1115,7 @@ def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN value < 200 THEN 2
                     WHEN value < 400 THEN 3
                     ELSE 4 END AS bin
-        FROM events WHERE value IS NOT NULL),
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
     eb AS (SELECT bin, COUNT(*) AS n_e FROM binned WHERE side = 0 GROUP BY bin),
     ab AS (SELECT bin, COUNT(*) AS n_a FROM binned WHERE side = 1 GROUP BY bin),
     te AS (SELECT COUNT(*) AS t FROM binned WHERE side = 0),

@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from turbine_maintenance_etl_spark.ops.materialize import barrier
 from turbine_maintenance_etl_spark.schema.cmapss import CMAPSS_COLS, _INT_COLS
 
 
@@ -31,10 +32,14 @@ def _parse_cmapss_lines(raw: DataFrame) -> DataFrame:
     cols = []
     for i, name in enumerate(CMAPSS_COLS):
         # same coerce-to-NULL recipe as io.cmapss: double try_cast (holds
-        # under ANSI-on), then truncate for int columns
+        # under ANSI-on), then try_cast-truncate for int columns — a
+        # plain cast diverged from the batch parser (r10 review): under
+        # ANSI a NaN/Infinity/overflow token CRASHED the micro-batch,
+        # and without ANSI it silently emitted 0/2147483647 where the
+        # batch source yields NULL
         num = F.try_element_at(arr, F.lit(i + 1)).try_cast("double")
         if name in _INT_COLS:
-            num = num.cast("int")
+            num = num.try_cast("int")
         cols.append(num.alias(name))
     return raw.where(F.trim(F.col("value")) != "").select(*cols)
 
@@ -47,6 +52,7 @@ def stream_cmapss_ingest(
     sensors: list[str],
     windows: tuple[int, ...] = (5, 20),
     dataset: str = "STREAM",
+    timeout_s: int = 600,
 ) -> None:
     """Incrementally ingest CMAPSS text files landing in ``input_dir``:
     parse → feature engine → write to partitioned parquet, exactly once
@@ -83,7 +89,10 @@ def stream_cmapss_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded drain like every other availableNow driver here: an
+    # untimed awaitTermination hangs the caller forever if the drain
+    # wedges (r10 review)
+    _await_drained(q, timeout_s)
 
 
 def stream_tumbling_event_counts(
@@ -164,6 +173,7 @@ def stream_upsert_sink(
     checkpoint_path: str,
     keys: tuple[str, ...],
     order_col: str,
+    timeout_s: int = 600,
 ) -> None:
     """Streaming ingest into a keyed parquet table: each micro-batch
     MERGEs via upsert_by_key (latest ``order_col`` wins), so replayed or
@@ -181,7 +191,7 @@ def stream_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_drained(q, timeout_s)
 
 
 def stream_stream_interval_join(
@@ -286,6 +296,7 @@ def stream_incremental_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = 1000,
+    timeout_s: int = 600,
 ) -> None:
     """Streaming ingest dedup: each micro-batch of arriving documents is
     MinHash-signed and probed against the STATIC corpus LSH index
@@ -329,7 +340,7 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_drained(q, timeout_s)
 
 
 def stream_user_totals_v2(events: DataFrame) -> DataFrame:
@@ -390,6 +401,7 @@ def stream_acid_upsert_sink(
     checkpoint_path: str,
     keys: tuple[str, ...],
     order_col: str,
+    timeout_s: int = 600,
 ) -> None:
     """Streaming ingest into the TRANSACTIONAL table (io/acid.py):
     each micro-batch MERGEs via ``acid.merge_table`` — the same
@@ -416,7 +428,7 @@ def stream_acid_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_drained(q, timeout_s)
 
 
 def make_curation_batch_processor(
@@ -507,32 +519,33 @@ def make_curation_batch_processor(
                 )
 
         os.makedirs(index_path, exist_ok=True)
-        # O_CREAT|O_EXCL makes check+write one atomic unit: exactly one
-        # of N concurrent processors pins its config; everyone else
-        # (concurrent losers AND later processors) lands in
-        # FileExistsError, re-reads, and validates against the winner.
-        # A check-then-os.replace race could let two DIFFERENT configs
-        # both pass the missing-sidecar check and interleave band rows
-        # under incompatible signatures (round-7 advice).
-        try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # the winner may still be mid-write: retry briefly on
-            # incomplete JSON before treating the sidecar as corrupt
-            import time as _time
+        # Atomic claim-WITH-content (r10 review): write the JSON to a
+        # unique temp file, fsync, then hard-link it to the sidecar
+        # name. link(2) is the same winner-picks-one primitive as
+        # O_CREAT|O_EXCL (exactly one of N concurrent processors pins
+        # its config; losers land in FileExistsError, re-read, and
+        # validate against the winner — a check-then-replace race could
+        # let two DIFFERENT configs both pass, round-7 advice), but the
+        # sidecar only ever APPEARS fully written: the previous
+        # O_EXCL-then-write protocol had a crash window between
+        # creating the empty file and dumping the JSON that left an
+        # empty sidecar no later processor could heal — the stream was
+        # bricked until a human deleted it (same temp+link pattern as
+        # the acid commit protocol).
+        from uuid import uuid4
 
-            for attempt in range(50):
-                try:
-                    with open(p) as f:
-                        _check(_json.load(f))
-                    return
-                except (_json.JSONDecodeError, FileNotFoundError):
-                    if attempt == 49:
-                        raise
-                    _time.sleep(0.05)
-        else:
-            with os.fdopen(fd, "w") as f:
-                _json.dump(cfg, f)
+        tmp = os.path.join(index_path, f"_lsh_config.{uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(cfg, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            with open(p) as f:
+                _check(_json.load(f))
+        finally:
+            os.unlink(tmp)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window
@@ -564,8 +577,11 @@ def make_curation_batch_processor(
         )
         # batch-local barrier: `kept` feeds the in-batch LSH, the index
         # probe, AND the surviving-row merge — the multi-consumer case
-        # the measured localCheckpoint rule says to materialize
-        kept = kept.localCheckpoint(eager=True)
+        # the measured materialization rule says to pin. Routed through
+        # barrier() (r10 review) so a preemptible fleet's
+        # SPARK_GRAFT_CHECKPOINT_MODE=reliable is honored here too — a
+        # raw localCheckpoint silently ignored the deployment mode.
+        kept = barrier(kept, tag="curation-kept")
         in_pairs = minhash_lsh_candidates(
             kept, max_bucket_size=max_bucket_size,
             saturated_policy="representative", **lsh_kw
@@ -583,7 +599,7 @@ def make_curation_batch_processor(
                 id_col,
                 "left_anti",
             )
-        survivors = kept.localCheckpoint(eager=True)
+        survivors = barrier(kept, tag="curation-survivors")
         if not survivors.take(1):
             return
         # keyed merges, not appends: replay-idempotent (see docstring);
