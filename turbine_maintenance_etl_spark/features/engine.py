@@ -25,7 +25,7 @@ The unified output resolves the reference's dbt-vs-Python column split
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from turbine_maintenance_etl_spark.schema.cmapss import sensor_columns
@@ -45,21 +45,34 @@ def constant_columns(df: DataFrame, candidates: list[str]) -> list[str]:
     ignored) is exactly ``nunique(dropna=True) <= 1``."""
     if not candidates:
         return []
+    from pyspark.sql.types import DoubleType, FloatType
+
+    def _nan_dropped(c: str):
+        # dropna parity for float columns (r10 review): pandas nunique
+        # (dropna=True) DROPS NaN, but Spark's min/max rank it greatest,
+        # so {5.0, NaN} read as two values (mn=5.0, mx=NaN) and a
+        # one-real-value-plus-NaN sensor was kept where the reference
+        # drops it. Nullifying NaN up front makes min/max skip it
+        # exactly like NULL.
+        if isinstance(df.schema[c].dataType, (FloatType, DoubleType)):
+            return F.when(~F.isnan(c), F.col(c))
+        return F.col(c)
+
     aggs = []
     for c in candidates:
+        v = _nan_dropped(c)
         aggs += [
-            F.min(c).alias(f"_mn_{c}"),
-            F.max(c).alias(f"_mx_{c}"),
-            F.count(c).alias(f"_n_{c}"),
+            F.min(v).alias(f"_mn_{c}"),
+            F.max(v).alias(f"_mx_{c}"),
+            F.count(v).alias(f"_n_{c}"),
         ]
     row = df.agg(*aggs).collect()[0]
 
     def _const(c: str) -> bool:
-        if row[f"_n_{c}"] == 0:
-            return True
-        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
-        # NaN != NaN: an all-NaN column is one distinct value
-        return mn == mx or (mn != mn and mx != mx)
+        # count==0: all values were NULL or NaN -> nunique(dropna)==0
+        # mn==mx: one distinct non-NaN value (None==None covers the
+        # impossible-by-construction residue)
+        return row[f"_n_{c}"] == 0 or row[f"_mn_{c}"] == row[f"_mx_{c}"]
 
     return [c for c in candidates if _const(c)]
 
@@ -98,13 +111,19 @@ def variable_sensor_intersection(dfs: dict[str, DataFrame]) -> list[str]:
     return sorted(kept or [], key=lambda c: int(c.removeprefix("sensor")))
 
 
+def rul_expr(order_col: str, over) -> Column:
+    """The single RUL definition (per-partition max cycle minus current
+    cycle, int) shared by ``add_rul`` and ``build_features`` — one
+    place to change if the semantics ever move (r10 review: the
+    expression previously lived in both, free to drift)."""
+    return (F.max(order_col).over(over) - F.col(order_col)).cast("int")
+
+
 def add_rul(df: DataFrame, partition_cols: tuple[str, ...] = ("dataset", "unit_nr")) -> DataFrame:
     """W1: remaining useful life = per-unit max cycle minus current cycle
     (scripts/etl_turbofan.py:22-24; fct_cycles_features.sql:23-26)."""
     w = Window.partitionBy(*partition_cols)
-    return df.withColumn(
-        "rul", (F.max("time_cycles").over(w) - F.col("time_cycles")).cast("int")
-    )
+    return df.withColumn("rul", rul_expr("time_cycles", w))
 
 
 def build_features(
@@ -129,7 +148,7 @@ def build_features(
     unbounded = Window.partitionBy(*partition_cols)
 
     exprs: list = [F.col(c) for c in df.columns if include_settings or not c.startswith("setting")]
-    exprs.append((F.max(order_col).over(unbounded) - F.col(order_col)).cast("int").alias("rul"))
+    exprs.append(rul_expr(order_col, unbounded).alias("rul"))
     for c in sensors:
         for wlen in windows:
             exprs.append(

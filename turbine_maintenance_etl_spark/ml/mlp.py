@@ -71,6 +71,15 @@ class NumpyMLPRegressor:
             .limit(self.max_train_rows)
             .collect()
         )
+        if not rows:
+            # dropna() emptied the input (one always-NULL sensor
+            # suffices): without this the shape math below dies in a
+            # cryptic numpy IndexError (r10 review)
+            raise ValueError(
+                "no complete training rows: every input row has at least "
+                "one NULL/NaN feature or label, so dropna() removed them "
+                "all — check the feature columns for dead sensors"
+            )
         X = np.array([[r[c] for c in feature_cols] for r in rows], dtype=np.float64)
         y = np.array([r[label_col] for r in rows], dtype=np.float64)
         self.feature_cols_ = list(feature_cols)
@@ -130,6 +139,7 @@ class NumpyMLPRegressor:
                         / (np.sqrt(vb[i] / (1 - b2**t)) + eps)
                     )
         self.weights_, self.biases_ = W, b
+        self._bc = None  # refit invalidates the cached weight broadcast
         return self
 
     # -- distributed scoring --------------------------------------------
@@ -154,13 +164,20 @@ class NumpyMLPRegressor:
 
         if self.weights_ is None:
             raise ValueError("fit() first")
-        model = (
-            [w.copy() for w in self.weights_],
-            [x.copy() for x in self.biases_],
-            self.mean_.copy(),
-            self.scale_.copy(),
-        )
-        bc = df.sparkSession.sparkContext.broadcast(model)
+        # ONE broadcast per fitted model, cached on the instance (r10
+        # review): a scoring loop calling transform() per batch/dataset
+        # otherwise pins a fresh copy of the full weight set on the
+        # driver and every executor PER CALL for the session's lifetime
+        # — a steady leak. fit() invalidates the cache.
+        if getattr(self, "_bc", None) is None:
+            model = (
+                [w.copy() for w in self.weights_],
+                [x.copy() for x in self.biases_],
+                self.mean_.copy(),
+                self.scale_.copy(),
+            )
+            self._bc = df.sparkSession.sparkContext.broadcast(model)
+        bc = self._bc
         hidden_n = len(self.weights_)
 
         def _score(feats: pd.Series) -> pd.Series:

@@ -107,14 +107,23 @@ def make_pipeline(feature_cols: list[str], model_name: str = "linear_regression"
 
 
 def evaluate(predictions: DataFrame, label_col: str = "rul") -> dict[str, float]:
-    """RMSE / MAE / R² (reference metrics, scripts/ml_pipeline.py:287-289)."""
-    out = {}
-    for metric in ("rmse", "mae", "r2"):
-        ev = RegressionEvaluator(
-            labelCol=label_col, predictionCol="prediction", metricName=metric
-        )
-        out[metric] = ev.evaluate(predictions)
-    return out
+    """RMSE / MAE / R² (reference metrics, scripts/ml_pipeline.py:287-289).
+
+    The predictions frame is persisted across the three evaluator
+    passes (r10 review): it usually arrives LAZY — the full
+    Imputer→Assembler→Scaler→model scoring lineage — and each
+    RegressionEvaluator.evaluate is its own job, so un-persisted the
+    ensemble scores three times for one metric dict."""
+    pred = predictions.persist()
+    try:
+        return {
+            metric: RegressionEvaluator(
+                labelCol=label_col, predictionCol="prediction", metricName=metric
+            ).evaluate(pred)
+            for metric in ("rmse", "mae", "r2")
+        }
+    finally:
+        pred.unpersist()
 
 
 def clamp_predictions(predictions: DataFrame) -> DataFrame:
@@ -280,6 +289,22 @@ def frozen_linear_scores(
     # median ignores it and coalesce imputes it — without this the twin
     # would emit NaN predictions where model.transform imputes (the
     # same SQL-NULL-vs-NaN pitfall ml/mlp.py:171 documents)
+    clash = [
+        n
+        for c in feature_cols
+        for n in (f"_imp_{c}", f"_med_{c}", f"_avg_{c}", f"_std_{c}")
+        if n in df.columns
+    ] + ([out_col] if out_col in df.columns else [])
+    if clash:
+        # withColumns would silently OVERWRITE them and the final
+        # select would return the overwritten data under the caller's
+        # column name (r10 review; same loud-guard rule as
+        # ops.rank._RESERVED)
+        raise ValueError(
+            f"input already has reserved scoring column(s) {clash[:4]}; "
+            "frozen_linear_scores uses _imp_/_med_/_avg_/_std_ working "
+            "prefixes and writes out_col — rename them"
+        )
     null_d = F.lit(None).cast("double")
     src = {c: F.nanvl(F.col(c).cast("double"), null_d) for c in feature_cols}
     work = df

@@ -129,6 +129,10 @@ def _merge_into_state(
     if state is None:
         return partials
     merge_exprs = [_MERGES[fn](out).alias(out) for out, (fn, _) in aggs.items()]
+    if not merge_exprs:
+        # splice-only refresh: both sides are bare key frames; the merge
+        # is their distinct union (agg() with zero exprs asserts)
+        return state.unionByName(partials).distinct()
     return state.unionByName(partials).groupBy(*keys).agg(*merge_exprs)
 
 
@@ -312,15 +316,27 @@ def refresh_agg_from_cdf(
     exprs = []
     for out, (fn, col) in fold_aggs.items():
         if fn == "count":
-            exprs.append(
-                F.sum(F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0)))
-                .alias(out)
+            # ('count', '*') counts ROWS — the spec partial_agg_exprs /
+            # merge_incremental_agg already accept; F.col('*').isNotNull()
+            # is an AnalysisException, not a row count (r10 review)
+            per_row = (
+                sign
+                if col == "*"
+                else F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
             )
+            exprs.append(F.sum(per_row).alias(out))
         elif fn == "sum":
             exprs.append(F.sum(F.col(col) * sign).alias(out))
         else:  # min/max/approx_distinct on an insert-only window
             exprs.append(_PARTIALS[fn](col).alias(out))
-    partials = ch.groupBy(*keys).agg(*exprs)
+    if exprs:
+        partials = ch.groupBy(*keys).agg(*exprs)
+    else:
+        # every agg is a spliced min/max (delete window, recompute
+        # policy): the fold's only contribution is the GROUP UNIVERSE
+        # the window touched — groupBy().agg() with zero exprs is a
+        # pyspark assertion error, not an empty aggregate (r10 review)
+        partials = ch.select(*keys).distinct()
     state_for_merge = (
         state.drop(*minmax_aggs) if splice_minmax and state is not None else state
     )

@@ -78,12 +78,22 @@ def stratified_exact_sample(
     bounded by the quota: the window's sort is top-n (rank ≤ n prunes
     via WindowGroupLimit), so a billion-row stratum costs a partial
     top-n per map task, not a full sort."""
+    from turbine_maintenance_etl_spark.io.acid import row_tiebreak_hash
+
     order = F.md5(
         F.concat(
             F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")), F.lit(salt)
         )
     )
-    w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(id_col).asc())
+    # content-hash third key (r10 review): duplicate or NULL ids give a
+    # FULL (md5, id) tie, and which twin crossed the quota boundary was
+    # partition-order-dependent. The hash only engages on those ties
+    # (unique-id inputs are byte-identical with or without it, which is
+    # what keeps the cross-engine oracle replayable); identical hash =
+    # identical rows = interchangeable.
+    w = Window.partitionBy(*strata_cols).orderBy(
+        order.asc(), F.col(id_col).asc(), row_tiebreak_hash(df).asc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_stratum)
@@ -131,15 +141,35 @@ def weighted_sample(
     (``ops.rank.keep_lowest_k`` on the negated key) — same selected
     set, no k-row funnel. The standard lever for quality-weighted
     corpus mixing at 100 TB."""
+    from turbine_maintenance_etl_spark.io.acid import row_tiebreak_hash
+
     u = (hash_bucket(F.col(id_col), buckets, salt).cast("double") + 0.5) / buckets
     key = F.log(u) / F.col(weight_col)
-    keyed = df.filter(F.col(weight_col) > 0).withColumn("_es_key", F.round(key, 10))
+    # NaN weights must be excluded WITH non-positive ones (r10 review):
+    # NaN > 0 is false in SQL so the filter already drops them — but a
+    # NaN that sneaks through a changed predicate would sort FIRST under
+    # desc and fill the whole sample. Make the exclusion explicit, and
+    # NaN-proof for float weight columns where `> 0` semantics differ
+    # by engine (Spark's NaN orders greatest; its comparison is false).
+    w_d = F.col(weight_col).cast("double")
+    keyed = df.filter((w_d > 0) & ~F.isnan(w_d)).withColumn(
+        "_es_key", F.round(key, 10)
+    )
+    # full tie order (r10 review): duplicate ids share u (same hash), so
+    # equal weights give a FULL (key, id) tie and which twin survived a
+    # boundary cut was partition-order-dependent; the struct appends a
+    # content hash so the order is total. Identical struct = identical
+    # rows = interchangeable. Same composite feeds BOTH branches, which
+    # keeps the documented same-selected-set equivalence exact.
+    keyed = keyed.withColumn("_es_tb", F.struct(F.col(id_col), row_tiebreak_hash(df)))
     if k <= driver_merge_threshold:
         return (
-            keyed.orderBy(F.desc("_es_key"), F.col(id_col))
+            keyed.orderBy(F.desc("_es_key"), F.col("_es_tb"))
             .limit(k)
-            .drop("_es_key")
+            .drop("_es_key", "_es_tb")
         )
     from turbine_maintenance_etl_spark.ops.rank import keep_lowest_k
 
-    return keep_lowest_k(keyed, -F.col("_es_key"), k, id_col).drop("_es_key")
+    return keep_lowest_k(keyed, -F.col("_es_key"), k, "_es_tb").drop(
+        "_es_key", "_es_tb"
+    )
