@@ -83,7 +83,11 @@ def embed_text(
     """(id, text, ...) -> (id, embedding array<float>): the encoder UDF
     surface. Selects only (id, text) BEFORE the Python boundary so Arrow
     never ships unused columns."""
-    schema = f"{id_col} long, embedding array<float>"
+    # id type DERIVED from the input (r10 review, same contract as
+    # pack.pack_sequences): a hardcoded `long` crashed the Arrow
+    # conversion for every corpus with string doc ids
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, embedding array<float>"
     src = df.select(id_col, text_col)
 
     def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -60,10 +60,14 @@ HASH_SPACE = 1 << 60
 def priority_hash(id_col: str | Column, salt: str = "mix") -> Column:
     """Deterministic 60-bit priority in [0, 2^60): md5 of the id plus a
     salt, so independent operators (mixture vs sharding) see
-    independent orderings of the same corpus."""
+    independent orderings of the same corpus. The hex→bigint fold is
+    ``dedup.md5_hash64`` (r10 review: one home for the portable 60-bit
+    contract — byte-identical input, so every stored priority and every
+    oracle replay is unchanged)."""
+    from turbine_maintenance_etl_spark.llm.dedup import md5_hash64
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    s = F.concat(c.cast("string"), F.lit("|" + salt))
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    return md5_hash64(F.concat(c.cast("string"), F.lit("|" + salt)))
 
 
 def _budgets_from_mass(
@@ -232,9 +236,17 @@ def sample_temperature_mixture_approx(
         F.sum("n_tokens").cast("double").alias("src_tokens")
     )
     budgets = _budgets_from_mass(per, token_budget, alpha, source_col)
-    frac = F.least(
-        F.col("token_budget").cast("double") / F.col("src_tokens"), F.lit(1.0)
-    )
+    # a ZERO-token source (all-empty/NULL text) must keep NOTHING (r10
+    # review): budget/0 is NULL under the ANSI-off session, F.least
+    # skips NULLs, and the unguarded frac read 1.0 — every empty doc of
+    # the source passed the cut while the exact sampler keeps zero,
+    # breaking the documented superset/subset relationship
+    frac = F.when(
+        F.col("src_tokens") > 0,
+        F.least(
+            F.col("token_budget").cast("double") / F.col("src_tokens"), F.lit(1.0)
+        ),
+    ).otherwise(F.lit(0.0))
     thresholds = budgets.select(
         source_col,
         (frac * F.lit(float(HASH_SPACE))).cast("bigint").alias("_cut"),

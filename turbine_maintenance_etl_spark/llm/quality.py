@@ -245,11 +245,15 @@ def fuzzy_decontamination(
         F.filter(F.col("_sh_d"), lambda x: F.array_contains(F.col("_sh_b"), x))
     )
     union = F.size("_sh_d") + F.size("_sh_b") - inter
-    jac = F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4)
+    # threshold on the EXACT ratio; round only the reported column (r10
+    # review): rounding first flagged pairs up to 5e-5 BELOW the
+    # threshold (0.19996 rounds to 0.2 >= 0.2) — decontaminate() then
+    # dropped documents the '>= threshold' contract says to keep
+    jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select(id_col, bench_id_col, "jaccard")
+        pairs.withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select(id_col, bench_id_col, F.round("_j", 4).alias("jaccard"))
     )
 
 
@@ -357,9 +361,16 @@ def segment_repetition_signals(
             frac(dup_chars, total_chars).alias("dup_seg_char_frac"),
         )
 
-    segs_expr = F.filter(
-        F.transform(F.split(F.col(text_col), sep_regex), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
+    # coalesce guard (r10 review, same rule as text.tokens_expr): NULL
+    # text must read as ZERO segments — un-coalesced, the NULL array
+    # reaches size() as legacy -1 under the ANSI-off session and the
+    # row reports n_segments = -1
+    segs_expr = F.coalesce(
+        F.filter(
+            F.transform(F.split(F.col(text_col), sep_regex), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        ),
+        F.array().cast("array<string>"),
     )
     s = bind_once(segs_expr, stats)
     return df.select(F.col(id_col), s.alias("_s")).select(id_col, "_s.*")

@@ -67,7 +67,10 @@ def bpe_ish_token_count_expr(text: Column | str) -> Column:
         F.split(F.regexp_replace(col, r"([^\sA-Za-z0-9]|\d+)", r" $1 "), r"\s+"),
         lambda x: x != F.lit(""),
     )
-    return F.size(pieces)
+    # same coalesce guard as tokens_expr (r10 review): NULL text must
+    # count 0 pieces, not legacy size(NULL) = -1 under the ANSI-off
+    # session — a -1 token count poisons every downstream sum/average
+    return F.size(F.coalesce(pieces, F.array().cast("array<string>")))
 
 
 def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -293,16 +296,26 @@ def chunk_documents(
         # drop tail starts whose window adds no new tokens (fully inside
         # the previous chunk's coverage)
         starts = F.filter(raw, lambda s: (s == 1) | (s + overlap <= F.size(t)))
-        return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, chunk_tokens)))
+        # chunk_tokens by SLICE GEOMETRY (r10 review): the count is
+        # min(chunk_tokens, n - s + 1) by construction, so re-splitting
+        # the rebuilt text (a second regexp pass per chunk on the
+        # corpus-wide hot path) computed a number we already had
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.concat_ws(" ", F.slice(t, s, chunk_tokens)).alias("text"),
+                F.least(F.lit(chunk_tokens), F.size(t) - s + 1).alias("n"),
+            ),
+        )
 
     chunks = bind_once(toks, windows)
     return df.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
     ).select(
         F.col(id_col),
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        "chunk_text",
-        token_count_expr(F.col("chunk_text")).alias("chunk_tokens"),
+        F.col("_c.text").alias("chunk_text"),
+        F.col("_c.n").alias("chunk_tokens"),
     )
 
 
@@ -318,15 +331,19 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     partial aggregates), then a ``stack`` melt of the single result row
     — no per-metric scans. All metrics are exact (no sketches), so the
     DuckDB oracle checks them value-for-value."""
-    q = add_quality_signals(df, text_col).withColumn(
-        "_h", F.md5(F.coalesce(F.col(text_col), F.lit("")))
-    )
+    # NULL text hashes to NULL (countDistinct skips it) and is counted
+    # per-doc below — matching dedup._content_key's doctrine ('NULL text
+    # is absent content, not shared content'): under the previous
+    # md5(coalesce(text, '')) a million failed-extraction NULL rows
+    # read as ONE distinct text and the card reported ~1.0 duplication
+    # for rows the pipeline's own exact_dedup would never drop
+    # (r10 review).
+    q = add_quality_signals(df, text_col).withColumn("_h", F.md5(F.col(text_col)))
     # diversity metrics only for columns the corpus actually carries —
     # the generic (df, text_col, id_col) signature must not crash on a
     # single-source crawl or a chunked frame without 'source'/'lang'
     diversity = [
-        F.countDistinct(c).cast("double").alias(f"n_{c}s"
-                                                if c != "lang" else "n_langs")
+        F.countDistinct(c).cast("double").alias(f"n_{c}s")
         for c in ("source", "lang")
         if c in df.columns
     ]
@@ -337,7 +354,12 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .alias("n_empty_docs"),
         F.sum("n_tokens").cast("double").alias("total_tokens"),
         F.avg("n_tokens").alias("mean_tokens_per_doc"),
-        F.countDistinct("_h").cast("double").alias("n_distinct_texts"),
+        (
+            F.countDistinct("_h")
+            + F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0))
+        )
+        .cast("double")
+        .alias("n_distinct_texts"),
         *diversity,
         F.avg("stopword_ratio").alias("mean_stopword_ratio"),
         F.avg("punct_ratio").alias("mean_punct_ratio"),

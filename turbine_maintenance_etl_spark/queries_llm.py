@@ -614,8 +614,9 @@ def text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
         SELECT doc_id, source, lang,
-               md5(COALESCE(text, '')) AS h,
-               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               md5(text) AS h,
+               COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')), 0)
                    AS n_tokens,
                text
         FROM documents
@@ -641,7 +642,9 @@ def text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_empty_docs,
                CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
                AVG(n_tokens) AS mean_tokens_per_doc,
-               CAST(COUNT(DISTINCT h) AS DOUBLE) AS n_distinct_texts,
+               CAST(COUNT(DISTINCT h)
+                    + SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n_distinct_texts,
                CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
                CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
                AVG(stopword_ratio) AS mean_stopword_ratio,
@@ -2789,13 +2792,14 @@ def _fuzzy_decon_oracle(
         FROM docb d JOIN benb b ON d.band = b.band AND d.bh = b.bh),
     verified AS (
         SELECT c.doc_id, c.bench_id,
-               ROUND(CAST({inter} AS DOUBLE)
-                     / NULLIF(CAST(len(ds.s) + len(bs.s) - {inter} AS DOUBLE), 0),
-                     4) AS jaccard
+               CAST({inter} AS DOUBLE)
+                   / NULLIF(CAST(len(ds.s) + len(bs.s) - {inter} AS DOUBLE), 0)
+                   AS j
         FROM cand c
         JOIN base ds ON ds.doc_id = c.doc_id
         JOIN base bs ON bs.doc_id = c.bench_id)
-    SELECT doc_id, bench_id, jaccard FROM verified WHERE jaccard >= {threshold}
+    SELECT doc_id, bench_id, ROUND(j, 4) AS jaccard
+    FROM verified WHERE j >= {threshold}
     """
 
 
