@@ -367,6 +367,22 @@ def test_cli_curate_split_and_table_sweep_rollup(spark, tmp_path):
         chunks.groupBy("doc_id").agg(F.countDistinct("split").alias("k"))
         .filter("k > 1").count() == 0
     )
+    # the packed artifact carries the split and never mixes splits in
+    # one training sequence (r10 review: packing before the split join
+    # interleaved eval chunks into train sequences with no way to
+    # filter them out)
+    packed = spark.read.parquet(f"{tmp_path}/cur/packed")
+    assert "split" in packed.columns
+    assert {r.split for r in packed.select("split").distinct().collect()} == {
+        "train", "eval"
+    }
+    mism = (
+        packed.select("doc_id", "chunk_id", F.col("split").alias("psplit"))
+        .join(chunks.select("doc_id", "chunk_id", "split"), ["doc_id", "chunk_id"])
+        .filter("psplit <> split")
+        .count()
+    )
+    assert mism == 0
 
     tbl = str(tmp_path / "tbl")
     df = spark.range(60).selectExpr("id", "id % 3 as k", "id * 10 as v")

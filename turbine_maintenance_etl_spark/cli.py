@@ -243,11 +243,17 @@ def main(argv: list[str] | None = None) -> int:
         n_raw = docs.count()
         if args.decontaminate:
             from turbine_maintenance_etl_spark.llm.quality import decontaminate
+            from turbine_maintenance_etl_spark.ops.materialize import barrier
 
             bench_docs = spark.read.parquet(args.decontaminate)
             docs = decontaminate(
                 docs, bench_docs, threshold=args.decon_threshold
             )
+            # materialize ONCE: the MinHash-LSH decon lineage feeds the
+            # curate chain, the shard join, the split assignment, AND
+            # the summary count — un-barriered it re-executed per
+            # consumer (r10 review)
+            docs = barrier(docs, "cli-decontaminated")
         if args.v3:
             chunks = curate_corpus_v3(
                 docs,
@@ -276,13 +282,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             chunks = chunks.withColumn("shard", F.lit("all"))
-        packed = pack_sequences(
-            chunks.select(
-                "shard", "doc_id", "chunk_id",
-                F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
-            ),
-            max_tokens=args.max_seq_tokens,
-        )
+        # split BEFORE packing (r10 review): packed/ is the train-ready
+        # artifact, so eval-cluster chunks packed into the same
+        # sequences as train chunks — with no split column to filter on
+        # — leaked the eval set into training. Packing groups on
+        # (shard, split) and the packed output carries `split`.
         if args.split_eval_pct is not None:
             from turbine_maintenance_etl_spark.llm.dedup import cluster_aware_split
 
@@ -290,6 +294,23 @@ def main(argv: list[str] | None = None) -> int:
                 docs, train_pct=100 - args.split_eval_pct
             ).select("doc_id", "split")
             chunks = chunks.join(splits, "doc_id")
+            pack_src = chunks.select(
+                F.concat_ws("\x1f", "shard", "split").alias("shard"),
+                "doc_id", "chunk_id",
+                F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+            )
+        else:
+            pack_src = chunks.select(
+                "shard", "doc_id", "chunk_id",
+                F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+            )
+        packed = pack_sequences(pack_src, max_tokens=args.max_seq_tokens)
+        if args.split_eval_pct is not None:
+            packed = packed.withColumn(
+                "split", F.split_part(F.col("shard"), F.lit("\x1f"), F.lit(2))
+            ).withColumn(
+                "shard", F.split_part(F.col("shard"), F.lit("\x1f"), F.lit(1))
+            )
         out_chunks = f"{args.output}/chunks"
         out_packed = f"{args.output}/packed"
         chunks.write.mode("overwrite").parquet(out_chunks)

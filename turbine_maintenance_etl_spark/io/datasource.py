@@ -44,7 +44,13 @@ def _parse_token(tok: str, as_int: bool):
         return None
     if v != v or v in (float("inf"), float("-inf")):  # NaN/inf -> NULL int
         return None if as_int else v
-    return int(v) if as_int else v
+    if as_int:
+        i = int(v)
+        # int32 range check (r10 review): the JVM path's try_cast('int')
+        # NULLs an overflowing token; an unchecked Python int here
+        # crashed the read task at IntegerType conversion instead
+        return i if -(1 << 31) <= i <= (1 << 31) - 1 else None
+    return v
 
 
 class _FilePartition(InputPartition):

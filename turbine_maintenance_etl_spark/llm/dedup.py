@@ -622,6 +622,21 @@ def resolve_duplicate_clusters(
     )
 
 
+def neardup_survivors(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The kept corpus after cluster collapse: each cluster's min-id
+    representative survives (``resolve_duplicate_clusters`` labels with
+    the component minimum, so representative == ``cluster_id ==
+    id``), untouched docs pass through. Left join + filter; the
+    clusters table is ≪ the corpus, so it broadcasts. ONE home for the
+    survivor rule (r10 review: it previously lived verbatim in both
+    the graded suite row and the registry original, free to drift)."""
+    return docs.join(F.broadcast(clusters), id_col, "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col))
+    )
+
+
 def containment_scores(
     df: DataFrame,
     pairs: DataFrame,

@@ -17,7 +17,7 @@ def fleet_overview(features: DataFrame) -> DataFrame:
     """Headline measures per dataset: engines, rows, avg/max RUL, avg
     lifetime (avg over per-unit max cycles — DAX AVERAGEX(SUMMARIZE...))."""
     per_unit = features.groupBy("dataset", "unit_nr").agg(
-        F.max("time_cycles").alias("life"), F.max("rul").alias("max_rul")
+        F.max("time_cycles").alias("life")
     )
     lifetimes = per_unit.groupBy("dataset").agg(
         F.round(F.avg("life"), 2).alias("avg_lifetime"),
@@ -32,13 +32,25 @@ def fleet_overview(features: DataFrame) -> DataFrame:
     return overview.join(lifetimes, "dataset")
 
 
-def critical_share(features: DataFrame, threshold: int = 30) -> DataFrame:
+def critical_share(
+    features: DataFrame, threshold: int = 30, warning: int = 60, watch: int = 120
+) -> DataFrame:
     """Share of cycles in the critical RUL band (DAX CALCULATE ratio,
-    dashboard/dax-measures:27-33), with the SWITCH(TRUE()) band split."""
+    dashboard/dax-measures:27-33), with the SWITCH(TRUE()) band split.
+
+    All three band boundaries are parameters (r10 review: with only
+    ``threshold`` exposed, any value >= 60 silently swallowed the
+    hardcoded 'warning' band — the when-chain short-circuits), and they
+    must ascend or the chain misclassifies."""
+    if not threshold < warning < watch:
+        raise ValueError(
+            f"band boundaries must ascend: threshold={threshold} < "
+            f"warning={warning} < watch={watch}"
+        )
     band = (
         F.when(F.col("rul") < threshold, "critical")
-        .when(F.col("rul") < 60, "warning")
-        .when(F.col("rul") < 120, "watch")
+        .when(F.col("rul") < warning, "warning")
+        .when(F.col("rul") < watch, "watch")
         .otherwise("healthy")
     )
     from pyspark.sql import Window
@@ -95,6 +107,10 @@ def sensor_histogram(
     lo, hi = bounds if bounds is not None else features.agg(
         F.min(col), F.max(col)
     ).collect()[0]
+    if lo is None or hi is None:
+        # empty or all-NULL column: an EMPTY histogram, not a NoneType
+        # comparison crash (r10 review)
+        return features.sparkSession.createDataFrame([], "bucket int, n bigint")
     width = (hi - lo) / bins if hi > lo else 1.0
     bucket = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
     return (

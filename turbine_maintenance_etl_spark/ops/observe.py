@@ -16,16 +16,26 @@ per micro-batch through ``StreamingQueryListener`` /
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Observation
 
 
+_OBS_SEQ = itertools.count(1)
+
+
 def observe_metrics(
-    df: DataFrame, metrics: dict[str, Column], name: str = "pipeline_metrics"
+    df: DataFrame, metrics: dict[str, Column], name: str | None = None
 ) -> tuple[DataFrame, Observation]:
     """Attach named aggregate metrics to ``df``'s plan. Returns the
     observed frame (use it in place of ``df``) and the ``Observation``
-    — read ``obs.get`` after the first action on the observed frame."""
-    obs = Observation(name)
+    — read ``obs.get`` after the first action on the observed frame.
+
+    ``name=None`` derives a unique name per call (r10 review: a shared
+    default meant two observation points on ONE plan failed at action
+    time with Spark's duplicate-observed-metrics AnalysisException);
+    pass an explicit name when a listener needs to find it."""
+    obs = Observation(name or f"pipeline_metrics_{next(_OBS_SEQ)}")
     cols = [expr.alias(alias) for alias, expr in metrics.items()]
     return df.observe(obs, *cols), obs
 

@@ -67,7 +67,15 @@ def range_join(
     # construction" only holds when bucket width ~ interval length, so
     # enforce it instead of assuming it
     span = end_b - start_b + F.lit(1)
-    seq = F.when(span <= F.lit(max_buckets_per_interval), F.sequence(start_b, end_b)).otherwise(
+    # a NULL start/end bound matches NOTHING (BETWEEN semantics — the
+    # theta-join this operator replaces yields no rows for it), it must
+    # not fall through the NULL `span <= cap` comparison into the
+    # loud-cap error branch (r10 review): NULL sequence -> explode
+    # drops the interval row
+    seq = F.when(
+        F.col(start_col).isNull() | F.col(end_col).isNull(),
+        F.lit(None).cast("array<bigint>"),
+    ).when(span <= F.lit(max_buckets_per_interval), F.sequence(start_b, end_b)).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("range_join: interval spans "),

@@ -84,11 +84,16 @@ def salted_groupby_agg(
     retry-deterministic (a recomputed task keeps its partition id, and
     row->partition assignment upstream is hash-based, order-free)."""
     degenerate = not (set(df.columns) - set(group_cols))
-    salt_src = (
-        F.spark_partition_id().cast("bigint")
-        if degenerate
-        else F.xxhash64(*[F.col(c) for c in df.columns])
-    )
+    if degenerate:
+        salt_src = F.spark_partition_id().cast("bigint")
+    else:
+        # map-safe full-row hash (r10 review): raw xxhash64 raises
+        # AnalysisException on MapType columns — the same bug class
+        # merge_table and asof_join already route through the shared
+        # canonicalizing helper; identical hash for map-free schemas
+        from turbine_maintenance_etl_spark.io.acid import row_tiebreak_hash
+
+        salt_src = row_tiebreak_hash(df)
     salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(salt_factor)))
     partials = salted.groupBy(*group_cols, "_salt").agg(
         *partial_agg_exprs(aggs, prefix="_p_")

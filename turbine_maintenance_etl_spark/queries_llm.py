@@ -482,14 +482,11 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kept corpus after near-dup removal: cluster members collapse
     to the min-id representative, untouched docs pass through (left
-    join + filter — clusters table ≪ corpus, broadcastable)."""
+    join + filter — clusters table ≪ corpus, broadcastable; rule lives
+    in ``dedup.neardup_survivors``, shared with dedup_graph_suite)."""
     docs = _t(spark, sf_dir, "documents")
     clusters = D.resolve_duplicate_clusters(D.minhash_lsh_candidates(docs))
-    return (
-        docs.join(F.broadcast(clusters), "doc_id", "left")
-        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
-        .select("doc_id", "source")
-    )
+    return D.neardup_survivors(docs, clusters).select("doc_id", "source")
 
 
 @register(

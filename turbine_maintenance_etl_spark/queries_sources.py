@@ -20,6 +20,8 @@ Each entry is engineered so a DuckDB oracle CAN verify it:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -145,38 +147,41 @@ def s_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, and aggregate. The oracle aggregates the source view directly
     — equality proves both sinks round-trip losslessly, and the
     'parquet_pruned' row proves the partition layout actually prunes
-    (only the o_orderstatus=O directory is scanned). The scratch path
-    is keyed by the sf dir AND the driver pid (two concurrent runs over
-    the same sf must not race each other's overwrite-vs-re-read), and
-    overwritten per run within a process, so re-runs exercise S6's
-    overwrite semantics instead of leaking files."""
-    tmp = (
-        f"/tmp/spark_sink_roundtrip/{os.getpid()}/"
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    src = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(f"{tmp}/pq")
-    src.write.mode("overwrite").option("header", True).csv(f"{tmp}/csv")
-    pq = spark.read.parquet(f"{tmp}/pq")
-    csv = (
-        spark.read.option("header", True)
-        .schema("o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double")
-        .csv(f"{tmp}/csv")
-    )
+    (only the o_orderstatus=O directory is scanned). Scratch lives in a
+    fresh mkdtemp and is REMOVED before returning (r10 review: the old
+    pid-keyed /tmp path leaked a full copy of orders per driver
+    process, forever); the 3-row summary is collected first, same
+    pattern as the acid entries in this file."""
+    tmp = tempfile.mkdtemp(prefix="spark_sink_roundtrip_")
+    try:
+        src = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(f"{tmp}/pq")
+        src.write.mode("overwrite").option("header", True).csv(f"{tmp}/csv")
+        pq = spark.read.parquet(f"{tmp}/pq")
+        csv = (
+            spark.read.option("header", True)
+            .schema("o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double")
+            .csv(f"{tmp}/csv")
+        )
 
-    def summarize(df: DataFrame, sink: str) -> DataFrame:
-        return df.agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        ).select(F.lit(sink).alias("sink"), "n", "total")
+        def summarize(df: DataFrame, sink: str) -> DataFrame:
+            return df.agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            ).select(F.lit(sink).alias("sink"), "n", "total")
 
-    return (
-        summarize(pq, "parquet")
-        .unionByName(summarize(csv, "csv"))
-        .unionByName(summarize(pq.filter(F.col("o_orderstatus") == "O"), "parquet_pruned"))
-    )
+        rows = (
+            summarize(pq, "parquet")
+            .unionByName(summarize(csv, "csv"))
+            .unionByName(
+                summarize(pq.filter(F.col("o_orderstatus") == "O"), "parquet_pruned")
+            )
+        ).collect()
+        return spark.createDataFrame(rows, "sink string, n bigint, total double")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _SLOPE_SCHEMA = "user_id bigint, n bigint, slope double"
@@ -213,12 +218,20 @@ def ud_grouped_map_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             xc = x - x.mean()
             denom = float((xc * xc).sum())
             if denom > 0.0:
-                slope = round(float((xc * (y - y.mean())).sum() / denom), 4)
+                slope = float((xc * (y - y.mean())).sum() / denom)
         return pd.DataFrame(
             {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n], "slope": [slope]}
         )
 
-    return e.groupBy("user_id").applyInPandas(fit, _SLOPE_SCHEMA)
+    # round SPARK-side (r10 review): Python's round() is half-to-even,
+    # but the repo's pinned convention is Spark HALF_UP == DuckDB
+    # half-away-from-zero — an exact dyadic tie at the 4th decimal
+    # would round differently inside the UDF than in the oracle
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(fit, _SLOPE_SCHEMA)
+        .withColumn("slope", F.round("slope", 4))
+    )
 
 
 @register(
@@ -243,24 +256,32 @@ def s_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and silently widens types), once inferred (the convenience path),
     and proves both land byte-identical aggregates vs the source. JSON
     string escaping round-trips embedded newlines/quotes in text — the
-    reason line-based CSV can't serve this role."""
-    tmp = (
-        f"/tmp/spark_jsonl_roundtrip/{os.getpid()}/"
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    src.write.mode("overwrite").json(tmp)
-    explicit = spark.read.schema("doc_id long, text string").json(tmp)
-    inferred = spark.read.json(tmp).select("doc_id", "text")
+    reason line-based CSV can't serve this role. Scratch is mkdtemp'd
+    and removed before returning (r10 review: the pid-keyed /tmp path
+    leaked a corpus copy per driver process)."""
+    tmp = tempfile.mkdtemp(prefix="spark_jsonl_roundtrip_")
+    try:
+        src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        src.write.mode("overwrite").json(tmp)
+        explicit = spark.read.schema("doc_id long, text string").json(tmp)
+        inferred = spark.read.json(tmp).select("doc_id", "text")
 
-    def summarize(df: DataFrame, tag: str) -> DataFrame:
-        return df.agg(
-            F.count("*").alias("n"),
-            F.sum("doc_id").alias("id_sum"),
-            F.sum(F.length("text")).alias("char_sum"),
-        ).select(F.lit(tag).alias("source"), "n", "id_sum", "char_sum")
+        def summarize(df: DataFrame, tag: str) -> DataFrame:
+            return df.agg(
+                F.count("*").alias("n"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum(F.length("text")).alias("char_sum"),
+            ).select(F.lit(tag).alias("source"), "n", "id_sum", "char_sum")
 
-    return summarize(explicit, "jsonl").unionByName(summarize(inferred, "jsonl_inferred"))
+        rows = (
+            summarize(explicit, "jsonl")
+            .unionByName(summarize(inferred, "jsonl_inferred"))
+        ).collect()
+        return spark.createDataFrame(
+            rows, "source string, n bigint, id_sum bigint, char_sum bigint"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
@@ -284,27 +305,34 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning works identically to parquet (only the
     o_orderstatus=F directory is scanned). Columnar stats, predicate
     pushdown, and vectorized reads all apply to ORC in Spark the same
-    way — format choice is a config concern, not an engine rewrite."""
-    tmp = (
-        f"/tmp/spark_orc_roundtrip/{os.getpid()}/"
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    src = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    src.write.mode("overwrite").partitionBy("o_orderstatus").orc(tmp)
-    back = spark.read.orc(tmp)
+    way — format choice is a config concern, not an engine rewrite.
+    Scratch is mkdtemp'd and removed before returning (r10 review)."""
+    tmp = tempfile.mkdtemp(prefix="spark_orc_roundtrip_")
+    try:
+        src = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        src.write.mode("overwrite").partitionBy("o_orderstatus").orc(tmp)
+        back = spark.read.orc(tmp)
 
-    def summarize(df: DataFrame, tag: str) -> DataFrame:
-        return df.agg(
-            F.count("*").alias("n"),
-            F.sum("o_orderkey").alias("key_sum"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        ).select(F.lit(tag).alias("source"), "n", "key_sum", "total")
+        def summarize(df: DataFrame, tag: str) -> DataFrame:
+            return df.agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            ).select(F.lit(tag).alias("source"), "n", "key_sum", "total")
 
-    return summarize(back, "orc").unionByName(
-        summarize(back.filter(F.col("o_orderstatus") == "F"), "orc_pruned")
-    )
+        rows = (
+            summarize(back, "orc")
+            .unionByName(
+                summarize(back.filter(F.col("o_orderstatus") == "F"), "orc_pruned")
+            )
+        ).collect()
+        return spark.createDataFrame(
+            rows, "source string, n bigint, key_sum bigint, total double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
@@ -517,7 +545,12 @@ def s_acid_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a wedged drain must FAIL the entry, not grade a partially
+            # written sink — and the finally-rmtree below would delete
+            # the table under a still-running query (r10 review)
+            q.stop()
+            raise TimeoutError("acid stream tail did not drain within 300s")
         sunk = spark.read.parquet(out)
         agg = (
             sunk.groupBy(F.col("_commit_version").cast("int").alias("commit_version"))

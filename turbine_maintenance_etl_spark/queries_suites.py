@@ -398,12 +398,13 @@ def a_grouped_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     1500 groups) + A9 (two-level agg — DAX AVERAGEX over SUMMARIZE) +
     A10 (conditional share) + A16 (describe()-style summary stats)."""
     o = _t(spark, sf_dir, "orders")
+    # mx is the UNROUNDED max (a9 averages it; price_max is rounded per
+    # A1's checksum contract — not a duplicate); n_orders serves both
     per_cust = o.groupBy("o_custkey").agg(
         F.round(F.min("o_totalprice"), 2).alias("price_min"),
         F.round(F.max("o_totalprice"), 2).alias("price_max"),
         F.count("*").alias("n_orders"),
         F.max("o_totalprice").alias("mx"),
-        F.count("*").alias("cnt"),
     )
     a1 = per_cust.agg(
         F.lit("a1_minmax").alias("op"),
@@ -418,18 +419,17 @@ def a_grouped_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("k"),
         F.count("*").alias("n"),
         F.round(F.avg("mx"), 4).alias("v1"),
-        F.round(F.avg("cnt"), 4).alias("v2"),
+        F.round(F.avg("n_orders"), 4).alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
-    big = F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0))
-    a10 = o.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"),
-        F.round(big / F.count("*").cast("double"), 6).alias("v1"),
-    ).select(
+    # reuse the registered original (r10 review: the threshold/rounding
+    # previously lived verbatim in both files, free to drift) and
+    # reshape into the suite's row shape
+    a10 = REGISTRY["a10_conditional_share"].fn(spark, sf_dir).select(
         F.lit("a10_share").alias("op"),
         F.col("o_orderstatus").alias("k"),
         "n",
-        "v1",
+        F.col("big_share").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
@@ -763,15 +763,11 @@ def dedup_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("k"),
         F.lit(None).cast("string").alias("s"),
     )
-    survivors = (
-        docs.join(F.broadcast(clusters), "doc_id", "left")
-        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
-        .select(
-            F.lit("survivors").alias("variant"),
-            "doc_id",
-            F.lit(None).cast("bigint").alias("k"),
-            F.col("source").alias("s"),
-        )
+    survivors = DD.neardup_survivors(docs, clusters).select(
+        F.lit("survivors").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("k"),
+        F.col("source").alias("s"),
     )
     return c_rows.unionByName(survivors)
 

@@ -36,17 +36,29 @@ def get_spark(
     """Build (or fetch) the tuned SparkSession.
 
     Local mode honors ``SPARK_GRAFT_CPUS`` (default 32). On a cluster,
-    pass ``master=None`` with ``spark.master`` preset, or an explicit URL.
+    pass an explicit master URL, or ``master="preset"`` (equivalently
+    ``SPARK_MASTER=preset``) to leave the spark-submit/deploy-time
+    ``spark.master`` conf in charge — the builder never calls
+    ``.master()`` then.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
+        # r10 review: the builder's .master() overrides a spark-submit
+        # --master conf, so the cluster path needs an explicit opt-out.
+        # SPARK_MASTER=preset (or master="preset") skips .master()
+        # entirely and lets the externally submitted conf win; JVM-side
+        # sniffing can't serve here — launching the gateway stamps
+        # spark.master=local[*] into the system properties, so a "is it
+        # preset?" probe reads its own footprint.
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
 
+    builder = SparkSession.builder
+    if master != "preset":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
