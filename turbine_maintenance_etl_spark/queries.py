@@ -23,9 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from turbine_maintenance_etl_spark.features.engine import build_features
-from turbine_maintenance_etl_spark.llm import dedup as D
-from turbine_maintenance_etl_spark.llm import similarity as S
-from turbine_maintenance_etl_spark.llm import text as TX
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -407,7 +404,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
     GROUP BY o.o_orderkey, o.o_orderdate
-    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+    ORDER BY ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 10) DESC, o.o_orderkey
     LIMIT 10
     """,
 )
@@ -427,7 +424,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(rev.alias("_rev"))
-        .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
+        # sort on the ROUNDED sum (file discipline, cf. sample_weighted
+        # _topk's ROUND(es_key,10) key): cross-engine FP summation-order
+        # noise at the rank-10 boundary must not pick different rows
+        .orderBy(F.desc(F.round("_rev", 10)), F.asc("o_orderkey"))
         .limit(10)
         .select(
             "o_orderkey",
@@ -1246,9 +1246,12 @@ def u1_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey")
+    # subtract IS EXCEPT DISTINCT — the previous
+    # exceptAll(distinct).distinct() composition wrongly kept a
+    # duplicated left key that also appears on the right (exceptAll
+    # removes one occurrence per right row; r10 review)
     ex = (
-        c.exceptAll(o.select(F.col("o_custkey").alias("c_custkey")).distinct())
-        .distinct()
+        c.subtract(o.select(F.col("o_custkey").alias("c_custkey")))
         .select(
             F.lit("except").alias("op"),
             F.col("c_custkey").alias("key"),
@@ -1326,19 +1329,26 @@ def f_scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f_json_extract",
-    r"""
+    """
     SELECT event_id,
-           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k
     FROM events
     """,
 )
 def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction from the JSON props column via
-    get_json_object (JVM JSON path, codegen) — oracle mirrors with regex."""
+    get_json_object (JVM JSON path, codegen). Oracle uses DuckDB's real
+    json path extraction (r10 review: the old regex mirror matched
+    NESTED '"k":' keys and malformed fragments, and its CAST('' AS
+    BIGINT) on a no-match non-NULL props crashed the oracle query);
+    try_cast on both sides so a non-numeric k is NULL under ANY
+    session."""
     e = _t(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
     )
 
 

@@ -285,10 +285,16 @@ def _simhash_oracle(bits: int = 60) -> str:
         f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(bits)
     )
+    # token-less docs (empty/whitespace/NULL text) must be NULL, never
+    # 0 — D.simhash's documented guard (r10 review: the per-bit
+    # COALESCE(..., 0) terms previously packed an all-zero fingerprint
+    # for them)
     return f"""
     WITH toks AS (SELECT doc_id, list_distinct({_DUCK_TOKS}) AS dt FROM documents),
     hashed AS (SELECT doc_id, list_transform(dt, t -> {hash60}) AS hs FROM toks)
-    SELECT doc_id, CAST({packed_terms} AS BIGINT) AS simhash FROM hashed
+    SELECT doc_id,
+           CASE WHEN len(hs) > 0 THEN CAST({packed_terms} AS BIGINT) END AS simhash
+    FROM hashed
     """
 
 
@@ -381,19 +387,26 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT e.event_id, e.user_id, p.value AS last_purchase_value
     FROM events e ASOF LEFT JOIN (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        SELECT user_id, ts, MAX(value) AS value FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id, ts) p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
 )
 def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (last purchase value as of each event) via the
     union+forward-fill-window operator — single shuffle, no range-join
-    blowup; oracle is DuckDB's native ASOF LEFT JOIN."""
+    blowup; oracle is DuckDB's native ASOF LEFT JOIN. The right side is
+    collapsed to one row per (user_id, ts) — max value — on BOTH
+    engines (r10 review): DuckDB's ASOF has no tie-break for duplicate
+    right timestamps, so un-collapsed ties would compare an arbitrary
+    oracle pick against Spark's deterministic content-hash pick."""
     from turbine_maintenance_etl_spark.ops.asof import asof_join
 
     e = _t(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
     )
     joined = asof_join(e, purchases, on=["user_id"], tie_break="event_id")
     return joined.select(
@@ -574,13 +587,16 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (value-based, not row-count): per-user
     rolling 6-hour sum. Unlike ROWS frames this is density-independent —
-    the frame is defined in event-time seconds via rangeBetween over the
-    epoch, the standard Spark formulation."""
+    the frame is defined in event-time MICROSECONDS via rangeBetween
+    over the epoch (r10 review: unix_timestamp truncates to whole
+    seconds, so frame membership at the exact 6-hour boundary diverged
+    from the oracle's microsecond-precision INTERVAL frame for
+    sub-second timestamps)."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-6 * 3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-6 * 3600 * 1_000_000, 0)
     )
     return e.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("rolling_6h_value")
@@ -766,8 +782,12 @@ def f_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_variant_semistructured",
     """
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_field,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_typed,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
+           END AS missing_field,
            CAST(json_valid(props) AS BIGINT) AS is_valid
     FROM events
     """,
@@ -786,7 +806,12 @@ def f_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
-        v.isNotNull().cast("bigint").alias("is_valid"),
+        # NULL props -> NULL validity (unknown), matching the oracle's
+        # json_valid(NULL); bare isNotNull read it as 0 = "invalid
+        # JSON", a different claim (r10 review)
+        F.when(F.col("props").isNotNull(), v.isNotNull().cast("bigint")).alias(
+            "is_valid"
+        ),
     )
 
 
@@ -1246,7 +1271,8 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ud_grouped_agg_wavg",
     """
     SELECT event_type,
-           ROUND(SUM(value * CAST(user_id % 7 + 1 AS DOUBLE))
+           ROUND(SUM(CASE WHEN NOT isnan(value) THEN
+                         value * CAST(user_id % 7 + 1 AS DOUBLE) END)
                  / SUM(CAST(user_id % 7 + 1 AS DOUBLE)), 6) AS wavg,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY event_type
@@ -1269,9 +1295,18 @@ def ud_grouped_agg_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     # explicit functionType: this module uses postponed annotations
-    # (PEP 563), which defeats pandas_udf's type-hint inference
+    # (PEP 563), which defeats pandas_udf's type-hint inference.
+    # NULL-semantics parity (r10 review): Arrow hands the kernel NULL
+    # doubles as NaN, and pandas' skipna sum silently drops them — the
+    # SQL twin's SUM skips NULLs too, so the NUMERATOR matches, but the
+    # DENOMINATOR must stay the sum over ALL weights and an all-NULL
+    # group must return NULL (pandas returned 0.0/sum = 0.0 where SQL
+    # yields NULL). Genuine NaN readings are nanvl'd to NULL on the
+    # Spark side and ISNAN-branched in the oracle (the ml-entry rule).
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def wavg(v, w):
+        if v.notna().sum() == 0:
+            return None
         return float((v * w).sum() / w.sum())
 
     # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregate
@@ -1281,8 +1316,10 @@ def ud_grouped_agg_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(v):
         return len(v)
 
-    e = _t(spark, sf_dir, "events").withColumn(
-        "w", (F.col("user_id") % 7 + 1).cast("double")
+    e = (
+        _t(spark, sf_dir, "events")
+        .withColumn("w", (F.col("user_id") % 7 + 1).cast("double"))
+        .withColumn("value", F.nanvl("value", F.lit(None).cast("double")))
     )
     return e.groupBy("event_type").agg(
         F.round(wavg("value", "w"), 6).alias("wavg"),
