@@ -932,7 +932,11 @@ def remove_duplicated_spans(
             .otherwise(F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
             .cast("bigint")
             .alias("n_removed_tokens"),
-            F.when(F.col("_hit").isNull(), F.coalesce(F.col("_text"), F.lit("")))
+            # unaffected docs pass ORIGINAL text through — including a
+            # NULL one (coalescing to '' conflated a NULL doc with an
+            # empty doc; r10 adversarial sweep); a fully-removed
+            # affected doc has no rebuilt row and emits ''
+            F.when(F.col("_hit").isNull(), F.col("_text"))
             .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
             .alias("cleaned_text"),
         )

@@ -286,10 +286,20 @@ def redact_pii(
     Pure regexp expressions (codegen, zero shuffle); adds counts so the
     redaction rate is auditable per document."""
     c = F.col(text_col)
+
+    def count_matches(pattern: str) -> Column:
+        # NULL text must count NULL, matching the oracle's
+        # len(regexp_extract_all(NULL)) — un-guarded, the NULL match
+        # array reaches size() as legacy -1 under the ANSI-off session
+        # (r10 adversarial sweep; same class as text.tokens_expr)
+        return F.when(
+            c.isNotNull(), F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+        )
+
     return df.withColumn(
-        "n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        "n_emails", count_matches(EMAIL_RE)
     ).withColumn(
-        "n_phones", F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+        "n_phones", count_matches(PHONE_RE)
     ).withColumn(
         out_col,
         F.regexp_replace(

@@ -127,9 +127,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     """Canonical document fingerprint: md5 over the sorted distinct token
     set — whitespace/word-order/duplication insensitive, so trivially
     reordered or re-spaced copies collide. Content-defined and portable
-    (md5), unlike engine-specific hash()."""
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_expr(text_col))))
-    return df.withColumn(out_col, F.md5(canon))
+    (md5), unlike engine-specific hash().
+
+    Token-less docs (NULL/empty/whitespace text) fingerprint as NULL,
+    never md5('') — same doctrine as simhash (r10 adversarial sweep): a
+    contentless doc has nothing to fingerprint, and a shared empty-hash
+    would collapse every such doc into one dedup class."""
+    toks = tokens_expr(text_col)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.withColumn(out_col, F.when(F.size(toks) > 0, F.md5(canon)))
 
 
 def tfidf_top_terms(

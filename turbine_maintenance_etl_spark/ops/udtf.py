@@ -42,7 +42,12 @@ def _render(v) -> str:
     (jsonb_each-style text extraction, and what the graded oracle's
     json_extract→VARCHAR cast produces); numbers via str() (identical
     to json.dumps for ints, and repr-based for floats in py3)."""
-    if isinstance(v, (dict, list)) or isinstance(v, bool) or v is None:
+    if isinstance(v, (dict, list)):
+        # compact separators: the canonical minified form, and
+        # byte-identical to DuckDB's json_extract rendering of a
+        # nested value (r10 adversarial sweep)
+        return json.dumps(v, separators=(",", ":"))
+    if isinstance(v, bool) or v is None:
         return json.dumps(v)
     if isinstance(v, str):
         return v

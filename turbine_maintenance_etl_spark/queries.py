@@ -1055,8 +1055,15 @@ def w4_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w5_group_zscore",
     """
     SELECT event_id, user_id,
+           -- NaN-aware stddev mirror: Spark's stddev_pop PROPAGATES a
+           -- NaN reading while DuckDB's Welford RAISES Out of Range on
+           -- it, so strip NaNs from the aggregate and re-inject the
+           -- NaN result via the bool_or gate (r10 adversarial sweep)
            ROUND((value - AVG(value) OVER (PARTITION BY user_id))
-                 / NULLIF(STDDEV_POP(value) OVER (PARTITION BY user_id), 0), 6) AS z_value
+                 / NULLIF(CASE WHEN bool_or(isnan(value)) OVER (PARTITION BY user_id)
+                               THEN 'nan'::DOUBLE
+                               ELSE STDDEV_POP(CASE WHEN NOT isnan(value) THEN value END)
+                                    OVER (PARTITION BY user_id) END, 0), 6) AS z_value
     FROM events
     """,
 )
@@ -1146,8 +1153,12 @@ def w_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS mean20_sensor1,
            ROUND(sensor1 - LAG(sensor1) OVER (PARTITION BY unit_nr ORDER BY time_cycles), 6)
                  AS d_sensor1,
+           -- NaN-aware stddev mirror (see w5_group_zscore)
            ROUND((sensor1 - AVG(sensor1) OVER (PARTITION BY unit_nr))
-                 / NULLIF(STDDEV_POP(sensor1) OVER (PARTITION BY unit_nr), 0), 6) AS z_sensor1
+                 / NULLIF(CASE WHEN bool_or(isnan(sensor1)) OVER (PARTITION BY unit_nr)
+                               THEN 'nan'::DOUBLE
+                               ELSE STDDEV_POP(CASE WHEN NOT isnan(sensor1) THEN sensor1 END)
+                                    OVER (PARTITION BY unit_nr) END, 0), 6) AS z_sensor1
     FROM base
     """,
 )

@@ -227,7 +227,11 @@ def f_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                 AS total_rows,
            ROUND(MAX(value), 4)     AS max_value,
            ROUND(AVG(value), 4)     AS avg_value,
-           ROUND(STDDEV_POP(value), 4) AS std_value,
+           -- NaN-aware stddev mirror (see w5_group_zscore): DuckDB's
+           -- Welford raises on NaN input where Spark propagates NaN
+           ROUND(CASE WHEN bool_or(isnan(value)) THEN 'nan'::DOUBLE
+                 ELSE STDDEV_POP(CASE WHEN NOT isnan(value) THEN value END)
+                 END, 4) AS std_value,
            ROUND(SUM(CASE WHEN value < 30 THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS critical_share,
            CASE WHEN SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) = 0
@@ -259,9 +263,11 @@ def metrics_dax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_token_count",
     r"""
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(
+           -- coalesce mirrors bpe_ish_token_count_expr's guard: NULL
+           -- text counts 0 pieces (r10 adversarial sweep)
+           CAST(len(coalesce(list_filter(regexp_split_to_array(
                 regexp_replace(text, '([^\sA-Za-z0-9]|\d+)', ' \1 ', 'g'),
-                '\s+'), x -> x <> '')) AS BIGINT) AS bpe_ish_tokens
+                '\s+'), x -> x <> ''), [])) AS BIGINT) AS bpe_ish_tokens
     FROM documents
     """,
 )
@@ -760,21 +766,37 @@ def p_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_json_struct_parse",
     """
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_field
+           CASE WHEN json_valid(props)
+                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_typed,
+           CASE WHEN json_valid(props)
+                     AND json_type(props, '$.missing') IN ('BIGINT', 'UBIGINT')
+                THEN CAST(json_extract_string(props, '$.missing') AS BIGINT)
+           END AS missing_field
     FROM events
     """,
 )
 def f_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON parse: from_json with an explicit schema (JVM-side
     Jackson, codegen) — vs f_json_extract's stringly get_json_object.
-    Missing fields surface as typed NULLs, not errors."""
+    Missing fields surface as typed NULLs, not errors.
+
+    Semantics pinned STRICT on both engines (r10 adversarial sweep):
+    a malformed document parses to all-NULL fields (Jackson's partial-
+    results leniency would salvage a valid prefix like '{"k": 5' that
+    DuckDB cannot even probe — its json_extract RAISES on malformed
+    input rather than returning NULL), and a field only types when the
+    JSON value is actually integral (from_json nulls a string-typed
+    "abc"; the old unguarded oracle CAST crashed on it)."""
     e = _t(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "k bigint, missing bigint")
+    c = F.col("props")
+    parsed = F.from_json(c, "k bigint, missing bigint")
+    strict_ok = F.try_parse_json(c).isNotNull()
     return e.select(
         "event_id",
-        parsed["k"].alias("k_typed"),
-        parsed["missing"].alias("missing_field"),
+        F.when(strict_ok, parsed["k"]).alias("k_typed"),
+        F.when(strict_ok, parsed["missing"]).alias("missing_field"),
     )
 
 
@@ -848,7 +870,10 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            array_to_string(list_sort(list(DISTINCT event_type)), ',')  AS types_seen,
-           CAST(len(list(DISTINCT event_type)) AS INT)                 AS n_types,
+           -- FILTER mirrors Spark's collect_set, which DROPS NULLs;
+           -- DuckDB's DISTINCT list keeps one (r10 adversarial sweep)
+           CAST(len(list(DISTINCT event_type) FILTER (event_type IS NOT NULL))
+                AS INT)                                                AS n_types,
            array_to_string(list_sort(list(event_id))[1:3], ',')        AS first3_events
     FROM events
     GROUP BY user_id
@@ -914,16 +939,26 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_json_pairs",
     """
-    SELECT event_id, 'k' AS key,
-           CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS value
-    FROM events WHERE props IS NOT NULL
+    SELECT event_id, u.k AS key,
+           COALESCE(json_extract_string(props, '$."' || u.k || '"'),
+                    CAST(json_extract(props, '$."' || u.k || '"') AS VARCHAR))
+               AS value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+          FROM events WHERE json_valid(props)) u
     """,
 )
 def udtf_json_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF in LATERAL position flattening JSON objects to
     (key, value) rows — §2.10 table-function surface. The oracle
-    exploits that this corpus's props are single-key objects; the UDTF
-    itself handles arbitrary JSON."""
+    replays the full contract for ARBITRARY objects (r10 adversarial
+    sweep; the old single-key shortcut emitted a phantom 'k' row for
+    every non-null props and crashed on malformed JSON): json_keys
+    under a json_valid guard mirrors invalid-JSON-yields-no-rows, the
+    quoted '$."key"' path survives keys that aren't bare identifiers,
+    and the string/raw COALESCE matches _render (bare strings, JSON
+    spellings for null/bool/nested objects — the json_extract VARCHAR
+    cast renders compact JSON, which is why _render dumps with
+    separators=(',', ':'))."""
     from turbine_maintenance_etl_spark.ops.udtf import register_udtfs
 
     register_udtfs(spark)

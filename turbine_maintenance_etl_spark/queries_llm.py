@@ -22,7 +22,14 @@ from turbine_maintenance_etl_spark.queries import REGISTRY, _t, register
 from turbine_maintenance_etl_spark.util import ensure_parallelism
 
 # DuckDB token / shingle fragments shared by several oracles
-_DUCK_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+# TOTAL like the engine's text.tokens_expr: NULL text tokenizes to an
+# EMPTY list, never NULL (r10 adversarial sweep — an un-coalesced NULL
+# here made every len()/avg()/unnest() downstream silently disagree
+# with the engine on NULL-text documents: n_tokens NULL vs 0, BM25
+# avgdl over a smaller doc set, curation mixes dropping the doc's mass)
+_DUCK_TOKS = (
+    r"coalesce(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), [])"
+)
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
     " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
@@ -156,7 +163,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     f"""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+           -- token-less docs fingerprint NULL on both engines (simhash
+           -- doctrine; r10 adversarial sweep)
+           CASE WHEN len(toks) > 0
+                THEN md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+           END AS fingerprint
     FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
     """,
 )
@@ -208,7 +219,12 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str
     WITH sh AS (
         SELECT doc_id, {_DUCK_SHINGLES} AS s
         FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
-    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM sh),
+    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM sh
+               -- shingle-less docs emit NO band rows, mirroring the
+               -- engine's lsh_band_buckets bh-NULL filter (otherwise
+               -- every short/empty doc shares the md5-of-empty bucket
+               -- in every band -- r10 adversarial sweep)
+               WHERE len(s) > 0),
     sigs AS (SELECT doc_id, {mh_cols} FROM hashed),
     buckets AS ({band_selects})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -233,7 +249,10 @@ _COS = (
 @register(
     "sim_brute_force_topk",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -262,7 +281,10 @@ def _lsh_topk_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
         for i, plane in enumerate(planes)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 25),
     scored AS (
@@ -306,7 +328,10 @@ def _ivf_sampled_oracle(
 ) -> str:
     cos = _COS
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     nz AS (SELECT vec_id, v FROM e
            WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
     ord AS (
@@ -494,7 +519,10 @@ def dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id, text,
-               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+               -- coalesce guard: NULL text reads as zero words, like
+               -- the engine's tokens_expr (r10 adversarial sweep)
+               coalesce(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> ''), []) AS words
         FROM documents
     ),
     bglist AS (
@@ -695,7 +723,12 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT doc_id, norm_hash,
-           doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS survivor
+           -- NULL-hash docs (empty/punct-only/NULL normalization) each
+           -- survive as their own class, like normalized_dedup's
+           -- per-doc key; the bare window flagged only the min-id of
+           -- the shared NULL partition (r10 adversarial sweep)
+           norm_hash IS NULL
+               OR doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS survivor
     FROM n
     """,
 )
@@ -916,7 +949,10 @@ def _pq_sampled_oracle(
         for j in range(1, dsub + 1)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     nz AS (SELECT vec_id, v FROM e
            WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
     smp AS (
@@ -1012,7 +1048,10 @@ def _ivfpq_sampled_oracle(
         "[" + ", ".join(f"actr.cv[{i}] + rr.rr[{i}]" for i in range(1, dim + 1)) + "]"
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     nz AS (SELECT vec_id, v FROM e
            WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
     ord AS (
@@ -1607,7 +1646,12 @@ def _incremental_lsh_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42
     WITH sh AS (
         SELECT doc_id, {_DUCK_SHINGLES} AS s
         FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
-    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM sh),
+    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM sh
+               -- shingle-less docs emit NO band rows, mirroring the
+               -- engine's lsh_band_buckets bh-NULL filter (otherwise
+               -- every short/empty doc shares the md5-of-empty bucket
+               -- in every band -- r10 adversarial sweep)
+               WHERE len(s) > 0),
     sigs AS (SELECT doc_id, {mh_cols} FROM hashed),
     buckets AS ({band_selects})
     SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
@@ -1647,7 +1691,10 @@ def _semantic_dedup_oracle(
         for i, plane in enumerate(planes)
     )
     return f"""
-    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     pairs AS (
         SELECT a.vec_id AS id_a, bb.vec_id AS id_b
@@ -1662,10 +1709,14 @@ def _semantic_dedup_oracle(
         SELECT ed.src, r.label
         FROM edges ed JOIN reach r ON ed.dst = r.node),
     clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
-    SELECT e.vec_id,
-           COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
-           COALESCE(c.cluster_id, e.vec_id) = e.vec_id AS survivor
-    FROM e LEFT JOIN clusters c ON e.vec_id = c.node
+    -- final join runs against the FULL table, not the filtered e:
+    -- NULL/zero vectors are excluded from bucketing but still emit
+    -- singleton-survivor rows, mirroring semantic_dedup's contract of
+    -- one output row per INPUT vector (r10 adversarial sweep)
+    SELECT em.vec_id,
+           COALESCE(c.cluster_id, em.vec_id) AS cluster_id,
+           COALESCE(c.cluster_id, em.vec_id) = em.vec_id AS survivor
+    FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.node
     """
 
 
@@ -1779,7 +1830,10 @@ def _multiprobe_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42, k: in
     )
     probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(num_planes)])
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv,
                  UNNEST([{probe_list}]) AS bucket
@@ -2779,7 +2833,8 @@ def _fuzzy_decon_oracle(
     WITH base AS (
         SELECT doc_id, {_DUCK_SHINGLES} AS s
         FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)),
-    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM base),
+    hashed AS (SELECT doc_id, list_transform(s, s -> {h}) AS hs FROM base
+               WHERE len(s) > 0),
     sigs AS (SELECT doc_id, {mh_cols} FROM hashed),
     buckets AS ({band_selects}),
     docb AS (SELECT doc_id, band, bh FROM buckets WHERE doc_id % 37 <> 0),
@@ -2855,7 +2910,8 @@ def _capstone_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> st
         FROM gated),
     kept AS (SELECT doc_id, source, batch, toks FROM ex WHERE rn = 1),
     sh AS (SELECT doc_id, batch, {_DUCK_SHINGLES} AS s FROM kept),
-    hashed AS (SELECT doc_id, batch, list_transform(s, s -> {h}) AS hs FROM sh),
+    hashed AS (SELECT doc_id, batch, list_transform(s, s -> {h}) AS hs FROM sh
+               WHERE len(s) > 0),
     sigs AS (SELECT doc_id, batch, {mh_cols} FROM hashed),
     buckets AS ({band_selects}),
     drop_in AS (

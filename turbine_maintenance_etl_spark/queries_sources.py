@@ -206,21 +206,36 @@ def ud_grouped_map_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered index (slope is shift-invariant in x, so 0- vs 1-based
     indexing cannot disagree). Scale: one shuffle on user_id, Arrow
     transfer only of (user_id, event_id, ts, value)."""
-    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        # Arrow->pandas folds SQL NULL and a real NaN reading into the
+        # same float NaN, but REGR_SLOPE excludes only the NULL pairs
+        # (a NaN pair participates and poisons the slope to NaN) — so
+        # the NULL/NaN distinction must be computed JVM-side and
+        # shipped as a flag (r10 adversarial sweep)
+        F.isnull("value").alias("value_is_null"),
+    )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        y = pdf["value"].to_numpy(dtype=float)
-        n = len(y)
+        n_all = len(pdf)
+        # x is the 0-based position over the FULL ordered sequence (the
+        # oracle's ROW_NUMBER numbers NULL rows too); NULL-value pairs
+        # are then dropped pairwise, keeping their x gaps
+        keep = ~pdf["value_is_null"].to_numpy(dtype=bool)
+        y = pdf["value"].to_numpy(dtype=float)[keep]
+        x = np.arange(n_all, dtype=float)[keep]
         slope = None
-        if n >= 2:
-            x = np.arange(n, dtype=float)
+        if len(y) >= 2:
             xc = x - x.mean()
             denom = float((xc * xc).sum())
             if denom > 0.0:
                 slope = float((xc * (y - y.mean())).sum() / denom)
         return pd.DataFrame(
-            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n], "slope": [slope]}
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n_all], "slope": [slope]}
         )
 
     # round SPARK-side (r10 review): Python's round() is half-to-even,

@@ -470,7 +470,9 @@ def a_grouped_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mean20,
            ROUND(value - LAG(value) OVER wo, 4) AS d_value,
            ROUND((value - AVG(value) OVER wp)
-                 / NULLIF(STDDEV_POP(value) OVER wp, 0), 6) AS z_value,
+                 / NULLIF(CASE WHEN bool_or(isnan(value)) OVER wp THEN 'nan'::DOUBLE
+                          ELSE STDDEV_POP(CASE WHEN NOT isnan(value) THEN value END)
+                               OVER wp END, 0), 6) AS z_value,
            CASE WHEN ROW_NUMBER() OVER wo = COUNT(*) OVER wp THEN 1 ELSE 0 END
                AS is_last
     FROM events
