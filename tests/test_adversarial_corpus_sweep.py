@@ -150,10 +150,33 @@ def adv_duck(adv_dir):
     con.close()
 
 
+_NULL_SENTINEL = -1.2345678987654321e300
+
+
+def _pdf_with_null_nan_distinction(arrow_table) -> pd.DataFrame:
+    """Arrow -> pandas with float SQL NULLs replaced by a sentinel.
+
+    pandas folds SQL NULL and a real NaN into the same float NaN, so a
+    plain toPandas()-based compare would PASS an entry whose engine
+    returns NULL where its oracle returns NaN (or vice versa) — a
+    difference an exact value-hash comparison rejects. Arrow keeps the
+    validity mask, so filling NULL (and only NULL) with an impossible
+    sentinel makes the two states distinct through the pandas compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {}
+    for field, col in zip(arrow_table.schema, arrow_table.columns):
+        if pa.types.is_floating(field.type) and col.null_count:
+            col = pc.fill_null(col, _NULL_SENTINEL)
+        cols[field.name] = col
+    return pa.table(cols).to_pandas()
+
+
 @pytest.mark.parametrize("name", CANDIDATES)
 def test_entry_survives_adversarial_corpus(spark, adv_dir, adv_duck, name):
     q = REGISTRY[name]
-    spark_pdf = q.fn(spark, adv_dir).toPandas()
-    duck_pdf = adv_duck.execute(q.oracle).df()
+    spark_pdf = _pdf_with_null_nan_distinction(q.fn(spark, adv_dir).toArrow())
+    duck_pdf = _pdf_with_null_nan_distinction(adv_duck.execute(q.oracle).arrow())
     problems = compare(spark_pdf, duck_pdf, name)
     assert not problems, "\n".join(problems)

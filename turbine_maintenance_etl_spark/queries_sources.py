@@ -190,12 +190,21 @@ _SLOPE_SCHEMA = "user_id bigint, n bigint, slope double"
 @register(
     "ud_grouped_map_slope",
     """
-    SELECT user_id, COUNT(*) AS n, ROUND(REGR_SLOPE(value, rn), 4) AS slope
+    SELECT user_id, n,
+           -- a NaN-poisoned fit surfaces as NULL, not NaN: the engine
+           -- returns the slope through the pandas-UDF Arrow boundary,
+           -- whose pandas->Arrow conversion folds a float NaN into
+           -- Arrow NULL (r10 adversarial sweep, caught only by the
+           -- null-mask-aware compare)
+           ROUND(CASE WHEN isnan(s) THEN NULL ELSE s END, 4) AS slope
     FROM (
-        SELECT user_id, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events
-    ) GROUP BY user_id
+        SELECT user_id, COUNT(*) AS n, REGR_SLOPE(value, rn) AS s
+        FROM (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) GROUP BY user_id
+    )
     """,
 )
 def ud_grouped_map_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
