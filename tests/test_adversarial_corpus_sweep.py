@@ -114,14 +114,42 @@ def _write_events_with_true_nan(df: pd.DataFrame, path) -> None:
 
 def _adversarial_embeddings(base: pd.DataFrame) -> pd.DataFrame:
     dim = len(base.loc[0, "embedding"])
+    nan_vec = np.ones(dim, dtype=np.float32)
+    nan_vec[3] = np.nan  # corrupt element: norm NaN, cosine NaN to all
     rows = [
         (900001, np.zeros(dim, dtype=np.float32), 0),        # zero vector
         (900002, np.asarray(base.loc[0, "embedding"], dtype=np.float32), 1),  # dup: cosine tie
         (900003, None, 2),                                   # NULL embedding
+        (900004, nan_vec, 3),                                # NaN-element vector
+        (900005, [None] + [1.0] * (dim - 1), 4),             # NULL-element vector
     ]
     adv = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     adv["label"] = adv["label"].astype("int32")
     return pd.concat([base, adv], ignore_index=True)
+
+
+def _write_embeddings_with_true_nan(df: pd.DataFrame, path) -> None:
+    """Like ``_write_events_with_true_nan`` but for the nested list
+    column: the NaN ELEMENT of vector 900004 must stay a real NaN float
+    (pandas' conversion would store it as a NULL element), while the
+    explicit None element of 900005 must stay a genuine NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = []
+    for vec_id, v in zip(df["vec_id"], df["embedding"]):
+        if v is None:
+            vecs.append(None)
+        elif int(vec_id) == 900005:
+            vecs.append([None if e is None else float(e) for e in v])
+        else:
+            vecs.append([float(e) for e in v])
+    cols = {
+        "vec_id": pa.Array.from_pandas(df["vec_id"]),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32()), from_pandas=False),
+        "label": pa.Array.from_pandas(df["label"]),
+    }
+    pq.write_table(pa.table(cols), path)
 
 
 @pytest.fixture(scope="module")
@@ -138,6 +166,8 @@ def adv_dir(tmp_path_factory):
         out = fn(base)
         if t == "events":
             _write_events_with_true_nan(out, root / f"{t}.parquet")
+        elif t == "embeddings":
+            _write_embeddings_with_true_nan(out, root / f"{t}.parquet")
         else:
             out.to_parquet(root / f"{t}.parquet", index=False)
     return str(root)

@@ -261,8 +261,10 @@ def test_udtf_parse_json_pairs(spark):
     assert rows == {
         (1, "a"): "1",
         (1, "b"): "x",
-        (2, "nested"): '{"c": 2}',
-        (2, "arr"): "[1, 2]",
+        # compact separators: canonical minified JSON, byte-identical to
+        # DuckDB's json_extract rendering (r10 adversarial sweep)
+        (2, "nested"): '{"c":2}',
+        (2, "arr"): "[1,2]",
     }
 
 

@@ -143,8 +143,9 @@ def test_udtf_scalar_rendering_is_json_faithful():
     assert _render("plain") == "plain"  # bare, jsonb_each-style
     assert _render(42) == "42"
     assert _render(1.5) == "1.5"
-    assert _render([1, 2]) == "[1, 2]"
-    assert _render({"a": 1}) == '{"a": 1}'
+    # containers render COMPACT (minified, DuckDB-json_extract-identical)
+    assert _render([1, 2]) == "[1,2]"
+    assert _render({"a": 1}) == '{"a":1}'
 
 
 def test_udtf_json_pairs_end_to_end_bool_null(spark):

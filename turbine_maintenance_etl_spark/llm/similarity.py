@@ -69,7 +69,17 @@ def _nonzero_vectors(df: DataFrame, vec_alias: str) -> DataFrame:
     plane dot is 0/NULL), turning e.g. millions of empty-text embeddings
     into a quadratic mega-bucket."""
     v = F.col(vec_alias)
-    return df.filter(v.isNotNull() & (_norm(v) > 0))
+    # ~isnan: a vector with a NaN element has norm NaN, and NaN > 0 is
+    # TRUE under Spark's (and DuckDB's) NaN-is-largest comparison
+    # semantics — left in, its NaN cosine ranks FIRST in every DESC
+    # top-k and the corrupt vector becomes everyone's nearest neighbor
+    # (r10 adversarial sweep). The norm lands in a projection so the
+    # interpreted O(dim) aggregate runs once per row, not per predicate.
+    return (
+        df.withColumn("_vnorm", _norm(v))
+        .filter(v.isNotNull() & ~F.isnan("_vnorm") & (F.col("_vnorm") > 0))
+        .drop("_vnorm")
+    )
 
 
 def _guard_query_count(queries: DataFrame, max_queries: int | None, op: str) -> None:

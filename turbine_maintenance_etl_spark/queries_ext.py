@@ -314,14 +314,22 @@ def dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (
+        -- NULL elements become NaN so list_inner_product never raises
+        -- (same guard as the sim_* oracles); the NaN cosine is then
+        -- dropped by the isnan filter below, like the engine's
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> coalesce(x, 'nan'::DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_dot_product(a.v, b.v)
                      / NULLIF(sqrt(list_dot_product(a.v, a.v))
                               * sqrt(list_dot_product(b.v, b.v)), 0), 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.6
+    SELECT id_a, id_b, cosine FROM pairs
+    WHERE NOT isnan(cosine) AND cosine >= 0.6
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +349,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(S.cosine_expr(F.col("va"), F.col("vb")), 6)
     return (
         pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.6)
+        # ~isnan: NaN >= 0.6 is TRUE under NaN-is-largest comparison
+        # semantics (both engines), so a corrupt NaN-element vector
+        # would otherwise pair with EVERY other vector (r10 sweep)
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= 0.6))
         .select("id_a", "id_b", "cosine")
     )
 

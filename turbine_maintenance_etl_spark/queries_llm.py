@@ -249,10 +249,21 @@ _COS = (
 @register(
     "sim_brute_force_topk",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
+    WITH e AS (SELECT vec_id, v FROM (
+                   -- NULL elements become NaN BEFORE any dot product:
+                   -- DuckDB's list_inner_product RAISES on a NULL
+                   -- element (and SQL gives no conjunct-order
+                   -- guarantee to guard it), while the engine's norm
+                   -- aggregate nulls out; the isnan filter then drops
+                   -- NaN-element vectors on both engines, whose NaN
+                   -- cosine would rank FIRST under NaN-is-largest
+                   -- ordering (r10 adversarial sweep)
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -281,10 +292,21 @@ def _lsh_topk_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
         for i, plane in enumerate(planes)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
+    WITH e AS (SELECT vec_id, v FROM (
+                   -- NULL elements become NaN BEFORE any dot product:
+                   -- DuckDB's list_inner_product RAISES on a NULL
+                   -- element (and SQL gives no conjunct-order
+                   -- guarantee to guard it), while the engine's norm
+                   -- aggregate nulls out; the isnan filter then drops
+                   -- NaN-element vectors on both engines, whose NaN
+                   -- cosine would rank FIRST under NaN-is-largest
+                   -- ordering (r10 adversarial sweep)
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0),
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 25),
     scored AS (
@@ -328,10 +350,21 @@ def _ivf_sampled_oracle(
 ) -> str:
     cos = _COS
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
+    WITH e AS (SELECT vec_id, v FROM (
+                   -- NULL elements become NaN BEFORE any dot product:
+                   -- DuckDB's list_inner_product RAISES on a NULL
+                   -- element (and SQL gives no conjunct-order
+                   -- guarantee to guard it), while the engine's norm
+                   -- aggregate nulls out; the isnan filter then drops
+                   -- NaN-element vectors on both engines, whose NaN
+                   -- cosine would rank FIRST under NaN-is-largest
+                   -- ordering (r10 adversarial sweep)
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0),
     nz AS (SELECT vec_id, v FROM e
            WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
     ord AS (
@@ -949,10 +982,21 @@ def _pq_sampled_oracle(
         for j in range(1, dsub + 1)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
+    WITH e AS (SELECT vec_id, v FROM (
+                   -- NULL elements become NaN BEFORE any dot product:
+                   -- DuckDB's list_inner_product RAISES on a NULL
+                   -- element (and SQL gives no conjunct-order
+                   -- guarantee to guard it), while the engine's norm
+                   -- aggregate nulls out; the isnan filter then drops
+                   -- NaN-element vectors on both engines, whose NaN
+                   -- cosine would rank FIRST under NaN-is-largest
+                   -- ordering (r10 adversarial sweep)
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0),
     nz AS (SELECT vec_id, v FROM e
            WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
     smp AS (
@@ -1048,10 +1092,21 @@ def _ivfpq_sampled_oracle(
         "[" + ", ".join(f"actr.cv[{i}] + rr.rr[{i}]" for i in range(1, dim + 1)) + "]"
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
+    WITH e AS (SELECT vec_id, v FROM (
+                   -- NULL elements become NaN BEFORE any dot product:
+                   -- DuckDB's list_inner_product RAISES on a NULL
+                   -- element (and SQL gives no conjunct-order
+                   -- guarantee to guard it), while the engine's norm
+                   -- aggregate nulls out; the isnan filter then drops
+                   -- NaN-element vectors on both engines, whose NaN
+                   -- cosine would rank FIRST under NaN-is-largest
+                   -- ordering (r10 adversarial sweep)
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0),
     nz AS (SELECT vec_id, v FROM e
            WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
     ord AS (
@@ -1691,10 +1746,21 @@ def _semantic_dedup_oracle(
         for i, plane in enumerate(planes)
     )
     return f"""
-    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
+    WITH RECURSIVE e AS (SELECT vec_id, v FROM (
+                   -- NULL elements become NaN BEFORE any dot product:
+                   -- DuckDB's list_inner_product RAISES on a NULL
+                   -- element (and SQL gives no conjunct-order
+                   -- guarantee to guard it), while the engine's norm
+                   -- aggregate nulls out; the isnan filter then drops
+                   -- NaN-element vectors on both engines, whose NaN
+                   -- cosine would rank FIRST under NaN-is-largest
+                   -- ordering (r10 adversarial sweep)
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0),
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     pairs AS (
         SELECT a.vec_id AS id_a, bb.vec_id AS id_b
@@ -1830,10 +1896,21 @@ def _multiprobe_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42, k: in
     )
     probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(num_planes)])
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
+    WITH e AS (SELECT vec_id, v FROM (
+                   -- NULL elements become NaN BEFORE any dot product:
+                   -- DuckDB's list_inner_product RAISES on a NULL
+                   -- element (and SQL gives no conjunct-order
+                   -- guarantee to guard it), while the engine's norm
+                   -- aggregate nulls out; the isnan filter then drops
+                   -- NaN-element vectors on both engines, whose NaN
+                   -- cosine would rank FIRST under NaN-is-largest
+                   -- ordering (r10 adversarial sweep)
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0),
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv,
                  UNNEST([{probe_list}]) AS bucket
