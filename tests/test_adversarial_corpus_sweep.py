@@ -78,6 +78,22 @@ def _adversarial_events(base: pd.DataFrame) -> pd.DataFrame:
         # whole-second and .999999 boundary timestamps
         (900010, pd.Timestamp("2024-01-15 13:00:00"), 6, "view", 50.0, '{"k": 10}'),
         (900011, pd.Timestamp("2024-01-15 13:59:59.999999"), 6, "view", -5.25, '{"k": 11}'),
+        # r10 review regressions: a UBIGINT that overflows int64 (Spark
+        # from_json -> NULL, a plain oracle CAST raised), a duplicated
+        # key (json.loads keeps the LAST value), a key containing a
+        # double-quote (path concatenation built malformed JSON paths),
+        # and valid-but-non-object JSON (the UDTF emits no rows)
+        (900012, t0 + pd.Timedelta("8min"), 7, "view", 15.0,
+         '{"k": 18446744073709551615}'),
+        (900013, t0 + pd.Timedelta("9min"), 7, "view", 16.0, '{"k": 1, "k": 2}'),
+        (900014, t0 + pd.Timedelta("10min"), 8, "view", 17.0, '{"a\\"b": 5}'),
+        (900015, t0 + pd.Timedelta("11min"), 8, "view", 18.0, "[1, 2]"),
+        (900016, t0 + pd.Timedelta("12min"), 9, "view", 19.0, "7"),
+        # a user whose EVERY event has NULL event_type: the filtered
+        # DISTINCT-list aggregate sees zero rows (NULL) while
+        # collect_set yields [] -> ''/0
+        (900017, t0 + pd.Timedelta("13min"), 20, None, 20.0, '{"k": 17}'),
+        (900018, t0 + pd.Timedelta("14min"), 20, None, 21.0, '{"k": 18}'),
     ]
     adv = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -198,7 +214,9 @@ def _pdf_with_null_nan_distinction(arrow_table) -> pd.DataFrame:
     cols = {}
     for field, col in zip(arrow_table.schema, arrow_table.columns):
         if pa.types.is_floating(field.type) and col.null_count:
-            col = pc.fill_null(col, _NULL_SENTINEL)
+            # widen to float64 first: fill_null on a float32 column
+            # silently overflows the sentinel to -inf (r10 review)
+            col = pc.fill_null(col.cast(pa.float64()), _NULL_SENTINEL)
         cols[field.name] = col
     return pa.table(cols).to_pandas()
 

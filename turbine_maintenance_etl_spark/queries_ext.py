@@ -777,13 +777,25 @@ def p_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_json_struct_parse",
     """
     SELECT event_id,
-           CASE WHEN json_valid(props)
+           -- TRY_CAST, not CAST: a UBIGINT in [2^63, 2^64) passes the
+           -- json_type guard but overflows BIGINT — Spark's from_json
+           -- yields NULL there, a plain CAST raises (r10 review)
+           -- the validity mirror includes a top-level duplicate-key
+           -- check: Spark's VARIANT parser (try_parse_json, the strict
+           -- gate both engine entries share) REJECTS duplicated field
+           -- names, DuckDB's json_valid accepts them (r10 review;
+           -- nested duplicates are out of fixture scope)
+           CASE WHEN (json_valid(props) AND (json_type(TRY_CAST(props AS JSON)) <> 'OBJECT'
+                 OR len(json_keys(TRY_CAST(props AS JSON)))
+                    = len(list_distinct(json_keys(TRY_CAST(props AS JSON))))))
                      AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
            END AS k_typed,
-           CASE WHEN json_valid(props)
+           CASE WHEN (json_valid(props) AND (json_type(TRY_CAST(props AS JSON)) <> 'OBJECT'
+                 OR len(json_keys(TRY_CAST(props AS JSON)))
+                    = len(list_distinct(json_keys(TRY_CAST(props AS JSON))))))
                      AND json_type(props, '$.missing') IN ('BIGINT', 'UBIGINT')
-                THEN CAST(json_extract_string(props, '$.missing') AS BIGINT)
+                THEN TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
            END AS missing_field
     FROM events
     """,
@@ -815,13 +827,21 @@ def f_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_variant_semistructured",
     """
     SELECT event_id,
-           CASE WHEN json_valid(props)
+           -- same strict-validity mirror as f_json_struct_parse:
+           -- variant ingestion rejects top-level duplicate keys
+           CASE WHEN (json_valid(props) AND (json_type(TRY_CAST(props AS JSON)) <> 'OBJECT'
+                 OR len(json_keys(TRY_CAST(props AS JSON)))
+                    = len(list_distinct(json_keys(TRY_CAST(props AS JSON))))))
                 THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
            END AS k_typed,
-           CASE WHEN json_valid(props)
+           CASE WHEN (json_valid(props) AND (json_type(TRY_CAST(props AS JSON)) <> 'OBJECT'
+                 OR len(json_keys(TRY_CAST(props AS JSON)))
+                    = len(list_distinct(json_keys(TRY_CAST(props AS JSON))))))
                 THEN TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
            END AS missing_field,
-           CAST(json_valid(props) AS BIGINT) AS is_valid
+           CAST((json_valid(props) AND (json_type(TRY_CAST(props AS JSON)) <> 'OBJECT'
+                 OR len(json_keys(TRY_CAST(props AS JSON)))
+                    = len(list_distinct(json_keys(TRY_CAST(props AS JSON)))))) AS BIGINT) AS is_valid
     FROM events
     """,
 )
@@ -880,10 +900,16 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_collect_array_suite",
     """
     SELECT user_id,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',')  AS types_seen,
            -- FILTER mirrors Spark's collect_set, which DROPS NULLs;
-           -- DuckDB's DISTINCT list keeps one (r10 adversarial sweep)
-           CAST(len(list(DISTINCT event_type) FILTER (event_type IS NOT NULL))
+           -- the COALESCEs cover a group whose every event_type is
+           -- NULL: the filtered aggregate sees zero rows and returns
+           -- NULL, while Spark's collect_set yields [] -> ''/0
+           -- (r10 adversarial sweep + review)
+           COALESCE(array_to_string(list_sort(
+               list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), ','),
+               '')                                                     AS types_seen,
+           CAST(COALESCE(len(
+               list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), 0)
                 AS INT)                                                AS n_types,
            array_to_string(list_sort(list(event_id))[1:3], ',')        AS first3_events
     FROM events
@@ -950,12 +976,28 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_json_pairs",
     """
-    SELECT event_id, u.k AS key,
-           COALESCE(json_extract_string(props, '$."' || u.k || '"'),
-                    CAST(json_extract(props, '$."' || u.k || '"') AS VARCHAR))
-               AS value
-    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
-          FROM events WHERE json_valid(props)) u
+    WITH parsed AS (
+        -- MAP cast instead of '$."k"' path concatenation: a key
+        -- containing a double-quote builds a malformed JSON path and
+        -- RAISES (r10 review); map_entries preserves exotic keys and
+        -- source order verbatim
+        SELECT event_id,
+               map_entries(CAST(props::JSON AS MAP(VARCHAR, JSON))) AS ents
+        FROM events
+        WHERE json_valid(props) AND json_type(props) = 'OBJECT'),
+    flat AS (
+        SELECT event_id, i, ents[i].key AS k, ents[i].value AS jv
+        FROM parsed, UNNEST(generate_series(1, len(ents))) AS u(i)),
+    lastwins AS (
+        -- json.loads keeps the LAST value of a duplicated key; the MAP
+        -- cast keeps every entry, so rank per key and keep the last
+        SELECT event_id, k, jv,
+               ROW_NUMBER() OVER (PARTITION BY event_id, k
+                                  ORDER BY i DESC) AS rn
+        FROM flat)
+    SELECT event_id, k AS key,
+           COALESCE(json_extract_string(jv, '$'), CAST(jv AS VARCHAR)) AS value
+    FROM lastwins WHERE rn = 1
     """,
 )
 def udtf_json_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,20 @@ from turbine_maintenance_etl_spark.util import ensure_parallelism
 _DUCK_TOKS = (
     r"coalesce(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), [])"
 )
+# Shared sanitized-vector CTE body for every embeddings oracle (one
+# definition, not seven copies — r10 review): NULL elements become NaN
+# BEFORE any dot product (DuckDB's list_inner_product RAISES on a NULL
+# element, and SQL gives no conjunct-order guarantee to guard it, while
+# the engine's norm aggregate nulls out), then the isnan/positive-norm
+# filter drops NaN-element, zero and NULL vectors — byte-identical
+# exclusions to the engine's _nonzero_vectors.
+_DUCK_VECS = """(SELECT vec_id, v FROM (
+                   SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+               WHERE NOT isnan(list_dot_product(v, v))
+                 AND list_dot_product(v, v) > 0)"""
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
     " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
@@ -249,21 +263,7 @@ _COS = (
 @register(
     "sim_brute_force_topk",
     f"""
-    WITH e AS (SELECT vec_id, v FROM (
-                   -- NULL elements become NaN BEFORE any dot product:
-                   -- DuckDB's list_inner_product RAISES on a NULL
-                   -- element (and SQL gives no conjunct-order
-                   -- guarantee to guard it), while the engine's norm
-                   -- aggregate nulls out; the isnan filter then drops
-                   -- NaN-element vectors on both engines, whose NaN
-                   -- cosine would rank FIRST under NaN-is-largest
-                   -- ordering (r10 adversarial sweep)
-                   SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL)
-               WHERE NOT isnan(list_dot_product(v, v))
-                 AND list_dot_product(v, v) > 0),
+    WITH e AS {_DUCK_VECS},
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -292,21 +292,7 @@ def _lsh_topk_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
         for i, plane in enumerate(planes)
     )
     return f"""
-    WITH e AS (SELECT vec_id, v FROM (
-                   -- NULL elements become NaN BEFORE any dot product:
-                   -- DuckDB's list_inner_product RAISES on a NULL
-                   -- element (and SQL gives no conjunct-order
-                   -- guarantee to guard it), while the engine's norm
-                   -- aggregate nulls out; the isnan filter then drops
-                   -- NaN-element vectors on both engines, whose NaN
-                   -- cosine would rank FIRST under NaN-is-largest
-                   -- ordering (r10 adversarial sweep)
-                   SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL)
-               WHERE NOT isnan(list_dot_product(v, v))
-                 AND list_dot_product(v, v) > 0),
+    WITH e AS {_DUCK_VECS},
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 25),
     scored AS (
@@ -350,23 +336,8 @@ def _ivf_sampled_oracle(
 ) -> str:
     cos = _COS
     return f"""
-    WITH e AS (SELECT vec_id, v FROM (
-                   -- NULL elements become NaN BEFORE any dot product:
-                   -- DuckDB's list_inner_product RAISES on a NULL
-                   -- element (and SQL gives no conjunct-order
-                   -- guarantee to guard it), while the engine's norm
-                   -- aggregate nulls out; the isnan filter then drops
-                   -- NaN-element vectors on both engines, whose NaN
-                   -- cosine would rank FIRST under NaN-is-largest
-                   -- ordering (r10 adversarial sweep)
-                   SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL)
-               WHERE NOT isnan(list_dot_product(v, v))
-                 AND list_dot_product(v, v) > 0),
-    nz AS (SELECT vec_id, v FROM e
-           WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
+    WITH e AS {_DUCK_VECS},
+    nz AS (SELECT vec_id, v FROM e),  -- e is already sanitized (_DUCK_VECS)
     ord AS (
         SELECT vec_id, v,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -982,23 +953,8 @@ def _pq_sampled_oracle(
         for j in range(1, dsub + 1)
     )
     return f"""
-    WITH e AS (SELECT vec_id, v FROM (
-                   -- NULL elements become NaN BEFORE any dot product:
-                   -- DuckDB's list_inner_product RAISES on a NULL
-                   -- element (and SQL gives no conjunct-order
-                   -- guarantee to guard it), while the engine's norm
-                   -- aggregate nulls out; the isnan filter then drops
-                   -- NaN-element vectors on both engines, whose NaN
-                   -- cosine would rank FIRST under NaN-is-largest
-                   -- ordering (r10 adversarial sweep)
-                   SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL)
-               WHERE NOT isnan(list_dot_product(v, v))
-                 AND list_dot_product(v, v) > 0),
-    nz AS (SELECT vec_id, v FROM e
-           WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
+    WITH e AS {_DUCK_VECS},
+    nz AS (SELECT vec_id, v FROM e),  -- e is already sanitized (_DUCK_VECS)
     smp AS (
         SELECT v,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -1092,23 +1048,8 @@ def _ivfpq_sampled_oracle(
         "[" + ", ".join(f"actr.cv[{i}] + rr.rr[{i}]" for i in range(1, dim + 1)) + "]"
     )
     return f"""
-    WITH e AS (SELECT vec_id, v FROM (
-                   -- NULL elements become NaN BEFORE any dot product:
-                   -- DuckDB's list_inner_product RAISES on a NULL
-                   -- element (and SQL gives no conjunct-order
-                   -- guarantee to guard it), while the engine's norm
-                   -- aggregate nulls out; the isnan filter then drops
-                   -- NaN-element vectors on both engines, whose NaN
-                   -- cosine would rank FIRST under NaN-is-largest
-                   -- ordering (r10 adversarial sweep)
-                   SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL)
-               WHERE NOT isnan(list_dot_product(v, v))
-                 AND list_dot_product(v, v) > 0),
-    nz AS (SELECT vec_id, v FROM e
-           WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0),
+    WITH e AS {_DUCK_VECS},
+    nz AS (SELECT vec_id, v FROM e),  -- e is already sanitized (_DUCK_VECS)
     ord AS (
         SELECT vec_id, v,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -1746,21 +1687,7 @@ def _semantic_dedup_oracle(
         for i, plane in enumerate(planes)
     )
     return f"""
-    WITH RECURSIVE e AS (SELECT vec_id, v FROM (
-                   -- NULL elements become NaN BEFORE any dot product:
-                   -- DuckDB's list_inner_product RAISES on a NULL
-                   -- element (and SQL gives no conjunct-order
-                   -- guarantee to guard it), while the engine's norm
-                   -- aggregate nulls out; the isnan filter then drops
-                   -- NaN-element vectors on both engines, whose NaN
-                   -- cosine would rank FIRST under NaN-is-largest
-                   -- ordering (r10 adversarial sweep)
-                   SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL)
-               WHERE NOT isnan(list_dot_product(v, v))
-                 AND list_dot_product(v, v) > 0),
+    WITH RECURSIVE e AS {_DUCK_VECS},
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     pairs AS (
         SELECT a.vec_id AS id_a, bb.vec_id AS id_b
@@ -1896,21 +1823,7 @@ def _multiprobe_oracle(dim: int = 64, num_planes: int = 6, seed: int = 42, k: in
     )
     probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(num_planes)])
     return f"""
-    WITH e AS (SELECT vec_id, v FROM (
-                   -- NULL elements become NaN BEFORE any dot product:
-                   -- DuckDB's list_inner_product RAISES on a NULL
-                   -- element (and SQL gives no conjunct-order
-                   -- guarantee to guard it), while the engine's norm
-                   -- aggregate nulls out; the isnan filter then drops
-                   -- NaN-element vectors on both engines, whose NaN
-                   -- cosine would rank FIRST under NaN-is-largest
-                   -- ordering (r10 adversarial sweep)
-                   SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> coalesce(x, 'nan'::DOUBLE)) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL)
-               WHERE NOT isnan(list_dot_product(v, v))
-                 AND list_dot_product(v, v) > 0),
+    WITH e AS {_DUCK_VECS},
     b AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv,
                  UNNEST([{probe_list}]) AS bucket
