@@ -1293,6 +1293,29 @@ def test_asof_join_null_and_tie_semantics(spark):
         asof_join(left, right, on=[])
 
 
+def test_asof_join_right_tie_cols_prefer_max(spark):
+    """right_tie_cols makes the LARGEST value tuple at a tied (key, ts)
+    the as-of winner — the in-window equivalent of pre-collapsing the
+    right side with groupBy(key, ts).max, minus its second shuffle (the
+    j_asof_join entry relies on this to stay single-exchange). NULL
+    values sort first, so any real value beats NULL at the tie."""
+    from turbine_maintenance_etl_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10), ("k", 4)], "key string, ts int")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 5, 9.0), ("k", 5, None), ("k", 2, 3.0)],
+        "key string, ts int, v double",
+    )
+    got = {
+        (r["key"], r["ts"]): r["asof_v"]
+        for r in asof_join(
+            left, right, on=["key"], tie_break="ts", right_tie_cols=["v"]
+        ).collect()
+    }
+    assert got[("k", 10)] == 9.0   # max of the tie at ts=5, not NULL/1.0
+    assert got[("k", 4)] == 3.0    # untied rows unaffected
+
+
 def test_range_join_left_no_row_ids_and_explosion_cap(spark):
     """The left path carries the range predicate inside ONE outer join
     (no synthetic row ids — monotonically_increasing_id is not stable

@@ -42,12 +42,24 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     tie_break: str | None = None,
+    right_tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Returns ``left`` with each of ``value_cols`` (default: every right
     column except keys/ts) carrying the latest right-side value as of the
     left row's timestamp (NULL when no right row precedes it).
     ``tie_break`` optionally names a unique left column used to keep the
-    window order fully deterministic."""
+    window order fully deterministic.
+
+    ``right_tie_cols`` optionally names right VALUE columns that decide
+    which of several right rows sharing one (key, ts) wins: they sort
+    ascending with NULLs first, so the row with the LARGEST tuple is the
+    one forward-filled (e.g. ``["price"]`` makes the max-price quote at
+    a tied timestamp the as-of state). This expresses the
+    collapse-ties-to-max contract INSIDE the single window pass — the
+    equivalent pre-aggregation (groupBy key, ts -> max) costs a second
+    shuffle because it hash-partitions on (key, ts) while the window
+    partitions on the key alone (r10 plan audit). The content hash
+    stays as the final disambiguator for fully identical rows."""
     if not on:
         # partitionBy() with no columns is a single-partition global
         # sort of the entire union — the exact 100 TB failure mode this
@@ -104,6 +116,11 @@ def asof_join(
     order = [
         F.col("_ts").asc(),
         F.col("_side").asc(),
+        # caller-preferred tie winners first (largest tuple sorts last
+        # and wins the forward fill); left rows carry a NULL struct, so
+        # these keys are constant within the left side and cannot
+        # perturb its ordering
+        *[F.col("_rv")[c].asc_nulls_first() for c in (right_tie_cols or [])],
         value_tiebreak_hash(F.col("_rv"), rv_type).asc(),
     ]
     if tie_break:

@@ -412,20 +412,27 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (last purchase value as of each event) via the
     union+forward-fill-window operator — single shuffle, no range-join
-    blowup; oracle is DuckDB's native ASOF LEFT JOIN. The right side is
-    collapsed to one row per (user_id, ts) — max value — on BOTH
-    engines (r10 review): DuckDB's ASOF has no tie-break for duplicate
-    right timestamps, so un-collapsed ties would compare an arbitrary
-    oracle pick against Spark's deterministic content-hash pick."""
+    blowup; oracle is DuckDB's native ASOF LEFT JOIN. Tied purchases at
+    one (user_id, ts) resolve to the MAX value on BOTH engines (r10
+    review — DuckDB's ASOF has no tie-break): the oracle pre-collapses
+    with GROUP BY, the engine expresses the same preference INSIDE the
+    window pass via ``right_tie_cols`` — a pre-aggregation here would
+    hash-partition on (user_id, ts) and cost a second exchange the
+    window (partitioned on user_id alone) cannot reuse (r10 plan
+    audit; plan pinned back to ONE shuffle)."""
     from turbine_maintenance_etl_spark.ops.asof import asof_join
 
     e = _t(spark, sf_dir, "events")
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("last_purchase_value"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
     )
-    joined = asof_join(e, purchases, on=["user_id"], tie_break="event_id")
+    joined = asof_join(
+        e,
+        purchases,
+        on=["user_id"],
+        tie_break="event_id",
+        right_tie_cols=["last_purchase_value"],
+    )
     return joined.select(
         "event_id", "user_id", F.col("asof_last_purchase_value").alias("last_purchase_value")
     )
