@@ -574,15 +574,27 @@ def resolve_duplicate_clusters(
         "label", F.col("node")
     )
     for _ in range(max_iter):
-        # hop: label each node with min(own, neighbors') labels
+        # hop: label each node with min(own, neighbors') labels. The
+        # node's PREVIOUS label rides along as `_old` (present on the
+        # own-row only — min() ignores the neighbor rows' NULLs), so the
+        # convergence check below never needs to join this round's
+        # output back against `labels`: that join cost two extra
+        # exchanges + a rescan of both checkpoints EVERY round (r10
+        # optimization — the per-round count is now a narrow filter of
+        # the round's own checkpoint).
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
+            .select(
+                F.col("src").alias("node"),
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias("_old"),
+            )
         )
         hopped = (
-            labels.unionByName(neighbor_labels)
+            labels.withColumn("_old", F.col("label"))
+            .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
         )
         # jump: label := label's label (pointer jumping -> log convergence)
         parent = hopped.select(
@@ -593,6 +605,7 @@ def resolve_duplicate_clusters(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("p_label", "label")).alias("new_label"),
+                "_old",
             )
         )
         # checkpoint FIRST: one materialization per round serves both the
@@ -602,15 +615,15 @@ def resolve_duplicate_clusters(
         # candidate-pair pipeline (caught by the PLANS.md exchange count:
         # 19 shuffles in the consumer's plan vs 0 from a checkpoint).
         new_labels = barrier(
-            jumped.select("node", F.col("new_label").alias("label")),
+            jumped.select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("_old")).alias("_chg"),
+            ),
             "dedup-labels",
         )
-        changed = (
-            labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
-            .filter(F.col("label") != F.col("new_label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

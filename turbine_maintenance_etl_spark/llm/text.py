@@ -35,6 +35,35 @@ def bind_once(col: Column, f) -> Column:
     return F.transform(F.array(col), f)[0]
 
 
+import re as _re
+
+_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def sqlref(col: str) -> str:
+    """SQL text for a string column argument: a plain identifier is
+    backtick-quoted (the historical ``F.col(name)`` semantics); anything
+    else is passed through as a SQL expression fragment, which is how
+    the string-built internals compose (e.g. ``lower(`text`)``)."""
+    return f"`{col}`" if _IDENT_RE.match(col) else col
+
+
+def tokens_sql(col_sql: str) -> str:
+    """SQL text of the whitespace tokenizer over a column expression.
+
+    The hot builders in this package construct their expressions as ONE
+    SQL string parsed by a single ``F.expr`` call instead of hundreds of
+    per-operator py4j round-trips: measured r10, a 4-operator Column
+    chain costs ~20 ms of driver time and one higher-order-function
+    lambda ~70 ms, while parsing an equivalent expression string costs
+    ~3-5 ms total — the analyzed plan (and therefore every result and
+    physical plan) is identical, only the construction path changes."""
+    return (
+        "coalesce(filter(split(" + col_sql + r", '\\s+'), x -> x != ''), "
+        "cast(array() as array<string>))"
+    )
+
+
 def tokens_expr(text: Column | str) -> Column:
     """Whitespace tokens with empties dropped — split + higher-order
     ``filter``, no UDF. TOTAL: NULL text yields an EMPTY array, never
@@ -43,9 +72,12 @@ def tokens_expr(text: Column | str) -> Column:
     every downstream count/ratio (n_tokens = -1, stopword_ratio = 1.0,
     language scores = (-1)/(-1) = 1.0 'english') instead of reading as
     the empty document it is."""
-    col = F.col(text) if isinstance(text, str) else text
+    if isinstance(text, str):
+        return F.expr(tokens_sql(sqlref(text)))
+    # Column-typed input: legacy construction (API compat; all internal
+    # hot paths pass strings and take the single-parse route above)
     return F.coalesce(
-        F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")),
+        F.filter(F.split(text, r"\s+"), lambda x: x != F.lit("")),
         F.array().cast("array<string>"),
     )
 
@@ -62,14 +94,20 @@ def bpe_ish_token_count_expr(text: Column | str) -> Column:
     """BPE-ish token estimate: count regex word-pieces (runs of letters,
     digits, or single punctuation) — a deterministic stand-in for a real
     subword tokenizer, still codegen'd JVM-side."""
-    col = F.col(text) if isinstance(text, str) else text
-    pieces = F.filter(
-        F.split(F.regexp_replace(col, r"([^\sA-Za-z0-9]|\d+)", r" $1 "), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
     # same coalesce guard as tokens_expr (r10 review): NULL text must
     # count 0 pieces, not legacy size(NULL) = -1 under the ANSI-off
     # session — a -1 token count poisons every downstream sum/average
+    if isinstance(text, str):
+        return F.expr(
+            "size(" + tokens_sql(
+                "regexp_replace(" + sqlref(text)
+                + r", '([^\\sA-Za-z0-9]|\\d+)', ' $1 ')"
+            ) + ")"
+        )
+    pieces = F.filter(
+        F.split(F.regexp_replace(text, r"([^\sA-Za-z0-9]|\d+)", r" $1 "), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
     return F.size(F.coalesce(pieces, F.array().cast("array<string>")))
 
 
@@ -86,22 +124,25 @@ def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     signal on multi-space/newline/indented text, precisely the
     boilerplate the signal exists to flag. NULL text reads as an empty
     document: n_tokens 0, ratios NULL."""
-    t = F.col(text_col)
-    toks = tokens_expr(t)
-    n_tok = F.size(toks)
-    n_char = F.length(t)
-    sw = STOPWORDS["en"]
-    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*sw)))
-    n_nonspace = F.length(F.regexp_replace(t, r"\s", ""))
-    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
-    safe_tok = F.nullif(n_tok.cast("double"), F.lit(0.0))
-    return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("mean_token_len", F.round(n_nonspace / safe_tok, 4))
-        .withColumn("punct_ratio", F.round(n_punct / F.nullif(n_char.cast("double"), F.lit(0.0)), 4))
-        .withColumn("stopword_ratio", F.round(n_stop / safe_tok, 4))
-        .withColumn("upper_ratio", F.round(n_upper / F.nullif(n_char.cast("double"), F.lit(0.0)), 4))
+    t = sqlref(text_col)
+    toks = tokens_sql(t)
+    n_tok = "size(" + toks + ")"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_stop = "size(filter(" + toks + ", x -> lower(x) IN (" + sw + ")))"
+    n_nonspace = "length(regexp_replace(" + t + r", '\\s', ''))"
+    n_punct = "length(regexp_replace(" + t + ", '[^.,;:!?]', ''))"
+    n_upper = "length(regexp_replace(" + t + ", '[^A-Z]', ''))"
+    safe_tok = "nullif(cast(" + n_tok + " as double), 0.0D)"
+    safe_char = "nullif(cast(length(" + t + ") as double), 0.0D)"
+    # one F.expr per output column (single-parse construction — see
+    # tokens_sql); the same Project node the old withColumn chain built
+    return df.select(
+        "*",
+        F.expr(n_tok + " AS n_tokens"),
+        F.expr(f"round({n_nonspace} / {safe_tok}, 4) AS mean_token_len"),
+        F.expr(f"round({n_punct} / {safe_char}, 4) AS punct_ratio"),
+        F.expr(f"round({n_stop} / {safe_tok}, 4) AS stopword_ratio"),
+        F.expr(f"round({n_upper} / {safe_char}, 4) AS upper_ratio"),
     )
 
 
@@ -109,18 +150,25 @@ def add_language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID. Emits ``score_{lang}`` per language
     and an argmax ``lang_pred`` ('und' when every score is 0).
     Deterministic tie-break: language order en > de > es > fr."""
-    toks = F.array_distinct(tokens_expr(F.lower(F.col(text_col))))
-    n = F.nullif(F.size(toks).cast("double"), F.lit(0.0))
-    out = df
+    toks = "array_distinct(" + tokens_sql("lower(" + sqlref(text_col) + ")") + ")"
+    n = "nullif(cast(size(" + toks + ") as double), 0.0D)"
     langs = list(STOPWORDS)
+    score_exprs = []
     for lang, words in STOPWORDS.items():
-        hits = F.size(F.filter(toks, lambda x: x.isin(*words)))
-        out = out.withColumn(f"score_{lang}", F.round(hits / n, 4))
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    expr = F.when(best.isNull() | (best == 0), F.lit("und"))
-    for lang in langs:  # when-chain order == deterministic tie-break order
-        expr = expr.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return out.withColumn("lang_pred", expr)
+        wl = ", ".join(f"'{w}'" for w in words)
+        hits = "size(filter(" + toks + ", x -> x IN (" + wl + ")))"
+        score_exprs.append(F.expr(f"round({hits} / {n}, 4) AS score_{lang}"))
+    out = df.select("*", *score_exprs)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )  # WHEN order == deterministic tie-break order
+    return out.withColumn(
+        "lang_pred",
+        F.expr(
+            f"CASE WHEN {best} IS NULL OR {best} = 0 THEN 'und' {cases} END"
+        ),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
@@ -133,9 +181,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     never md5('') — same doctrine as simhash (r10 adversarial sweep): a
     contentless doc has nothing to fingerprint, and a shared empty-hash
     would collapse every such doc into one dedup class."""
-    toks = tokens_expr(text_col)
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
-    return df.withColumn(out_col, F.when(F.size(toks) > 0, F.md5(canon)))
+    toks = tokens_sql(sqlref(text_col))
+    canon = "md5(concat_ws(' ', array_sort(array_distinct(" + toks + "))))"
+    return df.withColumn(
+        out_col, F.expr(f"CASE WHEN size({toks}) > 0 THEN {canon} END")
+    )
 
 
 def tfidf_top_terms(
@@ -293,28 +343,25 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens_expr(text_col)
-
-    def windows(t: Column) -> Column:
-        raw = F.when(F.size(t) > 0, F.sequence(F.lit(1), F.size(t), F.lit(stride))).otherwise(
-            F.array().cast("array<int>")
-        )
-        # drop tail starts whose window adds no new tokens (fully inside
-        # the previous chunk's coverage)
-        starts = F.filter(raw, lambda s: (s == 1) | (s + overlap <= F.size(t)))
-        # chunk_tokens by SLICE GEOMETRY (r10 review): the count is
-        # min(chunk_tokens, n - s + 1) by construction, so re-splitting
-        # the rebuilt text (a second regexp pass per chunk on the
-        # corpus-wide hot path) computed a number we already had
-        return F.transform(
-            starts,
-            lambda s: F.struct(
-                F.concat_ws(" ", F.slice(t, s, chunk_tokens)).alias("text"),
-                F.least(F.lit(chunk_tokens), F.size(t) - s + 1).alias("n"),
-            ),
-        )
-
-    chunks = bind_once(toks, windows)
+    toks = tokens_sql(sqlref(text_col))
+    # raw starts -> drop tail starts whose window adds no new tokens
+    # (fully inside the previous chunk's coverage); chunk_tokens by
+    # SLICE GEOMETRY (r10 review): the count is min(chunk_tokens,
+    # n - s + 1) by construction. One expression string, bound once per
+    # row via the transform(array(...))[0] trick (bind_once's shape).
+    raw = (
+        f"CASE WHEN size(t) > 0 THEN sequence(1, size(t), {stride}) "
+        "ELSE cast(array() as array<int>) END"
+    )
+    starts = f"filter({raw}, s -> s = 1 OR s + {overlap} <= size(t))"
+    window_struct = (
+        f"named_struct('text', concat_ws(' ', slice(t, s, {chunk_tokens})), "
+        f"'n', least({chunk_tokens}, size(t) - s + 1))"
+    )
+    chunks = F.expr(
+        f"transform(array({toks}), t -> "
+        f"transform({starts}, s -> {window_struct}))[0]"
+    )
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
     ).select(
@@ -404,12 +451,22 @@ def normalize_text_expr(col: Column | str) -> Column:
     normalize every non-Latin document (and every accented word) to the
     same empty/mangled string, mass-false-positive-deduping a
     multilingual corpus."""
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(c)
+    if isinstance(col, str):
+        return F.expr(normalize_text_sql(sqlref(col)))
+    c = F.lower(col)
     c = F.regexp_replace(c, r"\p{N}", "0")
     c = F.regexp_replace(c, r"[^\p{L}0 ]", " ")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c
+
+
+def normalize_text_sql(col_sql: str) -> str:
+    """SQL text of ``normalize_text_expr`` (single-parse construction)."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower("
+        + col_sql
+        + r"), '\\p{N}', '0'), '[^\\p{L}0 ]', ' '), '\\s+', ' '))"
+    )
 
 
 def normalized_dedup(
@@ -428,8 +485,8 @@ def normalized_dedup(
     not copies of one another, and at 100 TB a shared empty-class hash
     would both false-positive-drop them all and pile every such row
     into one window partition."""
-    norm = normalize_text_expr(text_col)
-    h = F.when(norm != "", F.md5(norm)).alias("norm_hash")
+    ns = normalize_text_sql(sqlref(text_col))
+    h = F.expr(f"CASE WHEN {ns} != '' THEN md5({ns}) END").alias("norm_hash")
     # NULL-hash docs get a per-doc partition key: no skew, no window
     # mass — their survivor flag is statically true
     key = F.coalesce(
