@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from turbine_maintenance_etl_spark.ops.materialize import barrier
 
-from turbine_maintenance_etl_spark.llm.text import tokens_expr
+from turbine_maintenance_etl_spark.llm.text import sqlref, tokens_expr, tokens_sql
 from turbine_maintenance_etl_spark.util import ensure_parallelism
 
 # Mersenne prime 2^31 - 1: the MinHash permutation modulus. The modulus
@@ -42,6 +42,30 @@ def md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def md5_hash64_sql(col_sql: str) -> str:
+    """SQL text of ``md5_hash64`` (single-parse construction — see
+    ``text.tokens_sql`` for the measured py4j-vs-parse numbers)."""
+    return f"cast(conv(substring(md5({col_sql}), 1, 15), 16, 10) as bigint)"
+
+
+def shingles_sql(col_sql: str, n: int = 3) -> str:
+    """SQL text of ``shingles`` over a column expression. Identical
+    expression tree to the Column builder (tokens bound once per row via
+    the transform(array(...))[0] binding, 1-based element_at, same
+    empty-array guard), constructed with one parser pass instead of
+    ~n×4 py4j round-trips plus two lambda bridges per call."""
+    toks = tokens_sql(col_sql)
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(n)
+    ) + ")"
+    count = f"greatest(size(toks) - {n - 1}, 0)"
+    grams = (
+        f"CASE WHEN {count} > 0 THEN transform(sequence(1, {count}), i -> {gram}) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    return f"array_distinct(transform(array({toks}), toks -> {grams})[0])"
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (default trigrams).
     Pure higher-order functions: ``transform`` over an index ``sequence``
@@ -49,6 +73,8 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     chooses to. The token array is bound once per row (``bind_once``) —
     without it Spark re-tokenizes per element_at reference, a ~100x
     slowdown on real documents."""
+    if isinstance(text, str):
+        return F.expr(shingles_sql(sqlref(text), n))
     from turbine_maintenance_etl_spark.llm.text import bind_once
 
     def grams(toks: Column) -> Column:
@@ -137,7 +163,7 @@ def ngram_jaccard_pairs(
     a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
+    inter = F.expr("size(filter(sh_a, x -> array_contains(sh_b, x)))")
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
     return (
@@ -175,16 +201,21 @@ def minhash_signatures(
         (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
         for _ in range(num_hashes)
     ]
+    # single-parse construction (see text.tokens_sql): the K affine-min
+    # aggregates and the signature array are one F.expr each instead of
+    # ~6 py4j round-trips per permutation slot
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(shingles(text_col, n)).alias("_sh")
-    ).select(F.col(id_col), (md5_hash64(F.col("_sh")) % F.lit(_MERSENNE31)).alias("_h"))
+    ).select(
+        F.col(id_col),
+        F.expr(f"({md5_hash64_sql('`_sh`')}) % {_MERSENNE31} AS _h"),
+    )
     aggs = [
-        F.min((F.col("_h") * F.lit(ai) + F.lit(bi)) % F.lit(_MERSENNE31)).alias(f"mh_{i}")
+        F.expr(f"min((`_h` * {ai} + {bi}) % {_MERSENNE31}) AS mh_{i}")
         for i, (ai, bi) in enumerate(coeffs)
     ]
-    return exploded.groupBy(id_col).agg(*aggs).select(
-        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    sig = "array(" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + ") AS signature"
+    return exploded.groupBy(id_col).agg(*aggs).select(F.col(id_col), F.expr(sig))
 
 
 def _band_struct_expr(bands: int, rows: int) -> Column:
@@ -195,23 +226,14 @@ def _band_struct_expr(bands: int, rows: int) -> Column:
     its band hash is NULL — never md5('') (concat_ws skips NULLs), which
     would put EVERY short/empty doc into one shared bucket in every band
     and emit quadratic false pairs between totally dissimilar docs."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.when(
-                    F.col("signature")[bi * rows].isNotNull(),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[F.col("signature")[bi * rows + r] for r in range(rows)],
-                        )
-                    ),
-                ).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
+    structs = ", ".join(
+        f"named_struct('band', {bi}, 'bh', "
+        f"CASE WHEN signature[{bi * rows}] IS NOT NULL THEN md5(concat_ws(',', "
+        + ", ".join(f"signature[{bi * rows + r}]" for r in range(rows))
+        + ")) END)"
+        for bi in range(bands)
     )
+    return F.expr(f"array({structs})")
 
 
 def lsh_band_buckets(
@@ -409,18 +431,12 @@ def minhash_lsh_candidates(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
     # expand each bucket's id list into its (i < j) combinations
+    # (single-parse: two nested SQL lambdas instead of two py4j bridges)
     ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ids)),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"),
-                    F.element_at(ids, j).alias("id_b"),
-                ),
-            ),
-        )
+    pairs = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), i -> "
+        "transform(sequence(i + 1, size(ids)), j -> "
+        "named_struct('id_a', element_at(ids, i), 'id_b', element_at(ids, j)))))"
     )
     out = (
         grouped.filter(F.size(ids) > 1)
@@ -511,20 +527,27 @@ def simhash(
             f"bits={bits} > 60: the portable md5-fold hash provides 60 "
             "usable bits; pass bits <= 60"
         )
-    hashed = F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: md5_hash64(t))
-    def bit_vote(b: int) -> Column:
-        votes = F.aggregate(
-            F.col("_h"),
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+    # single-parse construction: the per-bit vote aggregates are one SQL
+    # string (bits × aggregate lambdas used to cost ~bits × 70 ms of
+    # driver py4j round-trips per call — see text.tokens_sql)
+    hashed = F.expr(
+        f"transform(array_distinct({tokens_sql(sqlref(text_col))}), "
+        f"t -> {md5_hash64_sql('t')})"
+    )
+
+    def bit_vote(b: int) -> str:
+        votes = (
+            "aggregate(`_h`, 0, (acc, h) -> acc + "
+            f"(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END))"
         )
-        return F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    packed = None
-    for b in range(bits):
-        packed = bit_vote(b) if packed is None else packed + bit_vote(b)
+        return f"(CASE WHEN {votes} > 0 THEN {1 << b} ELSE 0 END)"
+
+    packed = " + ".join(bit_vote(b) for b in range(bits))
     return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).withColumn("_h", hashed).select(
         F.col(id_col),
-        F.when(F.size("_h") > 0, packed.cast("bigint")).alias("simhash"),
+        F.expr(
+            f"CASE WHEN size(`_h`) > 0 THEN cast({packed} as bigint) END AS simhash"
+        ),
     )
 
 
@@ -688,7 +711,7 @@ def containment_scores(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
+    inter = F.expr("size(filter(sh_a, x -> array_contains(sh_b, x)))")
     union = F.size("sh_a") + F.size("sh_b") - inter
     return joined.select(
         "id_a",
@@ -700,6 +723,17 @@ def containment_scores(
             "c_b_in_a"
         ),
         F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
+    )
+
+
+def _span_struct_sql(n: int) -> str:
+    """SQL text of the positional n-gram span builder shared by the two
+    ExactSubstr passes: array<struct<pos,g>> over a bound ``_toks``
+    column with ``n_tokens`` alongside (single-parse construction)."""
+    return (
+        f"CASE WHEN n_tokens >= {n} THEN transform(sequence(1, n_tokens - {n - 1}), "
+        f"i -> named_struct('pos', i, 'g', md5(array_join(slice(_toks, i, {n}), ' ')))) "
+        "ELSE cast(array() as array<struct<pos:int,g:string>>) END"
     )
 
 
@@ -753,18 +787,8 @@ def duplicated_span_stats(
     ).select(
         id_col, "_toks", F.size("_toks").alias("n_tokens")
     )
-    span_structs = F.when(
-        F.col("n_tokens") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
     grams = toks.select(
-        id_col, F.explode(span_structs).alias("s")
+        id_col, F.explode(F.expr(_span_struct_sql(n))).alias("s")
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
 
     hits = (
@@ -857,18 +881,8 @@ def remove_duplicated_spans(
         tokens_expr(text_col).alias("_toks"),
     ).select(id_col, "_text", "_toks", F.size("_toks").alias("n_tokens"))
 
-    span_structs = F.when(
-        F.col("n_tokens") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice("_toks", i, n), " ")).alias("g"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
     grams = toks.select(
-        id_col, F.explode(span_structs).alias("s")
+        id_col, F.explode(F.expr(_span_struct_sql(n))).alias("s")
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
 
     w = Window.partitionBy("g")

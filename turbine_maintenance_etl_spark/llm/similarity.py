@@ -22,7 +22,45 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from turbine_maintenance_etl_spark.llm.text import _IDENT_RE, sqlref
 from turbine_maintenance_etl_spark.util import ensure_parallelism
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the left-to-right dot product (single-parse
+    construction — the vector-math builders in this module assemble one
+    SQL string per call instead of paying py4j per operator: measured
+    r10, one lambda bridge costs ~70 ms and ``F.lit`` of a 16×64 nested
+    centroid matrix ~1 s, while parsing the equivalent SQL text costs
+    ~5 ms; the analyzed plan — and therefore every result — is
+    identical)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal, and Java's Double.parseDouble is correctly rounded, so the
+    parsed double is bit-identical to the Python float."""
+    x = float(x)
+    if x != x:
+        return "double('NaN')"
+    if x == float("inf"):
+        return "double('Infinity')"
+    if x == float("-inf"):
+        return "double('-Infinity')"
+    return repr(x) + "D"
+
+
+def _vec_lit_sql(vals) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _mat_lit_sql(rows) -> str:
+    return "array(" + ", ".join(_vec_lit_sql(r) for r in rows) + ")"
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -31,7 +69,11 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column | str) -> Column:
+    if isinstance(a, str) and _IDENT_RE.match(a):
+        return F.expr(_norm_sql(sqlref(a)))
+    if isinstance(a, str):
+        a = F.col(a)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
@@ -41,7 +83,11 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
-def as_double_array(col: Column) -> Column:
+def as_double_array(col: Column | str) -> Column:
+    if isinstance(col, str) and _IDENT_RE.match(col):
+        return F.expr(f"transform({sqlref(col)}, x -> cast(x as double))")
+    if isinstance(col, str):
+        col = F.col(col)
     return F.transform(col, lambda x: x.cast("double"))
 
 
@@ -53,10 +99,9 @@ def _pair_cosine(
     only WHERE the norms are computed moves — but the per-pair work
     drops from three interpreted O(dim) aggregates to one (HOFs are
     CodegenFallback, so this is the top-k family's hot loop)."""
-    return F.round(
-        _dot(F.col(qv), F.col(cv))
-        / F.nullif(F.col(qn) * F.col(cn), F.lit(0.0)),
-        6,
+    return F.expr(
+        f"round({_dot_sql(sqlref(qv), sqlref(cv))} "
+        f"/ nullif({sqlref(qn)} * {sqlref(cn)}, 0.0D), 6)"
     )
 
 
@@ -68,16 +113,16 @@ def _nonzero_vectors(df: DataFrame, vec_alias: str) -> DataFrame:
     scale hazard — deterministically collide into ONE SRP bucket (every
     plane dot is 0/NULL), turning e.g. millions of empty-text embeddings
     into a quadratic mega-bucket."""
-    v = F.col(vec_alias)
     # ~isnan: a vector with a NaN element has norm NaN, and NaN > 0 is
     # TRUE under Spark's (and DuckDB's) NaN-is-largest comparison
     # semantics — left in, its NaN cosine ranks FIRST in every DESC
     # top-k and the corrupt vector becomes everyone's nearest neighbor
     # (r10 adversarial sweep). The norm lands in a projection so the
     # interpreted O(dim) aggregate runs once per row, not per predicate.
+    v = sqlref(vec_alias)
     return (
-        df.withColumn("_vnorm", _norm(v))
-        .filter(v.isNotNull() & ~F.isnan("_vnorm") & (F.col("_vnorm") > 0))
+        df.withColumn("_vnorm", _norm(vec_alias))
+        .filter(F.expr(f"({v} IS NOT NULL) AND (NOT isnan(`_vnorm`)) AND (`_vnorm` > 0)"))
         .drop("_vnorm")
     )
 
@@ -131,18 +176,18 @@ def brute_force_topk(
     q = F.broadcast(
         _nonzero_vectors(
             queries.select(
-                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+                F.col(query_id_col), as_double_array(vec_col).alias("_qv")
             ),
             "_qv",
-        ).withColumn("_qn", _norm(F.col("_qv")))
+        ).withColumn("_qn", _norm("_qv"))
     )
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
-    ).withColumn("_cn", _norm(F.col("_cv")))
+    ).withColumn("_cn", _norm("_cv"))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -294,16 +339,29 @@ def srp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
             "exact powers of two in a double (2^53 ceiling) — use fewer "
             "planes (2^52 buckets is far past any corpus)"
         )
-    lit_planes = F.lit([[float(v) for v in p] for p in planes])
-    contrib = F.transform(
-        lit_planes,
-        lambda p, i: F.when(
-            _dot(vec, p) >= 0, F.pow(F.lit(2.0), i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint")),
+    vec_sql = sqlref(vec) if isinstance(vec, str) else None
+    if vec_sql is None:
+        lit_planes = F.lit([[float(v) for v in p] for p in planes])
+        contrib = F.transform(
+            lit_planes,
+            lambda p, i: F.when(
+                _dot(vec, p) >= 0, F.pow(F.lit(2.0), i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(
+            contrib, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).cast("bigint")
+    # single-parse construction (see _dot_sql): the plane matrix embeds
+    # as SQL literal text — constant-folded to the identical nested-array
+    # Literal the F.lit path produced
+    contrib = (
+        f"transform({_mat_lit_sql([[float(v) for v in p] for p in planes])}, "
+        f"(p, i) -> CASE WHEN {_dot_sql(vec_sql, 'p')} >= 0 "
+        "THEN cast(pow(2.0D, i) as bigint) ELSE cast(0 as bigint) END)"
     )
-    return F.aggregate(
-        contrib, F.lit(0).cast("bigint"), lambda acc, v: acc + v
-    ).cast("bigint")
+    return F.expr(
+        f"cast(aggregate({contrib}, cast(0 as bigint), (acc, v) -> acc + v) as bigint)"
+    )
 
 
 def lsh_bucketed_topk(
@@ -330,22 +388,22 @@ def lsh_bucketed_topk(
         _nonzero_vectors(
             ensure_parallelism(candidates).select(
                 F.col(id_col).alias("neighbor_id"),
-                as_double_array(F.col(vec_col)).alias("_cv"),
+                as_double_array(vec_col).alias("_cv"),
             ),
             "_cv",
         )
-        .withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
-        .withColumn("_cn", _norm(F.col("_cv")))
+        .withColumn("bucket", srp_bucket_expr("_cv", planes))
+        .withColumn("_cn", _norm("_cv"))
     )
     q = (
         _nonzero_vectors(
             queries.select(
-                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+                F.col(query_id_col), as_double_array(vec_col).alias("_qv")
             ),
             "_qv",
         )
-        .withColumn("bucket", srp_bucket_expr(F.col("_qv"), planes))
-        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("bucket", srp_bucket_expr("_qv", planes))
+        .withColumn("_qn", _norm("_qv"))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -360,7 +418,7 @@ def lsh_bucketed_topk(
     )
 
 
-def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_dists(vec: str, centroids: list[list[float]]) -> str:
     """array<struct<d,cid>> of squared-L2 distances to literal centroids
     — pure column expressions, so assignment is a codegen map pass.
 
@@ -369,19 +427,16 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     struct/aggregate subtrees each inlining dim Literal nodes — the
     latter made Catalyst analysis + codegen compile time dominate every
     fresh ANN query (~4 s at 16x64) while producing the identical
-    physical work."""
-    lit_centroids = F.lit([[float(v) for v in ctr] for ctr in centroids])
-    return F.transform(
-        lit_centroids,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            i.alias("cid"),
-        ),
+    physical work. Built as single-parse SQL text (see _dot_sql): the
+    F.lit of the same matrix alone cost ~1 s of py4j marshalling per
+    call, the lambda bridge another ~0.5 s."""
+    vec_sql = sqlref(vec)
+    mat = _mat_lit_sql([[float(v) for v in ctr] for ctr in centroids])
+    sq = (
+        f"aggregate(zip_with({vec_sql}, c, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v)"
     )
+    return f"transform({mat}, (c, i) -> named_struct('d', {sq}, 'cid', i))"
 
 
 def _collect_train_sample(
@@ -489,7 +544,7 @@ def ivf_topk(
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
     )
@@ -506,32 +561,30 @@ def ivf_topk(
         # centroid argmin a SECOND time into the scan filter (plan-
         # verified on the sampled-IVF sibling); provably non-null keys
         # fold the constraint away so assignment runs exactly once
-        F.coalesce(
-            F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"],
-            F.lit(-1),
+        F.expr(
+            "coalesce(sort_array("
+            + _centroid_dists("_cv", centroids)
+            + ")[0].cid, -1)"
         ),
-    ).withColumn("_cn", _norm(F.col("_cv")))
+    ).withColumn("_cn", _norm("_cv"))
     q = (
         _nonzero_vectors(
             queries.select(
-                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+                F.col(query_id_col), as_double_array(vec_col).alias("_qv")
             ),
             "_qv",
         )
         .withColumn(
             "_cid",
             F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(_centroid_dists(F.col("_qv"), centroids)),
-                        1,
-                        n_probe,
-                    ),
-                    lambda s: s["cid"],
+                F.expr(
+                    "transform(slice(sort_array("
+                    + _centroid_dists("_qv", centroids)
+                    + f"), 1, {n_probe}), s -> s.cid)"
                 )
             ),
         )
-        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_qn", _norm("_qv"))
     )
     scored = (
         cc.join(F.broadcast(q), "_cid")
@@ -559,38 +612,22 @@ def _seq_norm(v: list[float]) -> float:
     return math.sqrt(acc)
 
 
-def _sampled_cos_structs(
-    vec: Column, centroids: list[list[float]], ctr_norms: list[float]
-) -> Column:
-    """(rounded cosine, reversed-cid) struct array against literal
-    centroids — the shared assignment/probing expression of the
-    SAMPLED-quantizer family (ivf_sampled_topk / ivfpq_sampled_topk).
-    One nested-array literal walked by an indexed transform (the
-    _centroid_dists compile-time lesson); the row norm is lambda-bound
-    ONCE (not once per centroid) and the centroid norm indexes the
-    literal — per centroid only the dot product's zip_with/aggregate
-    pair remains. The tie-break rides inside the struct as
-    ``rc = n_c-1-cid`` so ``array_max``/``sort_array`` pick max cosine
-    THEN min cid without a float negation (−0.0 vs 0.0 ordering differs
-    across engines)."""
-    from turbine_maintenance_etl_spark.llm.text import bind_once
-
+def _sampled_cos_structs_sql(
+    vec_sql: str, centroids: list[list[float]], ctr_norms: list[float]
+) -> str:
+    """SQL text of ``_sampled_cos_structs`` (single-parse construction —
+    the F.lit of the centroid matrix alone cost ~1 s per call)."""
     n_c = len(centroids)
-    lit_centroids = F.lit(centroids)
-    lit_norms = F.lit(ctr_norms)
-    return bind_once(
-        _norm(vec),
-        lambda nv: F.transform(
-            lit_centroids,
-            lambda ctr, i: F.struct(
-                F.round(
-                    _dot(vec, ctr)
-                    / F.nullif(nv * F.element_at(lit_norms, i + 1), F.lit(0.0)),
-                    6,
-                ).alias("cs"),
-                (F.lit(n_c - 1) - i).alias("rc"),
-            ),
-        ),
+    cent = _mat_lit_sql(centroids)
+    norms = _vec_lit_sql(ctr_norms)
+    struct = (
+        f"named_struct('cs', round({_dot_sql(vec_sql, 'ctr')} "
+        f"/ nullif(nv * element_at({norms}, i + 1), 0.0D), 6), "
+        f"'rc', {n_c - 1} - i)"
+    )
+    return (
+        f"transform(array({_norm_sql(vec_sql)}), nv -> "
+        f"transform({cent}, (ctr, i) -> {struct}))[0]"
     )
 
 
@@ -632,7 +669,7 @@ def ivf_sampled_topk(
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
     )
@@ -664,8 +701,8 @@ def ivf_sampled_topk(
     # (HOFs are CodegenFallback).
     ctr_norms = [_seq_norm(ctr) for ctr in centroids]
 
-    def _cos_structs(vec: Column) -> Column:
-        return _sampled_cos_structs(vec, centroids, ctr_norms)
+    def _cos_structs_sql(vec_sql: str) -> str:
+        return _sampled_cos_structs_sql(vec_sql, centroids, ctr_norms)
 
     # per-row norms ride the join as a column so the in-cluster scoring
     # pays ONE interpreted O(dim) aggregate per PAIR (the dot product)
@@ -679,38 +716,28 @@ def ivf_sampled_topk(
     # folds the constraint away and assignment runs exactly once.
     cc = c.withColumn(
         "_cid",
-        F.coalesce(
-            F.lit(n_c - 1) - F.array_max(_cos_structs(F.col("_cv")))["rc"],
-            F.lit(-1),
+        F.expr(
+            f"coalesce({n_c - 1} - array_max({_cos_structs_sql('`_cv`')}).rc, -1)"
         ),
-    ).withColumn("_cn", _norm(F.col("_cv")))
+    ).withColumn("_cn", _norm("_cv"))
     q = _nonzero_vectors(
         queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            F.col(query_id_col), as_double_array(vec_col).alias("_qv")
         ),
         "_qv",
     ).withColumn(
         "_cid",
         F.explode(
-            F.transform(
-                F.slice(
-                    F.reverse(F.sort_array(_cos_structs(F.col("_qv")))), 1, n_probe
-                ),
-                lambda s: F.lit(n_c - 1) - s["rc"],
+            F.expr(
+                f"transform(slice(reverse(sort_array({_cos_structs_sql('`_qv`')})), "
+                f"1, {n_probe}), s -> {n_c - 1} - s.rc)"
             )
         ),
-    ).withColumn("_qn", _norm(F.col("_qv")))
+    ).withColumn("_qn", _norm("_qv"))
     scored = (
         cc.join(F.broadcast(q), "_cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0)),
-                6,
-            ),
-        )
+        .withColumn("cosine", _pair_cosine())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -780,10 +807,10 @@ def semantic_dedup(
     # final left join against the full input
     base = _nonzero_vectors(
         ensure_parallelism(emb).select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+            F.col(id_col), as_double_array(vec_col).alias("_v")
         ),
         "_v",
-    ).withColumn("_bucket", srp_bucket_expr(F.col("_v"), planes))
+    ).withColumn("_bucket", srp_bucket_expr("_v", planes))
     if max_bucket_size is not None:
         # window count over _bucket reuses the bucket shuffle instead of
         # a self-join against an aggregate of base, which would execute
@@ -798,7 +825,7 @@ def semantic_dedup(
     # per-row norm rides the bucket shuffle (8 bytes/row) so in-bucket
     # verification pays one interpreted O(dim) aggregate per PAIR, not
     # three — the _pair_cosine doubles are identical
-    base = base.withColumn("_n", _norm(F.col("_v")))
+    base = base.withColumn("_n", _norm("_v"))
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
         F.col("_n").alias("_na"), "_bucket",
@@ -865,12 +892,12 @@ def lsh_multiprobe_topk(
         _nonzero_vectors(
             ensure_parallelism(candidates).select(
                 F.col(id_col).alias("neighbor_id"),
-                as_double_array(F.col(vec_col)).alias("_cv"),
+                as_double_array(vec_col).alias("_cv"),
             ),
             "_cv",
         )
-        .withColumn("bucket", srp_bucket_expr(F.col("_cv"), planes))
-        .withColumn("_cn", _norm(F.col("_cv")))
+        .withColumn("bucket", srp_bucket_expr("_cv", planes))
+        .withColumn("_cn", _norm("_cv"))
     )
     # compute the base bucket ONCE per query row, then derive the probe
     # set from the column reference — inlining the SRP expression into
@@ -878,23 +905,21 @@ def lsh_multiprobe_topk(
     q = (
         _nonzero_vectors(
             queries.select(
-                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+                F.col(query_id_col), as_double_array(vec_col).alias("_qv")
             ),
             "_qv",
         )
-        .withColumn("_b", srp_bucket_expr(F.col("_qv"), planes))
-        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_b", srp_bucket_expr("_qv", planes))
+        .withColumn("_qn", _norm("_qv"))
         .select(
             query_id_col,
             "_qv",
             "_qn",
             F.explode(
-                F.array(
-                    F.col("_b"),
-                    *[
-                        F.col("_b").bitwiseXOR(F.lit(1 << i))
-                        for i in range(num_planes)
-                    ],
+                F.expr(
+                    "array(" + ", ".join(
+                        ["`_b`"] + [f"`_b` ^ {1 << i}" for i in range(num_planes)]
+                    ) + ")"
                 )
             ).alias("bucket"),
         )
@@ -949,7 +974,7 @@ def fit_pq(
     X = _collect_train_sample(
         _nonzero_vectors(
             ensure_parallelism(candidates).select(
-                F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+                F.col(id_col), as_double_array(vec_col).alias("_v")
             ),
             "_v",
         ),
@@ -991,7 +1016,7 @@ def fit_pq_sampled(
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
     )
@@ -1096,7 +1121,7 @@ def pq_encode(
     _encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     enc_udf = pandas_udf("array<int>")(_encode)
     return df.select(
-        F.col(id_col), enc_udf(as_double_array(F.col(vec_col))).alias(code_col)
+        F.col(id_col), enc_udf(as_double_array(vec_col)).alias(code_col)
     )
 
 
@@ -1199,19 +1224,19 @@ def pq_topk(
         _nonzero_vectors(
             ensure_parallelism(candidates).select(
                 F.col(id_col).alias("neighbor_id"),
-                as_double_array(F.col(vec_col)).alias("_cv"),
+                as_double_array(vec_col).alias("_cv"),
             ),
             "_cv",
         )
         .select("neighbor_id", recon_udf(F.col("_cv")).alias("_rv"))
-        .withColumn("_cn", _norm(F.col("_rv")))
+        .withColumn("_cn", _norm("_rv"))
     )
     q = _nonzero_vectors(
         queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+            F.col(query_id_col), as_double_array(vec_col).alias("_qv")
         ),
         "_qv",
-    ).withColumn("_qn", _norm(F.col("_qv")))
+    ).withColumn("_qn", _norm("_qv"))
     scored = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -1260,7 +1285,7 @@ def fit_ivfpq(
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
     )
@@ -1330,7 +1355,7 @@ def ivfpq_topk(
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
     )
@@ -1372,9 +1397,10 @@ def ivfpq_topk(
         # centroid-distance argmin a SECOND time into the scan filter
         # (the sampled-IVF plan audit caught this in expression form);
         # a provably non-null key folds the constraint away
-        F.coalesce(
-            F.sort_array(_centroid_dists(F.col("_cv"), centroids))[0]["cid"],
-            F.lit(-1),
+        F.expr(
+            "coalesce(sort_array("
+            + _centroid_dists("_cv", centroids)
+            + ")[0].cid, -1)"
         ),
     )
 
@@ -1393,28 +1419,25 @@ def ivfpq_topk(
     enc = cc.select(
         "neighbor_id", "_cid",
         recon_udf(F.col("_cv"), F.col("_cid")).alias("_rv"),
-    ).withColumn("_cn", _norm(F.col("_rv")))
+    ).withColumn("_cn", _norm("_rv"))
     q = (
         _nonzero_vectors(
             queries.select(
-                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+                F.col(query_id_col), as_double_array(vec_col).alias("_qv")
             ),
             "_qv",
         )
         .withColumn(
             "_cid",
             F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(_centroid_dists(F.col("_qv"), centroids)),
-                        1,
-                        n_probe,
-                    ),
-                    lambda s: s["cid"],
+                F.expr(
+                    "transform(slice(sort_array("
+                    + _centroid_dists("_qv", centroids)
+                    + f"), 1, {n_probe}), s -> s.cid)"
                 )
             ),
         )
-        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_qn", _norm("_qv"))
     )
     scored = (
         enc.join(F.broadcast(q), "_cid")
@@ -1470,7 +1493,7 @@ def fit_ivfpq_sampled(
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
     )
@@ -1491,10 +1514,10 @@ def fit_ivfpq_sampled(
     samp_rows = (
         c.withColumn(
             "_cid",
-            F.lit(n_c - 1)
-            - F.array_max(_sampled_cos_structs(F.col("_cv"), centroids, ctr_norms))[
-                "rc"
-            ],
+            F.expr(
+                f"{n_c - 1} - array_max("
+                f"{_sampled_cos_structs_sql('`_cv`', centroids, ctr_norms)}).rc"
+            ),
         )
         .orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
         .limit(n_clusters + ksub)
@@ -1576,7 +1599,7 @@ def ivfpq_sampled_topk(
     c = _nonzero_vectors(
         ensure_parallelism(candidates).select(
             F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"),
+            as_double_array(vec_col).alias("_cv"),
         ),
         "_cv",
     )
@@ -1585,12 +1608,9 @@ def ivfpq_sampled_topk(
     # documented at ivf_sampled_topk / ivfpq_topk and apply unchanged
     cc = c.withColumn(
         "_cid",
-        F.coalesce(
-            F.lit(n_c - 1)
-            - F.array_max(
-                _sampled_cos_structs(F.col("_cv"), centroids, ctr_norms)
-            )["rc"],
-            F.lit(-1),
+        F.expr(
+            f"coalesce({n_c - 1} - array_max("
+            f"{_sampled_cos_structs_sql('`_cv`', centroids, ctr_norms)}).rc, -1)"
         ),
     )
 
@@ -1609,34 +1629,25 @@ def ivfpq_sampled_topk(
     enc = cc.select(
         "neighbor_id", "_cid",
         recon_udf(F.col("_cv"), F.col("_cid")).alias("_rv"),
-    ).withColumn("_cn", _norm(F.col("_rv")))
+    ).withColumn("_cn", _norm("_rv"))
     q = (
         _nonzero_vectors(
             queries.select(
-                F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+                F.col(query_id_col), as_double_array(vec_col).alias("_qv")
             ),
             "_qv",
         )
         .withColumn(
             "_cid",
             F.explode(
-                F.transform(
-                    F.slice(
-                        F.reverse(
-                            F.sort_array(
-                                _sampled_cos_structs(
-                                    F.col("_qv"), centroids, ctr_norms
-                                )
-                            )
-                        ),
-                        1,
-                        n_probe,
-                    ),
-                    lambda s: F.lit(n_c - 1) - s["rc"],
+                F.expr(
+                    "transform(slice(reverse(sort_array("
+                    f"{_sampled_cos_structs_sql('`_qv`', centroids, ctr_norms)}"
+                    f")), 1, {n_probe}), s -> {n_c - 1} - s.rc)"
                 )
             ),
         )
-        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_qn", _norm("_qv"))
     )
     scored = (
         enc.join(F.broadcast(q), "_cid")
