@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from turbine_maintenance_etl_spark.llm.text import tokens_expr
+from turbine_maintenance_etl_spark.llm.text import sqlref, tokens_sql
 from turbine_maintenance_etl_spark.util import ensure_parallelism
 
 
@@ -75,17 +75,18 @@ def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Narrow: tokenize → prepend BOS → transform to bigram structs →
     explode. Documents with no tokens emit no rows (they get NULL
     perplexity downstream, never a divide-by-zero)."""
-    toks = F.concat(F.array(F.lit(BOS)), tokens_expr(F.lower(F.col(text_col))))
+    # single-parse construction (text.tokens_sql): one F.expr instead of
+    # ~30 py4j round-trips + a lambda bridge per call
+    toks = f"concat(array('{BOS}'), {tokens_sql('lower(' + sqlref(text_col) + ')')})"
     # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
     # empty, so a token-less doc would index element_at(toks, 0) -> error
-    starts = F.when(
-        F.size(toks) > 1, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
-        ),
+    starts = (
+        f"CASE WHEN size({toks}) > 1 THEN sequence(1, size({toks}) - 1) "
+        "ELSE cast(array() as array<int>) END"
+    )
+    grams = F.expr(
+        f"transform({starts}, i -> named_struct("
+        f"'w1', element_at({toks}, i), 'w2', element_at({toks}, i + 1)))"
     )
     return (
         ensure_parallelism(df)
@@ -127,13 +128,15 @@ def vocab_size(bigrams: DataFrame) -> int:
     return bigrams.select("w2").distinct().count()
 
 
-def _logprob(c12: Column, c1: Column, v: Column, k: float) -> Column:
+def _logprob(c12: str, c1: str, v: str, k: float) -> Column:
     """Add-k log p(w2|w1); unseen history (c1 NULL) → uniform 1/V.
-    ``v`` is a COLUMN so the same expression serves both the explicit
-    train/score API (literal) and the fused self-perplexity path
-    (broadcast scalar — see perplexity_scores)."""
-    seen = (F.coalesce(c12, F.lit(0)) + F.lit(k)) / (c1 + F.lit(k) * v)
-    return F.when(c1.isNull(), F.log(F.lit(1.0) / v)).otherwise(F.log(seen))
+    All args are SQL fragments (single-parse construction); ``v`` is a
+    double literal for the explicit train/score API or a column
+    reference into the fused path's broadcast scalar frame."""
+    seen = f"(coalesce({c12}, 0) + {k!r}D) / ({c1} + {k!r}D * {v})"
+    return F.expr(
+        f"CASE WHEN {c1} IS NULL THEN log(1.0D / {v}) ELSE log({seen}) END"
+    )
 
 
 def score_perplexity(
@@ -158,7 +161,7 @@ def score_perplexity(
     ``SPARK_GRAFT_LM_BROADCAST=off`` when distinct n-grams outgrow the
     broadcast limit and the joins shuffle on the gram key instead."""
     return _score_bigram(
-        docs, bigrams, histories, F.lit(float(v)), k, text_col, id_col
+        docs, bigrams, histories, repr(float(v)) + "D", k, text_col, id_col
     )
 
 
@@ -166,7 +169,7 @@ def _score_bigram(
     docs: DataFrame,
     bigrams: DataFrame,
     histories: DataFrame,
-    v_col: Column,
+    v_col: str,
     k: float,
     text_col: str,
     id_col: str,
@@ -181,7 +184,7 @@ def _score_bigram(
     scored = (
         grams.join(_count_hint(bigrams), ["w1", "w2"], "left")
         .join(_count_hint(histories), ["w1"], "left")
-        .withColumn("_lp", _logprob(F.col("c12"), F.col("c1"), v_col, k))
+        .withColumn("_lp", _logprob("c12", "c1", v_col, k))
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
@@ -218,7 +221,7 @@ def perplexity_scores(
     bigrams, histories = train_bigram_counts(df, text_col, id_col)
     v_df = bigrams.agg(F.count_distinct("w2").cast("double").alias("_v"))
     return _score_bigram(
-        df, bigrams, histories, F.col("_v"), k, text_col, id_col, scalars=v_df
+        df, bigrams, histories, "`_v`", k, text_col, id_col, scalars=v_df
     )
 
 
@@ -253,19 +256,18 @@ def doc_trigrams(
     with TWO BOS tokens so every real token is predicted exactly once
     (position i's trigram ends at token i). Narrow explode, same shape
     as doc_bigrams."""
-    toks = F.concat(
-        F.array(F.lit(BOS), F.lit(BOS)), tokens_expr(F.lower(F.col(text_col)))
+    toks = (
+        f"concat(array('{BOS}', '{BOS}'), "
+        f"{tokens_sql('lower(' + sqlref(text_col) + ')')})"
     )
-    starts = F.when(
-        F.size(toks) > 2, F.sequence(F.lit(1), F.size(toks) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-            F.element_at(toks, i + 2).alias("w3"),
-        ),
+    starts = (
+        f"CASE WHEN size({toks}) > 2 THEN sequence(1, size({toks}) - 2) "
+        "ELSE cast(array() as array<int>) END"
+    )
+    grams = F.expr(
+        f"transform({starts}, i -> named_struct("
+        f"'w1', element_at({toks}, i), 'w2', element_at({toks}, i + 1), "
+        f"'w3', element_at({toks}, i + 2)))"
     )
     return (
         ensure_parallelism(df)
@@ -385,7 +387,7 @@ def score_sb3_perplexity(
     the bigram scorer so gates swap models without schema churn."""
     return _score_sb3(
         docs, tri, hist2, pair2, hist1, uni,
-        F.lit(float(max(n_tokens, 1))), F.lit(float(v + 1)),
+        repr(float(max(n_tokens, 1))) + "D", repr(float(v + 1)) + "D",
         text_col, id_col,
     )
 
@@ -397,35 +399,42 @@ def _score_sb3(
     pair2: DataFrame,
     hist1: DataFrame,
     uni: DataFrame,
-    n_col: Column,
-    v1_col: Column,
+    n_col: str,
+    v1_col: str,
     text_col: str,
     id_col: str,
     scalars: DataFrame | None = None,
 ) -> DataFrame:
     """Shared sb3 scoring body: ``n_col``/``v1_col`` (corpus size, |V|+1)
-    are literals for the explicit train/score API or columns of the
-    broadcast 1-row ``scalars`` frame for the fused self-scoring path."""
-    a = F.lit(SB_ALPHA)
+    are SQL fragments — double literals for the explicit train/score API
+    or column references into the broadcast 1-row ``scalars`` frame for
+    the fused self-scoring path."""
     grams = doc_trigrams(docs, text_col, id_col)
     if scalars is not None:
         grams = grams.crossJoin(F.broadcast(scalars))
+    # FOLD the history tables into their count tables on the MODEL side
+    # (r10, guide §3: shuffle/probe the corpus-sized fact stream through
+    # fewer joins): every tri row's (w1,w2) exists in hist2 and every
+    # pair2 row's wa exists in hist1 (the histories are UNPRUNED sums
+    # over the same tables), so an inner model-side join loses no rows
+    # and the fact stream probes 3 broadcast tables instead of 5. ch2 is
+    # only read when c3 matched and ch1 only when cb2 matched, so a
+    # folded NULL (no tri/pair2 match) is never consumed — the score
+    # CASE below is value-identical to the 5-join form.
+    tri_m = tri.join(hist2, ["w1", "w2"])
+    pair2_m = pair2.join(
+        hist1.select(F.col("w").alias("wa"), F.col("ch1").alias("_ch1")), ["wa"]
+    )
     scored = (
-        grams.join(_count_hint(tri), ["w1", "w2", "w3"], "left")
-        .join(_count_hint(hist2), ["w1", "w2"], "left")
+        grams.join(_count_hint(tri_m), ["w1", "w2", "w3"], "left")
         .join(
             _count_hint(
-                pair2.select(
+                pair2_m.select(
                     F.col("wa").alias("w2"), F.col("wb").alias("w3"),
-                    F.col("cb2").alias("_cb2"),
+                    F.col("cb2").alias("_cb2"), "_ch1",
                 )
             ),
             ["w2", "w3"],
-            "left",
-        )
-        .join(
-            _count_hint(hist1.select(F.col("w").alias("w2"), F.col("ch1").alias("_ch1"))),
-            ["w2"],
             "left",
         )
         .join(
@@ -434,16 +443,14 @@ def _score_sb3(
             "left",
         )
     )
+    a = SB_ALPHA
     s = (
-        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("ch2"))
-        .when(
-            F.col("_cb2").isNotNull() & F.col("_ch1").isNotNull(),
-            a * F.col("_cb2") / F.col("_ch1"),
-        )
-        .when(F.col("_cu").isNotNull(), a * a * F.col("_cu") / n_col)
-        .otherwise(a * a / v1_col)
+        "CASE WHEN c3 IS NOT NULL THEN c3 / ch2 "
+        f"WHEN _cb2 IS NOT NULL AND _ch1 IS NOT NULL THEN {a!r}D * _cb2 / _ch1 "
+        f"WHEN _cu IS NOT NULL THEN {a!r}D * {a!r}D * _cu / {n_col} "
+        f"ELSE {a!r}D * {a!r}D / {v1_col} END"
     )
-    per_doc = scored.withColumn("_ls", F.log(s)).groupBy(id_col).agg(
+    per_doc = scored.withColumn("_ls", F.expr(f"log({s})")).groupBy(id_col).agg(
         F.count("*").alias("n_trigrams"), F.sum("_ls").alias("_sum_ls")
     )
     avg_ls = F.col("_sum_ls") / F.col("n_trigrams")
@@ -479,5 +486,5 @@ def sb3_perplexity_scores(
     )
     return _score_sb3(
         df, tri, hist2, pair2, hist1, uni,
-        F.col("_n"), F.col("_v1"), text_col, id_col, scalars=scalars,
+        "`_n`", "`_v1`", text_col, id_col, scalars=scalars,
     )
