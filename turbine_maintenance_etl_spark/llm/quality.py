@@ -22,7 +22,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from turbine_maintenance_etl_spark.llm.dedup import shingles
-from turbine_maintenance_etl_spark.llm.text import bind_once, tokens_expr
+from turbine_maintenance_etl_spark.llm.text import (  # noqa: F401 (bind_once,
+    bind_once,  # tokens_expr: public re-exports kept for API/test compat)
+    sqlref,
+    tokens_expr,
+    tokens_sql,
+)
 
 
 def bigrams_expr(toks: Column) -> Column:
@@ -71,44 +76,48 @@ def repetition_signals(
     - symbol_word_ratio = ('#' + '...' occurrences) / words (Gopher's
                           symbol-to-word ratio)
 
-    Fractions are NULL when the denominator is 0 (empty text)."""
+    Fractions are NULL when the denominator is 0 (empty text).
 
-    def frac(num: Column, den: Column) -> Column:
-        return F.round(num / F.when(den > 0, den), 4)
+    Single-parse construction (text.tokens_sql): the whole per-row stats
+    struct — bigrams, the run-length aggregate, every ratio — is ONE SQL
+    string parsed by one F.expr call; the expression tree (and therefore
+    every result) is identical to the per-operator Column build, which
+    paid ~10 py4j lambda bridges per call."""
 
-    def stats(toks: Column) -> Column:
-        n_words = F.size(toks)
-        bgs = bigrams_expr(toks)
-        n_bigrams = F.size(bgs)
-        sum_len = F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
-        )
-        n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-        text = F.col(text_col)
-        n_symbols = (
-            F.length(text)
-            - F.length(F.regexp_replace(text, r"#", ""))
-            + F.floor(
-                (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", "")))
-                / F.lit(3)
-            )
-        )
-        return F.struct(
-            n_words.cast("bigint").alias("n_words"),
-            n_bigrams.cast("bigint").alias("n_bigrams"),
-            frac(n_words - F.size(F.array_distinct(toks)), n_words).alias(
-                "dup_word_frac"
-            ),
-            frac(n_bigrams - F.size(F.array_distinct(bgs)), n_bigrams).alias(
-                "dup_bigram_frac"
-            ),
-            frac(top_run_count(F.array_sort(bgs)), n_bigrams).alias("top_bigram_frac"),
-            frac(sum_len, n_words).alias("mean_word_len"),
-            frac(n_alpha, n_words).alias("alpha_word_frac"),
-            frac(n_symbols, n_words).alias("symbol_word_ratio"),
-        )
+    def frac(num: str, den: str) -> str:
+        return f"round(({num}) / (CASE WHEN ({den}) > 0 THEN {den} END), 4)"
 
-    s = bind_once(tokens_expr(text_col), stats)
+    t = sqlref(text_col)
+    n1 = "greatest(size(toks) - 1, 0)"
+    bgs = f"zip_with(slice(toks, 1, {n1}), slice(toks, 2, {n1}), (a, b) -> concat_ws(' ', a, b))"
+    n_words = "size(toks)"
+    n_bigrams = f"size({bgs})"
+    sum_len = "aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))"
+    n_alpha = "size(filter(toks, x -> x rlike '[A-Za-z]'))"
+    n_symbols = (
+        f"length({t}) - length(regexp_replace({t}, '#', '')) + "
+        f"floor((length({t}) - length(regexp_replace({t}, '\\\\.\\\\.\\\\.', ''))) / 3)"
+    )
+    run = "CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE cast(1 as bigint) END"
+    top_run = (
+        f"aggregate(array_sort({bgs}), "
+        "named_struct('prev', cast(null as string), 'run', cast(0 as bigint), "
+        "'best', cast(0 as bigint)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run}, "
+        f"'best', greatest(acc.best, {run})), acc -> acc.best)"
+    )
+    struct = (
+        "named_struct("
+        f"'n_words', cast({n_words} as bigint), "
+        f"'n_bigrams', cast({n_bigrams} as bigint), "
+        f"'dup_word_frac', {frac(f'{n_words} - size(array_distinct(toks))', n_words)}, "
+        f"'dup_bigram_frac', {frac(f'{n_bigrams} - size(array_distinct({bgs}))', n_bigrams)}, "
+        f"'top_bigram_frac', {frac(top_run, n_bigrams)}, "
+        f"'mean_word_len', {frac(sum_len, n_words)}, "
+        f"'alpha_word_frac', {frac(n_alpha, n_words)}, "
+        f"'symbol_word_ratio', {frac(n_symbols, n_words)})"
+    )
+    s = F.expr(f"transform(array({tokens_sql(t)}), toks -> {struct})[0]")
     return df.select(F.col(id_col), s.alias("_s")).select(id_col, "_s.*")
 
 
@@ -241,9 +250,7 @@ def fuzzy_decontamination(
         .withColumn("_sh_d", shingles(text_col, n))
         .join(F.broadcast(b_sh), bench_id_col)
     )
-    inter = F.size(
-        F.filter(F.col("_sh_d"), lambda x: F.array_contains(F.col("_sh_b"), x))
-    )
+    inter = F.expr("size(filter(`_sh_d`, x -> array_contains(`_sh_b`, x)))")
     union = F.size("_sh_d") + F.size("_sh_b") - inter
     # threshold on the EXACT ratio; round only the reported column (r10
     # review): rounding first flagged pairs up to 5e-5 BELOW the
@@ -335,54 +342,44 @@ def segment_repetition_signals(
     further repeat. Linear per row, no explode, no join-back.
     """
 
-    def frac(num: Column, den: Column) -> Column:
-        return F.round(num / F.when(den > 0, den), 4)
+    def frac(num: str, den: str) -> str:
+        return f"round(({num}) / (CASE WHEN ({den}) > 0 THEN {den} END), 4)"
 
-    def stats(segs: Column) -> Column:
-        n_segs = F.size(segs)
-        total_chars = F.aggregate(
-            segs, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
-        )
-        srt = F.array_sort(segs)
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("bigint").alias("run"),
-            F.lit(0).cast("bigint").alias("dup"),
-        )
-
-        def step(acc: Column, x: Column) -> Column:
-            is_rep = x.eqNullSafe(acc["prev"])
-            run = F.when(is_rep, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
-            add = F.when(
-                is_rep & (acc["run"] == 1), F.length(x).cast("bigint") * 2
-            ).when(is_rep, F.length(x).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-            return F.struct(
-                x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup")
-            )
-
-        dup_chars = F.aggregate(srt, init, step, lambda acc: acc["dup"])
-        n_dup = n_segs - F.size(F.array_distinct(segs))
-        return F.struct(
-            n_segs.cast("bigint").alias("n_segments"),
-            n_dup.cast("bigint").alias("n_dup_segments"),
-            frac(n_dup, n_segs).alias("dup_seg_frac"),
-            frac(dup_chars, total_chars).alias("dup_seg_char_frac"),
-        )
-
+    n_segs = "size(segs)"
+    total_chars = "aggregate(segs, cast(0 as bigint), (a, x) -> a + length(x))"
+    is_rep = "x <=> acc.prev"
+    run = f"CASE WHEN {is_rep} THEN acc.run + 1 ELSE cast(1 as bigint) END"
+    add = (
+        f"CASE WHEN ({is_rep}) AND acc.run = 1 THEN cast(length(x) as bigint) * 2 "
+        f"WHEN {is_rep} THEN cast(length(x) as bigint) "
+        "ELSE cast(0 as bigint) END"
+    )
+    dup_chars = (
+        "aggregate(array_sort(segs), "
+        "named_struct('prev', cast(null as string), 'run', cast(0 as bigint), "
+        "'dup', cast(0 as bigint)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run}, 'dup', acc.dup + ({add})), "
+        "acc -> acc.dup)"
+    )
+    n_dup = f"{n_segs} - size(array_distinct(segs))"
+    struct = (
+        "named_struct("
+        f"'n_segments', cast({n_segs} as bigint), "
+        f"'n_dup_segments', cast({n_dup} as bigint), "
+        f"'dup_seg_frac', {frac(n_dup, n_segs)}, "
+        f"'dup_seg_char_frac', {frac(dup_chars, total_chars)})"
+    )
     # coalesce guard (r10 review, same rule as text.tokens_expr): NULL
     # text must read as ZERO segments — un-coalesced, the NULL array
     # reaches size() as legacy -1 under the ANSI-off session and the
-    # row reports n_segments = -1
-    segs_expr = F.coalesce(
-        F.filter(
-            F.transform(F.split(F.col(text_col), sep_regex), lambda x: F.trim(x)),
-            lambda x: x != F.lit(""),
-        ),
-        F.array().cast("array<string>"),
+    # row reports n_segments = -1. Single-parse construction like
+    # repetition_signals.
+    sep_lit = sep_regex.replace("\\", "\\\\").replace("'", "\\'")
+    segs_expr = (
+        f"coalesce(filter(transform(split({sqlref(text_col)}, '{sep_lit}'), "
+        "x -> trim(x)), x -> x != ''), cast(array() as array<string>))"
     )
-    s = bind_once(segs_expr, stats)
+    s = F.expr(f"transform(array({segs_expr}), segs -> {struct})[0]")
     return df.select(F.col(id_col), s.alias("_s")).select(id_col, "_s.*")
 
 
