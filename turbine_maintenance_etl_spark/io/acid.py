@@ -343,13 +343,90 @@ def _stat_val(v):
     return None
 
 
+def _footer_stats(dirpath: str, stats_cols: tuple) -> dict | None:
+    """Commit stats straight from the parquet FOOTERS of the just-written
+    files — zero Spark jobs (r10, guide §1/§6: each commit paid a listing
+    job + an aggregate job to re-read data whose min/max the writer had
+    already recorded). Taken only when every present stats column is an
+    INTEGER type: integer footer min/max are exact and equal to the
+    aggregate the Spark path computes, while string stats can be
+    truncated by the writer and float stats are unreliable under NaN —
+    those fall back to the Spark aggregate unchanged. Returns None to
+    request the fallback."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    try:
+        files = sorted(
+            os.path.join(dirpath, f)
+            for f in os.listdir(dirpath)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    except OSError:
+        return None
+    if not files:
+        return None
+    rows = 0
+    present: list[str] | None = None
+    mins: dict = {}
+    maxs: dict = {}
+    for fp in files:
+        try:
+            md = pq.ParquetFile(fp)
+        except Exception:
+            return None
+        meta = md.metadata
+        rows += meta.num_rows
+        if present is None:
+            schema = md.schema_arrow
+            present = [c for c in stats_cols if c in schema.names]
+            for c in present:
+                if not pa.types.is_integer(schema.field(c).type):
+                    return None
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                cc = g.column(ci)
+                name = cc.path_in_schema
+                if name not in present:
+                    continue
+                st = cc.statistics
+                if st is None:
+                    return None
+                if not st.has_min_max:
+                    # legal only when the chunk holds no non-null value
+                    # (all-NULL chunk contributes nothing to min/max);
+                    # anything else means stats were not written — fall
+                    # back to the aggregate rather than guess
+                    if st.null_count is not None and st.null_count == cc.num_values:
+                        continue
+                    return None
+                lo, hi = st.min, st.max
+                if not isinstance(lo, int) or not isinstance(hi, int):
+                    return None
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {
+        "rows": rows,
+        "cols": {
+            c: [mins.get(c), maxs.get(c)] for c in (present or [])
+        },
+    }
+
+
 def _dir_stats(spark: SparkSession, path: str, d: str, stats_cols: tuple) -> dict:
     """Row count + per-column min/max for one freshly written data dir
-    — one columnar aggregate over just-written files (column-pruned
-    scan; at 100 TB stats cost is per-COMMIT, proportional to the new
-    data, never to the table)."""
+    — from the parquet footers when exact (integer stats columns — zero
+    Spark jobs), else one columnar aggregate over the just-written files
+    (column-pruned scan; at 100 TB stats cost is per-COMMIT,
+    proportional to the new data, never to the table)."""
     from pyspark.sql import functions as F
 
+    footer = _footer_stats(os.path.join(path, d), stats_cols)
+    if footer is not None:
+        return footer
     df = spark.read.parquet(os.path.join(path, d))
     present = [c for c in stats_cols if c in df.columns]
     aggs = [F.count("*").alias("_n")]

@@ -301,18 +301,19 @@ def bm25_topk(
         tag="bm25-tf",
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_part = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    # single-parse construction (tokens_sql); 0.5/k1/b carry the D
+    # suffix so they parse as the same double literals F.lit built
+    idf = "log(1.0D + (`_n_docs` - df + 0.5D) / (df + 0.5D))"
+    tf_part = (
+        f"(tf * {k1 + 1.0!r}D) / "
+        f"(tf + {k1!r}D * ({1.0 - b!r}D + {b!r}D * dl / `_avgdl`))"
     )
     scored = (
         tf.join(qdf, "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(stats)
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .agg(F.expr(f"round(sum(({idf}) * ({tf_part})), 6)").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
