@@ -52,16 +52,17 @@ def weak_quality_labels(
     trained classifier then filters non-English content wholesale;
     CCNet bootstraps per language for the same reason). Deterministic,
     so the training set is reproducible."""
-    from turbine_maintenance_etl_spark.llm.text import STOPWORDS, tokens_expr
+    from turbine_maintenance_etl_spark.llm.text import STOPWORDS, sqlref, tokens_sql
 
     q = add_quality_signals(docs, text_col)
-    toks = tokens_expr(F.col(text_col))
-    n_tok = F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+    toks = tokens_sql(sqlref(text_col))
+    n_tok = f"nullif(cast(size({toks}) as double), 0.0D)"
     per_lang = [
-        F.size(F.filter(toks, lambda x: F.lower(x).isin(*words))) / n_tok
+        "size(filter(" + toks + ", x -> lower(x) IN ("
+        + ", ".join(f"'{w}'" for w in words) + f"))) / {n_tok}"
         for words in STOPWORDS.values()
     ]
-    fluency = F.coalesce(F.greatest(*per_lang), F.lit(0.0))
+    fluency = F.expr(f"coalesce(greatest({', '.join(per_lang)}), 0.0D)")
     label = (
         (F.col("n_tokens") >= min_tokens) & (fluency >= min_stopword_ratio)
     ).cast("double")
@@ -151,20 +152,22 @@ def hashed_linear_scores(
     dictionary), scoring is one narrow JVM-side map over the scan, no
     shuffle, no UDF. Bag semantics (token multiplicity counts), NULL
     text scores sigmoid(bias) like the empty document it is."""
-    from turbine_maintenance_etl_spark.llm.dedup import md5_hash64
-    from turbine_maintenance_etl_spark.llm.text import tokens_expr
+    from turbine_maintenance_etl_spark.llm.dedup import md5_hash64_sql
+    from turbine_maintenance_etl_spark.llm.similarity import _vec_lit_sql
+    from turbine_maintenance_etl_spark.llm.text import sqlref, tokens_sql
 
+    # single-parse construction (text.tokens_sql): the weight literal
+    # and the fold are one parsed SQL string, not D py4j literal objects
     D = len(weights)
-    lit_w = F.lit([float(w) for w in weights])
-    toks = tokens_expr(F.col(text_col))
-    margin = F.aggregate(
-        toks,
-        F.lit(float(bias)),
-        lambda acc, t: acc
-        + F.element_at(lit_w, (md5_hash64(t) % D).cast("int") + 1),
+    lit_w = _vec_lit_sql(float(w) for w in weights)
+    idx = f"cast(({md5_hash64_sql('t')}) % {D} as int) + 1"
+    margin = (
+        f"aggregate({tokens_sql(sqlref(text_col))}, {float(bias)!r}D, "
+        f"(acc, t) -> acc + element_at({lit_w}, {idx}))"
     )
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
-    return docs.withColumn(out_col, prob)
+    return docs.withColumn(
+        out_col, F.expr(f"round(1.0D / (1.0D + exp(-({margin}))), 6)")
+    )
 
 
 def filter_by_quality(

@@ -637,6 +637,10 @@ def resolve_duplicate_clusters(
         # lineage attached — every downstream action re-executed the whole
         # candidate-pair pipeline (caught by the PLANS.md exchange count:
         # 19 shuffles in the consumer's plan vs 0 from a checkpoint).
+        # lazy barrier (r10): the convergence count below is a full scan
+        # of this frame, so it MATERIALIZES the checkpoint — one job per
+        # round instead of checkpoint-job + count-job (reliable mode
+        # keeps its eager distributed write)
         new_labels = barrier(
             jumped.select(
                 "node",
@@ -644,6 +648,7 @@ def resolve_duplicate_clusters(
                 (F.col("new_label") != F.col("_old")).alias("_chg"),
             ),
             "dedup-labels",
+            eager=False,
         )
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.select("node", "label")

@@ -63,10 +63,20 @@ def _scratch_dir() -> str:
     return base
 
 
-def barrier(df: DataFrame, tag: str = "barrier", mode: str | None = None) -> DataFrame:
+def barrier(
+    df: DataFrame, tag: str = "barrier", mode: str | None = None,
+    eager: bool = True,
+) -> DataFrame:
     """Materialize ``df`` so downstream multi-branch consumers never
     re-execute its lineage. ``mode=None`` reads the deployment default
     from ``SPARK_GRAFT_CHECKPOINT_MODE`` (see module docstring).
+
+    ``eager=False`` (local mode only) defers materialization to the
+    FIRST action over the returned frame — for callers that immediately
+    run a full-scan action anyway (the CC loop's convergence count),
+    this folds the checkpoint job and that action into one job instead
+    of two per round. Reliable mode ignores the flag: its durability
+    comes from the eager distributed write itself.
 
     Reliable-mode frames persist under the scratch dir for the life of
     the JOB that reads them (the whole point — they must survive
@@ -75,7 +85,7 @@ def barrier(df: DataFrame, tag: str = "barrier", mode: str | None = None) -> Dat
     (same place vacuum/orphan_sweep run) to reclaim aged frames."""
     mode = mode or checkpoint_mode()
     if mode == "local":
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     path = os.path.join(_scratch_dir(), f"{tag}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

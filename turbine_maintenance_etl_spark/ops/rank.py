@@ -83,11 +83,11 @@ def _bucketed(df: DataFrame, key: Column, num_buckets: int, persist: bool) -> Da
     # bounded driver result: <= num_buckets-1 literal doubles
     edges = sorted(set(t.approxQuantile(_RK, probs, 1.0 / (4 * num_buckets))))
     if edges:
-        arr = F.array(*[F.lit(float(e)) for e in edges])
-        bkt = F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, e: acc + F.when(F.col(_RK) >= e, 1).otherwise(0),
+        # single-parse construction (llm.text.tokens_sql rationale)
+        arr = "array(" + ", ".join(repr(float(e)) + "D" for e in edges) + ")"
+        bkt = F.expr(
+            f"aggregate({arr}, 0, (acc, e) -> "
+            f"acc + (CASE WHEN `{_RK}` >= e THEN 1 ELSE 0 END))"
         )
     else:
         bkt = F.lit(0)
