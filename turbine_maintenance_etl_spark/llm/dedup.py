@@ -776,9 +776,13 @@ def duplicated_span_stats(
        tokenize+md5 narrow stage) executes once, not once per join side,
        and the full gram stream crosses the network exactly once
        (measured faster than the agg+join shape at sf0.1 too);
-    4. the exact union-of-intervals coverage comes from exploding each
-       hit to its n covered token indices and counting DISTINCT
-       (doc, index) — interval union without any per-doc sort.
+    4. the exact union-of-intervals coverage is ONE groupBy(doc) over
+       the duplicated hits: collect the span positions (one int per
+       hit), expand to covered indices and count the distinct union in
+       a single array expression — the r10 shape. The previous shape
+       exploded every hit to its n covered (doc, index) rows and ran
+       DISTINCT + a second groupBy over them: n× the rows across two
+       extra exchanges for the same per-doc number.
 
     Scale shape: everything is linear in corpus token count; shuffles key
     on 32-byte digests; no driver collect, no quadratic pair stage (unlike
@@ -802,19 +806,20 @@ def duplicated_span_stats(
         .drop("_cnt")
     )
 
-    per_doc_spans = hits.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
-    covered = (
-        hits.select(
-            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx")
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_tokens"))
+    # span count and interval-union coverage in the SAME aggregation:
+    # the buffer holds one int per duplicated hit (bounded by the doc's
+    # token count), the union/distinct runs as a post-agg array
+    # expression — no row explosion, no (doc, idx) DISTINCT exchange
+    per_doc = hits.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.expr(
+            "size(array_distinct(flatten(transform(collect_list(pos), "
+            f"p -> sequence(p, p + {n - 1})))))"
+        ).alias("n_dup_tokens"),
     )
     return (
         toks.select(id_col, "n_tokens")
-        .join(per_doc_spans, id_col, "left")
-        .join(covered, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -860,26 +865,34 @@ def remove_duplicated_spans(
         text — re-joining them would collapse newlines/indentation
         corpus-wide for a rewrite that touched nothing.
 
-    Plan shape:
+    Plan shape (r10 — two wide stages total):
       1. the gram pipeline (tokenize + positional slice + md5) runs ONCE
          (narrow);
-      2. ONE hash-shuffle on the 8-byte span key computes per-key count
-         and min-(doc_id,pos) in the same window pass — no join-back of
-         a second gram stream;
-      3. marked occurrences explode to covered (doc, idx) pairs —
-         duplicated tokens only, a small fraction of the corpus after
-         dedup rounds;
-      4. ONLY affected documents re-shuffle their token stream for the
-         rebuild (semi-join gate); untouched documents pass through the
-         scan unchanged. The rebuild's groupBy collects (pos, token)
-         structs per doc — bounded by document length, the same bound
-         the tokenizer already implies.
+      2. ONE hash-shuffle on the span key computes per-key count and
+         min-(doc_id,pos) in the same window pass — no join-back of a
+         second gram stream;
+      3. ONE groupBy(doc) over the duplicated occurrences builds the
+         per-doc removed-index set as an array expression —
+         ``array_except(∪ marked coverage, ∪ canonical coverage)`` —
+         with a buffer of one (pos, is_first) pair per duplicated hit
+         (bounded by document length);
+      4. the rebuild is a NARROW map: affected docs left-join their
+         removed set back (id-keyed; only docs that actually lose
+         tokens have a row) and the cleaned text is
+         ``kept indices = array_except(sequence(1, n_tokens), removed)``
+         mapped through ``element_at`` — no token-stream explosion, no
+         per-token anti-join, no per-doc sort-rebuild aggregate.
+      (The pre-r10 shape exploded both coverage sets to (doc, idx) rows
+      with DISTINCT exchanges, anti-joined them, localCheckpointed the
+      result, and rebuilt affected docs via posexplode + anti-join +
+      collect_list — five extra wide stages carrying n× amplified rows
+      for identical output.)
 
-    At 100 TB: shuffles 2-4 are all keyed on bounded-width keys and
-    carry (a) the gram key stream once, (b) removed positions, (c)
-    affected-doc tokens — each linear, no quadratic stage, no driver
-    state. A boilerplate mega-span is one hot key whose window pass is
-    O(occurrences) with no pair expansion.
+    At 100 TB: both wide stages key on bounded-width keys and carry (a)
+    the gram key stream once, (b) one int per duplicated hit — each
+    linear, no quadratic stage, no driver state. A boilerplate mega-span
+    is one hot key whose window pass is O(occurrences) with no pair
+    expansion.
     """
     toks = df.select(
         F.col(id_col), F.col(text_col).alias("_text"),
@@ -900,76 +913,58 @@ def remove_duplicated_spans(
     is_first = (F.col("_first")[id_col] == F.col(id_col)) & (
         F.col("_first")["pos"] == F.col("pos")
     )
-    dup = occ.filter(F.col("_cnt") >= min_count)
-    marked = dup.filter(~is_first)
-    canonical = dup.filter(is_first)
-
-    def _coverage(o):
-        return o.select(
-            id_col,
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
-        ).distinct()
+    dup = occ.filter(F.col("_cnt") >= min_count).withColumn("_isfirst", is_first)
 
     # canonical protection: tokens inside a canonical occurrence are
     # never removed, even when an overlapping marked occurrence covers
     # them — this is what keeps one COMPLETE copy of every span content.
-    # MATERIALIZED (barrier rule): `removed` feeds both the rebuild's
-    # anti-join and the affected-doc gate, and each consumer would
-    # otherwise re-run BOTH coverage explosions + the span-key window
-    # branches above (measured r7 at sf0.1, warm: 3.4-3.5s -> ~2.5s for
-    # the rewrite entry). The frame holds (doc, idx) pairs of REMOVED
-    # duplicated tokens only — a small fraction of the corpus by the
-    # time a curation chain runs this, so the checkpoint is bounded by
-    # the duplication mass, not the corpus.
-
-    removed = barrier(
-        _coverage(marked).join(_coverage(canonical), [id_col, "idx"], "anti"),
-        "span-removed",
-    )
-
-    affected = removed.select(id_col).distinct()
-    tok_stream = (
-        toks.join(affected, id_col, "semi")
-        .select(
-            id_col,
-            F.posexplode("_toks").alias("idx0", "tok"),
-        )
-        .select(id_col, (F.col("idx0") + 1).alias("idx"), "tok")
-    )
-    rebuilt = (
-        tok_stream.join(removed, [id_col, "idx"], "anti")
-        .groupBy(id_col)
+    # ``array_except`` IS the (distinct marked coverage) minus (distinct
+    # canonical coverage) set difference, computed per doc in one
+    # aggregation; ``collect_list`` drops the CASE's NULLs, so each side
+    # sees exactly its own occurrences' positions. Docs whose marked
+    # coverage is fully canonical-protected lose no tokens and are
+    # filtered out here — they pass through the left join below
+    # unchanged, exactly like docs with no duplicated spans at all.
+    per_doc = (
+        dup.groupBy(id_col)
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("_clean"),
-            F.count("*").alias("_kept"),
+            F.expr(
+                "array_except("
+                "flatten(transform(collect_list(CASE WHEN NOT _isfirst THEN pos END), "
+                f"p -> sequence(p, p + {n - 1}))), "
+                "flatten(transform(collect_list(CASE WHEN _isfirst THEN pos END), "
+                f"p -> sequence(p, p + {n - 1}))))"
+            ).alias("_removed")
         )
+        .filter(F.size("_removed") > 0)
     )
-    # a fully-removed affected doc has no surviving tokens and therefore
-    # no rebuilt row — it must emit empty text, not pass through
-    # unchanged; UNAFFECTED docs emit their ORIGINAL text (the rewrite
-    # touched nothing, so it must not collapse their whitespace)
+
+    # the rebuild: kept indices in ascending order are
+    # array_except(sequence(1, n_tokens), _removed) — sequence order is
+    # preserved, membership is hash-set lookups — mapped through
+    # element_at. A fully-removed doc yields an empty kept array and
+    # emits '' (array_join of []); UNAFFECTED docs (no per_doc row) emit
+    # their ORIGINAL text — including a NULL one (coalescing to ''
+    # conflated a NULL doc with an empty doc; r10 adversarial sweep).
+    # n_removed = size(_removed): every removed index lies in
+    # [1, n_tokens] and the set is distinct by construction.
     out = (
-        toks.join(affected.withColumn("_hit", F.lit(1)), id_col, "left")
-        .join(rebuilt, id_col, "left")
+        toks.join(per_doc, id_col, "left")
         .select(
-            id_col,
+            F.col(id_col),
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.when(F.col("_hit").isNull(), F.lit(0))
-            .otherwise(F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+            F.when(F.col("_removed").isNull(), F.lit(0))
+            .otherwise(F.size("_removed"))
             .cast("bigint")
             .alias("n_removed_tokens"),
-            # unaffected docs pass ORIGINAL text through — including a
-            # NULL one (coalescing to '' conflated a NULL doc with an
-            # empty doc; r10 adversarial sweep); a fully-removed
-            # affected doc has no rebuilt row and emits ''
-            F.when(F.col("_hit").isNull(), F.col("_text"))
-            .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+            F.when(F.col("_removed").isNull(), F.col("_text"))
+            .otherwise(
+                F.expr(
+                    "array_join(transform("
+                    "array_except(sequence(1, n_tokens), _removed), "
+                    "i -> element_at(_toks, i)), ' ')"
+                )
+            )
             .alias("cleaned_text"),
         )
     )
