@@ -329,3 +329,20 @@ def test_linear_scoring_broadcasts_stats_only(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # 1-row stat frames
     assert "EvalPython" not in plan
+
+
+def test_span_dedup_plans_two_wide_stages(spark):
+    """ExactSubstr operators (r10 optimization): the coverage math is a
+    per-doc interval-array aggregate, not an exploded (doc, idx) row
+    stream — each declared plan must stay at exactly TWO exchanges (the
+    span-key window + the per-doc groupBy), ONE Generate (the gram
+    explode; the 8x covered-index explode and the rebuild posexplode
+    are gone), and the rewrite must carry no localCheckpoint scan (the
+    'span-removed' barrier was removed outright)."""
+    import re
+
+    for name in ("dedup_span_coverage", "dedup_span_rewrite"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
+        assert n_exchanges(plan) == 2, name
+        assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, name
+        assert "ExistingRDD" not in plan, name  # no checkpoint scan
