@@ -734,11 +734,19 @@ def containment_scores(
 def _span_struct_sql(n: int) -> str:
     """SQL text of the positional n-gram span builder shared by the two
     ExactSubstr passes: array<struct<pos,g>> over a bound ``_toks``
-    column with ``n_tokens`` alongside (single-parse construction)."""
+    column with ``n_tokens`` alongside (single-parse construction).
+
+    The span key is the md5 digest as 16 BYTES (``unhex``), not the
+    32-char hex string (guide §2.3 — narrower shuffle keys): the key
+    dominates the gram-stream row (16B key + 8B id + 4B pos vs 32B+ as
+    hex), it only ever partitions/groups (never reaches any output),
+    and ``unhex`` is injective on md5's hex alphabet, so every grouping
+    class — and therefore every count, canonical choice and result —
+    is unchanged."""
     return (
         f"CASE WHEN n_tokens >= {n} THEN transform(sequence(1, n_tokens - {n - 1}), "
-        f"i -> named_struct('pos', i, 'g', md5(array_join(slice(_toks, i, {n}), ' ')))) "
-        "ELSE cast(array() as array<struct<pos:int,g:string>>) END"
+        f"i -> named_struct('pos', i, 'g', unhex(md5(array_join(slice(_toks, i, {n}), ' '))))) "
+        "ELSE cast(array() as array<struct<pos:int,g:binary>>) END"
     )
 
 
