@@ -235,17 +235,33 @@ def main() -> None:
     # (metric/value/unit) was cut and every BENCH_r*.json since round 1
     # recorded parsed:null. Print a compact summary LAST so the tail
     # always contains one complete parseable JSON line.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "n": len(timings),
-                "sf": float(sf),
-            }
-        )
-    )
+    #
+    # Round-11 fix (r10 verdict item 2): the driver's per-query PERF
+    # comparator was blind (`PERF_r10.json per_query: {}`) because the
+    # scalar per-query map only appeared in the LONG line above, whose
+    # head falls outside the 2000-char tail window. The compact summary
+    # line now ALSO carries the scalar per-query seconds (2 dp — the
+    # full 4-dp medians and min/max stay in the long line, unchanged),
+    # compact-serialized and length-guarded so the complete line always
+    # fits the tail window. Additive only: no timing-path change, no
+    # entry renamed/removed; the headline value is computed exactly as
+    # before.
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "sf": float(sf),
+        "queries": {
+            n: (round(t, 2) if t < 10 else round(t, 1))
+            for n, t in timings.items()
+        },
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1990:  # keep the whole line inside the 2000-char tail
+        summary["queries"] = {n: round(t, 1) for n, t in timings.items()}
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -358,14 +358,41 @@ def _footer_stats(dirpath: str, stats_cols: tuple) -> dict | None:
         import pyarrow.parquet as pq
     except ImportError:
         return None
-    try:
+    fs = None
+    if "://" in dirpath:
+        # r11 (r10 verdict item 7): remote tables (hdfs://, s3://; the
+        # Hadoop s3a/s3n schemes map to pyarrow's s3) keep the zero-job
+        # footer path via pyarrow.fs instead of silently forfeiting it
+        # — exactly where commits are most expensive. Any unsupported
+        # scheme / missing binding degrades to the Spark aggregate.
+        from pyarrow import fs as pafs
+
+        uri = dirpath
+        for scheme in ("s3a://", "s3n://"):
+            if uri.startswith(scheme):
+                uri = "s3://" + uri[len(scheme):]
+                break
+        try:
+            fs, root = pafs.FileSystem.from_uri(uri)
+            infos = fs.get_file_info(pafs.FileSelector(root))
+        except Exception:
+            return None
         files = sorted(
-            os.path.join(dirpath, f)
-            for f in os.listdir(dirpath)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            i.path
+            for i in infos
+            if i.is_file
+            and i.base_name.endswith(".parquet")
+            and not i.base_name.startswith((".", "_"))
         )
-    except OSError:
-        return None
+    else:
+        try:
+            files = sorted(
+                os.path.join(dirpath, f)
+                for f in os.listdir(dirpath)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        except OSError:
+            return None
     if not files:
         return None
     rows = 0
@@ -374,7 +401,7 @@ def _footer_stats(dirpath: str, stats_cols: tuple) -> dict | None:
     maxs: dict = {}
     for fp in files:
         try:
-            md = pq.ParquetFile(fp)
+            md = pq.ParquetFile(fp if fs is None else fs.open_input_file(fp))
         except Exception:
             return None
         meta = md.metadata
