@@ -41,6 +41,7 @@ the byte-level codec differs.
 from __future__ import annotations
 
 import struct
+from array import array
 
 import numpy as np
 
@@ -140,11 +141,87 @@ def _canonical_codes(bits: list[int], vals: list[int]):
     return out
 
 
-def _decode_map(bits: list[int], vals: list[int]):
-    """(bits[16], values) -> {(length, code): symbol} for bitwise decode."""
-    return {
-        (ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()
-    }
+class _HuffTable:
+    """Decode-side Huffman table: the round-10 ``{(length, code): sym}``
+    map plus a flat 16-bit-window LUT (round 11). ``lut_sym[w]`` /
+    ``lut_len[w]`` decode the NEXT 16 entropy bits ``w`` in one list
+    index each — every window whose prefix is a valid code maps to that
+    code (prefix property makes it unique), windows matching no code
+    have length 0. One lookup replaces the per-bit walk (up to 16 list
+    reads + dict gets per symbol)."""
+
+    __slots__ = ("map", "lut_sym", "lut_len")
+
+    def __init__(self, decode_map: dict):
+        self.map = decode_map
+        sym_a = np.zeros(1 << 16, dtype=np.int32)
+        len_a = np.zeros(1 << 16, dtype=np.int32)
+        # longest codes first, so shorter codes (written last) win any
+        # overlap — not that canonical codes can overlap, but the order
+        # makes the invariant self-evident
+        for (ln, code), sym in sorted(decode_map.items(), reverse=True):
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            sym_a[lo:hi] = sym
+            len_a[lo:hi] = ln
+        self.lut_sym = sym_a.tolist()
+        self.lut_len = len_a.tolist()
+
+    def get(self, key, default=None):  # dict-compat for callers/tests
+        return self.map.get(key, default)
+
+
+# LUT construction is ~1 ms (two 65536-slot arrays); the repo's own
+# encoders use fixed Annex-K (+ one fixed progressive AC) tables, so a
+# small memo amortizes it to zero per worker process. Bounded so a
+# stream defining endless distinct tables (DHT is re-definable per
+# scan) cannot grow memory — overflow just skips caching (the
+# adversarial stream pays its own build cost, nothing accumulates).
+_HUFF_TABLE_CACHE: dict = {}
+_HUFF_TABLE_CACHE_MAX = 32
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> _HuffTable:
+    """(bits[16], values) -> decode table (dict map + 16-bit LUT)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tbl = _HuffTable(
+        {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+    )
+    if len(_HUFF_TABLE_CACHE) < _HUFF_TABLE_CACHE_MAX:
+        _HUFF_TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_WIN_SHIFTS = (8 - np.arange(8, dtype=np.uint32))[None, :]
+
+
+def _bit_windows(buf: np.ndarray, byte0: int, nbytes: int):
+    """16-bit big-endian bit windows of ``buf[byte0 : byte0+nbytes]``:
+    ``win[i]`` holds bits ``[8*byte0+i, 8*byte0+i+16)`` of ``buf``, with
+    up to 2 LOOKAHEAD bytes read past the chunk (zero-padded past the
+    end of ``buf``), so every entry is a complete window regardless of
+    chunk boundaries. Built vectorized (one uint32 staggered-shift
+    pass), shipped as ``array('H')`` via ``tobytes`` — a C memcpy
+    instead of boxing every entry (``tolist`` measured 13x slower to
+    build at chunk size); subscripting an array is one int box per
+    READ, and reads are ~4x rarer than bits (one per symbol/field)."""
+    n = min(nbytes, int(buf.size) - byte0)
+    if n <= 0:
+        return array("H")
+    chunk = buf[byte0 : byte0 + n + 2].astype(np.uint32)
+    if chunk.size < n + 2:
+        chunk = np.concatenate(
+            [chunk, np.zeros(n + 2 - chunk.size, dtype=np.uint32)]
+        )
+    u24 = (chunk[:n] << 16) | (chunk[1 : n + 1] << 8) | chunk[2 : n + 2]
+    win = (u24[:, None] >> _WIN_SHIFTS) & 0xFFFF
+    if n <= 256:  # tiny segment: boxing a short list beats the astype+
+        # memcpy detour AND list reads are ~35 ns cheaper each
+        return win.ravel().tolist()
+    return array("H", win.astype(np.uint16).tobytes())
 
 
 # ---------------------------------------------------------------- decode
@@ -156,44 +233,64 @@ class _BitReader:
 
     Round-9 destuffed one whole restart segment up front
     (``_destuff_to_marker``) and served bits from a whole-segment
-    Python list — fast, but a no-DRI stream is ONE segment, and a list
-    of bit ints costs ~64 bytes of pointer per entropy byte (a 10 MB
-    scan would transiently take ~640 MB per task). Round-10 keeps the
-    list-indexing hot path but unpacks a fixed 64 KiB byte WINDOW at a
-    time (~4 MB of list, refilled ~once per 512K bits); the destuffed
-    segment itself stays a 1x-encoded-size numpy array. Semantics are
+    Python list; round-10 bounded that to a fixed byte WINDOW at a
+    time. Round-11 changes the unpacked representation from single
+    bits to 16-bit LOOKAHEAD WINDOWS (``bits[i]`` = the next 16 bits
+    at bit offset i, built vectorized with 2 real lookahead bytes past
+    the chunk): ``read_bits(n)`` becomes one list index + one shift
+    instead of n list reads, and ``_huff_decode`` resolves a whole
+    symbol from ``bits[p]`` through a flat LUT instead of walking bit
+    by bit. Memory stays window-bounded (~36 B/window entry vs ~8 B/bit
+    — the window is 4x smaller for the same footprint). Semantics are
     unchanged: reading past the segment's entropy bits raises
     _SegmentEnd exactly where the old reader met the marker, and
     ``pos`` exposes the raw stream position of that marker for
     ``_next_marker``."""
 
-    _WINDOW_BYTES = 1 << 16  # destuffed bytes per unpacked bit window
+    _WINDOW_BYTES = 1 << 14  # destuffed bytes per unpacked window chunk
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self._load(pos)
 
     def _load(self, pos: int) -> None:
-        buf, self._mpos, self.marker = _destuff_to_marker(self.data, pos)
-        self._buf = np.frombuffer(bytes(buf), np.uint8)
-        self._nbits = int(self._buf.size) * 8
+        """Destuff the WHOLE remaining scan region — through any RSTn
+        markers, up to the first real marker — in one pass (r11): a
+        restart-heavy stream has thousands of tiny segments, and paying
+        a destuff + window build PER SEGMENT costs more than the
+        segment's decode. Per-segment bit budgets live in ``_bounds``;
+        ``align_to_marker`` just moves the cursor. Reads are guarded by
+        the CURRENT segment's ``_nbits``, so a window that happens to
+        contain the next segment's bits can never leak them: a code or
+        field that fits inside the segment is determined by the
+        segment's own bits alone (prefix property), and one that would
+        cross the boundary errors exactly where the per-segment reader
+        ended."""
+        buf, bounds, markers, mposs = _destuff_scan(self.data, pos)
+        self._buf = np.frombuffer(buf, np.uint8)
+        self._bounds = bounds
+        self._markers = markers
+        self._mposs = mposs
+        self._seg = 0
+        self._nbits = bounds[0] * 8
+        self._mpos = mposs[0]
+        self.marker = markers[0]
         self._fill(0)
 
     def _fill(self, abs_bit: int) -> None:
-        """Unpack the window holding absolute bit ``abs_bit`` to a bit
-        LIST (C-speed): per-bit reads stay one list index + one
-        increment, and _huff_decode walks the list with local
-        variables. ``self.p`` is window-relative; ``self._base`` is the
-        window's absolute bit offset."""
+        """Unpack the chunk holding absolute bit ``abs_bit`` to a
+        16-bit-window LIST. Every entry is a complete window (2
+        lookahead bytes are read past the chunk, zero-padded only past
+        the segment's last byte), so chunk boundaries never split a
+        read — only position bookkeeping changes at a refill. ``self.p``
+        is chunk-relative; ``self._base`` its absolute bit offset."""
         byte0 = abs_bit >> 3
         self._base = byte0 << 3
-        self.bits = np.unpackbits(
-            self._buf[byte0 : byte0 + self._WINDOW_BYTES]
-        ).tolist()
+        self.bits = _bit_windows(self._buf, byte0, self._WINDOW_BYTES)
         self.p = abs_bit - self._base
 
     def _advance(self) -> None:
-        """Window exhausted at ``self.p``: refill from the next bit, or
+        """Chunk exhausted at ``self.p``: refill from the next bit, or
         raise once the segment's entropy bits are spent — the old
         byte-wise reader met the terminating marker here (_SegmentEnd),
         or ran off a truncated stream (ValueError)."""
@@ -220,33 +317,42 @@ class _BitReader:
             self._advance()  # raises at segment end; else p < len(bits)
             p = self.p
         self.p = p + 1
-        return self.bits[p]
+        return (self.bits[p] >> 15) & 1
 
     def read_bits(self, n: int) -> int:
+        if n <= 0:
+            return 0
         p = self.p
-        bits = self.bits
-        if p + n > len(bits):
-            if self._base + p + n > self._nbits:
-                self._end()
-            # window boundary: accumulate via read_bit (refills as it
-            # goes; correct for any window size)
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | self.read_bit()
-            return v
-        v = 0
-        for b in bits[p : p + n]:
-            v = (v << 1) | b
+        if p >= len(self.bits):
+            self._advance()
+            p = self.p
+        if self._base + p + n > self._nbits:
+            self._end()
         self.p = p + n
-        return v
+        return self.bits[p] >> (16 - n)
 
     def align_to_marker(self) -> int:
         """Skip to the current segment's terminating marker pair;
-        returns the marker code and loads the next segment."""
+        returns the marker code and positions at the next segment —
+        a cursor move within the already-destuffed scan when the
+        marker was an RSTn (the common caller), a fresh load after a
+        non-RST marker (callers reject those anyway)."""
         if self.marker is None:
             raise ValueError("truncated JPEG: expected marker")
         m = self.marker
-        self._load(self._mpos + 2)
+        s = self._seg + 1
+        if s < len(self._bounds):
+            start_bit = self._bounds[s - 1] * 8
+            self._seg = s
+            self._nbits = self._bounds[s] * 8
+            self._mpos = self._mposs[s]
+            self.marker = self._markers[s]
+            if self._base <= start_bit < self._base + len(self.bits):
+                self.p = start_bit - self._base  # same chunk: no rebuild
+            else:
+                self._fill(start_bit)
+        else:
+            self._load(self._mpos + 2)
         return m
 
 
@@ -254,29 +360,20 @@ class _SegmentEnd(Exception):
     """Entropy segment hit a marker (RST/EOI) mid-read."""
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    bits = reader.bits
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
     p = reader.p
-    n = len(bits)
-    get = table.get
-    code, length = 0, 0
-    while length < 16:
-        if p >= n:
-            # window boundary (refill and keep the partial code) or
-            # true segment end (_advance raises)
-            reader.p = p
-            reader._advance()
-            bits = reader.bits
-            p = reader.p
-            n = len(bits)
-        code = (code << 1) | bits[p]
-        p += 1
-        length += 1
-        sym = get((length, code))
-        if sym is not None:
-            reader.p = p
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+    if p >= len(reader.bits):
+        reader._advance()  # raises at segment end; else p < len(bits)
+        p = reader.p
+    w = reader.bits[p]
+    ln = table.lut_len[w]
+    if ln == 0 or reader._base + p + ln > reader._nbits:
+        if reader._base + p + 16 > reader._nbits:
+            # the bitwise walk ran out of segment bits mid-code here
+            reader._end()
+        raise ValueError("invalid Huffman code in JPEG stream")
+    reader.p = p + ln
+    return table.lut_sym[w]
 
 
 def _extend(v: int, t: int) -> int:
@@ -590,20 +687,68 @@ def _destuff_to_marker(data: bytes, pos: int):
     when the stream ends without one. Shared by the round-9 tight-loop
     entropy decoders (sequential + lossless): destuffing once lets the
     Huffman walk run on local integer arithmetic instead of three
-    method calls per bit."""
-    buf = bytearray()
-    p, n = pos, len(data)
-    while p < n:
-        b = data[p]
-        if b == 0xFF:
-            if p + 1 < n and data[p + 1] == 0x00:
-                buf.append(0xFF)
-                p += 2
-                continue
-            return buf, p, (data[p + 1] if p + 1 < n else None)
-        buf.append(b)
-        p += 1
-    return buf, n, None
+    method calls per bit. Round-11: the per-byte Python scan (~1 us per
+    entropy byte) becomes ``bytes.find`` (memchr) hops between 0xFF
+    hits — stuffed pairs splice byte slices, the first real marker
+    terminates."""
+    n = len(data)
+    pieces = []
+    start = p = pos
+    while True:
+        f = data.find(b"\xff", p)
+        if f == -1:
+            pieces.append(data[start:n])
+            return b"".join(pieces), n, None
+        if f + 1 < n and data[f + 1] == 0x00:
+            pieces.append(data[start : f + 1])  # keep the 0xFF, drop the 0x00
+            start = p = f + 2
+            continue
+        pieces.append(data[start:f])
+        return b"".join(pieces), f, (data[f + 1] if f + 1 < n else None)
+
+
+def _destuff_scan(data: bytes, pos: int):
+    """Destuff from ``pos`` through any RSTn markers up to (and
+    excluding) the first NON-restart marker — the whole entropy region
+    of one scan in one pass (r11, for ``_BitReader``). Returns
+    ``(buf, bounds, markers, mposs)``: ``buf`` concatenates every
+    segment's destuffed bytes; segment ``i`` ends at byte offset
+    ``bounds[i]`` of ``buf``, is terminated by marker code
+    ``markers[i]`` (``None`` when the stream ends without one) whose
+    0xFF sits at raw position ``mposs[i]`` (``len(data)`` when none).
+    Scanning uses ``bytes.find`` (memchr), so cost is O(region), not
+    O(region x segments)."""
+    n = len(data)
+    pieces = []
+    bounds: list[int] = []
+    markers: list[int | None] = []
+    mposs: list[int] = []
+    start = p = pos
+    cur = 0
+    while True:
+        f = data.find(b"\xff", p)
+        if f == -1:
+            pieces.append(data[start:n])
+            cur += n - start
+            bounds.append(cur)
+            markers.append(None)
+            mposs.append(n)
+            return b"".join(pieces), bounds, markers, mposs
+        nxt = data[f + 1] if f + 1 < n else None
+        if nxt == 0x00:
+            pieces.append(data[start : f + 1])  # keep the 0xFF, drop the 0x00
+            cur += f + 1 - start
+            start = p = f + 2
+            continue
+        pieces.append(data[start:f])
+        cur += f - start
+        bounds.append(cur)
+        markers.append(nxt)
+        mposs.append(f)
+        if nxt is not None and 0xD0 <= nxt <= 0xD7:
+            start = p = f + 2
+            continue
+        return b"".join(pieces), bounds, markers, mposs
 
 
 def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
@@ -627,8 +772,12 @@ def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
     # phase 1 (round-9): tight-loop entropy decode of every quantized
     # coefficient over per-restart-segment destuffed buffers — the
     # generic _BitReader paid three method calls and a stuffing check
-    # per bit (measured 2x on baseline decode). Dequantization and the
-    # IDCT batch over all blocks in phase 2.
+    # per bit (measured 2x on baseline decode). Round-11: the per-bit
+    # Huffman walk (list index + dict get PER BIT) becomes one 16-bit
+    # lookahead-window read resolved through the table's flat LUT, and
+    # magnitude bits are one shift — windows built vectorized per
+    # chunk (_bit_windows), cursor arithmetic all Python ints.
+    # Dequantization and the IDCT batch over all blocks in phase 2.
     pred = {cid: 0 for cid, *_ in comps}
     zig = ZIGZAG
     # preallocated int32 store, one 64-coef row flushed per block: the
@@ -637,88 +786,117 @@ def _decode_scan(data, pos, frame, quant, huff_dc, huff_ac, scan_tabs,
     # boxed-int lists of the whole image (r9 review finding)
     coefs = np.zeros((n_mcus * len(layout), 64), dtype=np.int32)
     bidx = 0
+    wchunk = _BitReader._WINDOW_BYTES
     buf, mpos, marker = _destuff_to_marker(data, pos)
-    bi = bb = 0  # byte / bit cursor into the destuffed segment
+    seg = np.frombuffer(bytes(buf), np.uint8)
+    nbits = int(seg.size) * 8
+    win = _bit_windows(seg, 0, wchunk)
+    wlen = len(win)
+    base = p = 0  # chunk's absolute bit offset / chunk-relative cursor
     mcu_count = 0
-    try:
-        for _mcu in range(n_mcus):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                if marker is None:
-                    raise ValueError(
-                        "truncated JPEG: entropy stream ended, expected RST marker"
-                    )
-                if not (0xD0 <= marker <= 0xD7):
-                    raise ValueError(f"expected RST marker, got 0xFF{marker:02X}")
-                buf, mpos, marker = _destuff_to_marker(data, mpos + 2)
-                bi = bb = 0
-                for cid in pred:
-                    pred[cid] = 0
-            mcu_count += 1
-            for cid, dc_t, ac_t, _tq in layout:
-                c = [0] * 64
-                code = 0
-                length = 0
-                while True:
-                    code = (code << 1) | ((buf[bi] >> (7 - bb)) & 1)
-                    bb += 1
-                    if bb == 8:
-                        bb = 0
-                        bi += 1
-                    length += 1
-                    sym = dc_t.get((length, code))
-                    if sym is not None:
-                        break
-                    if length >= 16:
-                        raise ValueError("invalid Huffman code in JPEG stream")
-                if sym:
-                    v = 0
-                    for _b in range(sym):
-                        v = (v << 1) | ((buf[bi] >> (7 - bb)) & 1)
-                        bb += 1
-                        if bb == 8:
-                            bb = 0
-                            bi += 1
-                    # inline EXTEND (T.81 F.2.2.1)
-                    pred[cid] += v if v >= (1 << (sym - 1)) else v - (1 << sym) + 1
-                c[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    code = 0
-                    length = 0
-                    while True:
-                        code = (code << 1) | ((buf[bi] >> (7 - bb)) & 1)
-                        bb += 1
-                        if bb == 8:
-                            bb = 0
-                            bi += 1
-                        length += 1
-                        sym = ac_t.get((length, code))
-                        if sym is not None:
-                            break
-                        if length >= 16:
-                            raise ValueError("invalid Huffman code in JPEG stream")
-                    r, sbits = sym >> 4, sym & 0x0F
-                    if sbits == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    v = 0
-                    for _b in range(sbits):
-                        v = (v << 1) | ((buf[bi] >> (7 - bb)) & 1)
-                        bb += 1
-                        if bb == 8:
-                            bb = 0
-                            bi += 1
-                    c[zig[k]] = v if v >= (1 << (sbits - 1)) else v - (1 << sbits) + 1
-                    k += 1
-                coefs[bidx] = c
-                bidx += 1
-    except IndexError:
-        raise ValueError("JPEG entropy stream ended mid-MCU") from None
+    _end_err = "JPEG entropy stream ended mid-MCU"
+    for _mcu in range(n_mcus):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            if marker is None:
+                raise ValueError(
+                    "truncated JPEG: entropy stream ended, expected RST marker"
+                )
+            if not (0xD0 <= marker <= 0xD7):
+                raise ValueError(f"expected RST marker, got 0xFF{marker:02X}")
+            buf, mpos, marker = _destuff_to_marker(data, mpos + 2)
+            seg = np.frombuffer(bytes(buf), np.uint8)
+            nbits = int(seg.size) * 8
+            win = _bit_windows(seg, 0, wchunk)
+            wlen = len(win)
+            base = p = 0
+            for cid in pred:
+                pred[cid] = 0
+        mcu_count += 1
+        for cid, dc_t, ac_t, _tq in layout:
+            dlen = dc_t.lut_len
+            dsym = dc_t.lut_sym
+            alen = ac_t.lut_len
+            asym = ac_t.lut_sym
+            c = [0] * 64
+            if p >= wlen:  # chunk exhausted: refill at the cursor
+                abs_bit = base + p
+                if abs_bit >= nbits:
+                    raise ValueError(_end_err)
+                byte0 = abs_bit >> 3
+                base = byte0 << 3
+                win = _bit_windows(seg, byte0, wchunk)
+                wlen = len(win)
+                p = abs_bit - base
+            w = win[p]
+            sym = dlen[w]  # length first: 0 = no code matches
+            if sym == 0 or base + p + sym > nbits:
+                if base + p + 16 > nbits:
+                    raise ValueError(_end_err)
+                raise ValueError("invalid Huffman code in JPEG stream")
+            p += sym
+            sym = dsym[w]
+            if sym:
+                if p >= wlen:
+                    abs_bit = base + p
+                    if abs_bit >= nbits:
+                        raise ValueError(_end_err)
+                    byte0 = abs_bit >> 3
+                    base = byte0 << 3
+                    win = _bit_windows(seg, byte0, wchunk)
+                    wlen = len(win)
+                    p = abs_bit - base
+                if base + p + sym > nbits:
+                    raise ValueError(_end_err)
+                v = win[p] >> (16 - sym)
+                p += sym
+                # inline EXTEND (T.81 F.2.2.1)
+                pred[cid] += v if v >= (1 << (sym - 1)) else v - (1 << sym) + 1
+            c[0] = pred[cid]
+            k = 1
+            while k < 64:
+                if p >= wlen:
+                    abs_bit = base + p
+                    if abs_bit >= nbits:
+                        raise ValueError(_end_err)
+                    byte0 = abs_bit >> 3
+                    base = byte0 << 3
+                    win = _bit_windows(seg, byte0, wchunk)
+                    wlen = len(win)
+                    p = abs_bit - base
+                w = win[p]
+                ln = alen[w]
+                if ln == 0 or base + p + ln > nbits:
+                    if base + p + 16 > nbits:
+                        raise ValueError(_end_err)
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                p += ln
+                sym = asym[w]
+                r, sbits = sym >> 4, sym & 0x0F
+                if sbits == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                if p >= wlen:
+                    abs_bit = base + p
+                    if abs_bit >= nbits:
+                        raise ValueError(_end_err)
+                    byte0 = abs_bit >> 3
+                    base = byte0 << 3
+                    win = _bit_windows(seg, byte0, wchunk)
+                    wlen = len(win)
+                    p = abs_bit - base
+                if base + p + sbits > nbits:
+                    raise ValueError(_end_err)
+                v = win[p] >> (16 - sbits)
+                p += sbits
+                c[zig[k]] = v if v >= (1 << (sbits - 1)) else v - (1 << sbits) + 1
+                k += 1
+            coefs[bidx] = c
+            bidx += 1
 
     # phase 2: vectorized dequant + one batched IDCT over every block
     qmat = np.stack([quant[tq].astype(np.float64) for *_x, tq in layout])
@@ -802,75 +980,178 @@ def _ac_first_prog(reader, ac_t, blk, ss, se, al, state) -> None:
     if state["eobrun"] > 0:
         state["eobrun"] -= 1
         return
+    # hot-path locals (r11): the reader's window list / cursor and the
+    # table LUTs are hoisted so each symbol is one window read + one
+    # LUT index and each magnitude one shift — reader.p is synced back
+    # on every exit path (including before _advance, which may raise)
+    lut_len = ac_t.lut_len
+    lut_sym = ac_t.lut_sym
+    win, p, wlen = reader.bits, reader.p, len(reader.bits)
+    base, nbits = reader._base, reader._nbits
     k = ss
     while k <= se:
-        rs = _huff_decode(reader, ac_t)
+        if p >= wlen:
+            reader.p = p
+            reader._advance()  # raises at segment end
+            win, p, wlen = reader.bits, reader.p, len(reader.bits)
+            base = reader._base
+        w = win[p]
+        ln = lut_len[w]
+        if ln == 0 or base + p + ln > nbits:
+            reader.p = p
+            if base + p + 16 > nbits:
+                reader._end()
+            raise ValueError("invalid Huffman code in JPEG stream")
+        p += ln
+        rs = lut_sym[w]
         r, s = rs >> 4, rs & 0x0F
         if s == 0:
             if r == 15:  # ZRL
                 k += 16
                 continue
             # EOBn: run of (1<<r)+ext blocks ending here, incl. this one
-            state["eobrun"] = (1 << r) - 1
+            eob = (1 << r) - 1
             if r:
-                state["eobrun"] += reader.read_bits(r)
+                if p >= wlen:
+                    reader.p = p
+                    reader._advance()
+                    win, p, wlen = reader.bits, reader.p, len(reader.bits)
+                    base = reader._base
+                if base + p + r > nbits:
+                    reader.p = p
+                    reader._end()
+                eob += win[p] >> (16 - r)
+                p += r
+            state["eobrun"] = eob
+            reader.p = p
             return
         k += r
         if k > se:
+            reader.p = p
             raise ValueError("AC coefficient index out of range")
+        if p >= wlen:
+            reader.p = p
+            reader._advance()
+            win, p, wlen = reader.bits, reader.p, len(reader.bits)
+            base = reader._base
+        if base + p + s > nbits:
+            reader.p = p
+            reader._end()
+        v = win[p] >> (16 - s)
+        p += s
         # point transform inverse: value << Al (sign-preserving — Python
         # ints shift the signed value, matching |v|<<Al with v's sign)
-        blk[k] = _extend(reader.read_bits(s), s) << al
+        blk[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
         k += 1
+    reader.p = p
 
 
 def _ac_refine_prog(reader, ac_t, blk, ss, se, al, state) -> None:
     p1, m1 = 1 << al, -(1 << al)
-
-    def correct(k: int) -> None:
-        # append a correction bit to an already-nonzero coefficient; the
-        # magnitude is a multiple of 2^Al here, so the two's-complement
-        # bit test equals the magnitude-bit test (libjpeg's invariant)
-        if reader.read_bit() and (int(blk[k]) & p1) == 0:
-            blk[k] += p1 if blk[k] >= 0 else m1
+    # work on a plain-int copy of the band: the loop below reads/tests
+    # every position (often several times across ZRL runs), and numpy
+    # int64 scalar compares/updates cost ~10x a list element (r11,
+    # measured ~35% of the whole progressive decode); one tolist + one
+    # slice write-back replaces hundreds of boxed-scalar round-trips.
+    # Reader window/cursor hoisted to locals like _ac_first_prog.
+    b = blk.tolist() if hasattr(blk, "tolist") else blk
+    lut_len = ac_t.lut_len
+    lut_sym = ac_t.lut_sym
+    win, p, wlen = reader.bits, reader.p, len(reader.bits)
+    base, nbits = reader._base, reader._nbits
 
     k = ss
     if state["eobrun"] == 0:
         while k <= se:
-            rs = _huff_decode(reader, ac_t)
+            if p >= wlen:
+                reader.p = p
+                reader._advance()  # raises at segment end
+                win, p, wlen = reader.bits, reader.p, len(reader.bits)
+                base = reader._base
+            w = win[p]
+            ln = lut_len[w]
+            if ln == 0 or base + p + ln > nbits:
+                reader.p = p
+                if base + p + 16 > nbits:
+                    reader._end()
+                raise ValueError("invalid Huffman code in JPEG stream")
+            p += ln
+            rs = lut_sym[w]
             r, s = rs >> 4, rs & 0x0F
             val = 0
             if s == 0:
                 if r != 15:  # EOBn: remaining coefficients refine below
-                    state["eobrun"] = 1 << r
+                    eob = 1 << r
                     if r:
-                        state["eobrun"] += reader.read_bits(r)
+                        if p >= wlen:
+                            reader.p = p
+                            reader._advance()
+                            win, p, wlen = reader.bits, reader.p, len(reader.bits)
+                            base = reader._base
+                        if base + p + r > nbits:
+                            reader.p = p
+                            reader._end()
+                        eob += win[p] >> (16 - r)
+                        p += r
+                    state["eobrun"] = eob
                     break
                 # r == 15: ZRL — skip 16 zero-history positions
             elif s == 1:
-                val = p1 if reader.read_bit() else m1
+                if p >= wlen:
+                    reader.p = p
+                    reader._advance()
+                    win, p, wlen = reader.bits, reader.p, len(reader.bits)
+                    base = reader._base
+                val = p1 if win[p] >> 15 else m1
+                p += 1
             else:
+                reader.p = p
                 raise ValueError("invalid magnitude in AC refinement scan")
             while k <= se:
-                if blk[k] != 0:
-                    correct(k)
+                bk = b[k]
+                if bk != 0:
+                    # correction bit for an already-nonzero coefficient;
+                    # magnitude is a multiple of 2^Al here, so the
+                    # two's-complement bit test equals the magnitude-bit
+                    # test (libjpeg's invariant)
+                    if p >= wlen:
+                        reader.p = p
+                        reader._advance()
+                        win, p, wlen = reader.bits, reader.p, len(reader.bits)
+                        base = reader._base
+                    hit = win[p] >> 15
+                    p += 1
+                    if hit and (bk & p1) == 0:
+                        b[k] = bk + (p1 if bk >= 0 else m1)
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
             if val and k <= se:
-                blk[k] = val
+                b[k] = val
             k += 1
     if state["eobrun"] > 0:
         # tail of the current block (and, for runs > 1, each following
         # block whole): already-nonzero coefficients still receive
         # correction bits; zero-history positions are skipped silently
         while k <= se:
-            if blk[k] != 0:
-                correct(k)
+            bk = b[k]
+            if bk != 0:
+                if p >= wlen:
+                    reader.p = p
+                    reader._advance()
+                    win, p, wlen = reader.bits, reader.p, len(reader.bits)
+                    base = reader._base
+                hit = win[p] >> 15
+                p += 1
+                if hit and (bk & p1) == 0:
+                    b[k] = bk + (p1 if bk >= 0 else m1)
             k += 1
         state["eobrun"] -= 1
+    reader.p = p
+    if b is not blk:
+        blk[ss : se + 1] = b[ss : se + 1]
 
 
 def _next_marker(data: bytes, p: int) -> int:
@@ -1699,46 +1980,62 @@ def _decode_lossless_diffs(data: bytes, pos: int, h: int, w: int,
     # preallocated int32 planes + per-row Python buffers: the tight
     # loop appends to small lists (fast) and flushes one numpy row per
     # scanline, so peak memory stays ~4 bytes/sample instead of a
-    # boxed-int list of every diff (r9 review finding)
+    # boxed-int list of every diff (r9 review finding). Round-11: the
+    # per-bit Huffman walk becomes one 16-bit-window LUT lookup and
+    # magnitude bits one shift, same as _decode_scan.
     out = {cid: np.zeros((h, w), dtype=np.int32) for cid in order}
-    tables = [tabs[cid] for cid in order]
-    byte_i = 0
-    bit_i = 0
-    try:
-        for y in range(h):
-            rows: list[list[int]] = [[] for _ in order]
-            appends = [r.append for r in rows]
-            for _x in range(w):
-                for tab, app in zip(tables, appends):
-                    code, length = 0, 0
-                    sym = None
-                    while length < 16:
-                        code = (code << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
-                        bit_i += 1
-                        if bit_i == 8:
-                            bit_i = 0
-                            byte_i += 1
-                        length += 1
-                        sym = tab.get((length, code))
-                        if sym is not None:
-                            break
-                    if sym is None:
-                        raise ValueError("invalid Huffman code in JPEG stream")
-                    if sym == 16:  # the one category without extra bits
-                        app(32768)
-                        continue
-                    v = 0
-                    for _b in range(sym):
-                        v = (v << 1) | ((buf[byte_i] >> (7 - bit_i)) & 1)
-                        bit_i += 1
-                        if bit_i == 8:
-                            bit_i = 0
-                            byte_i += 1
-                    app(_extend(v, sym) if sym else 0)
-            for cid, row in zip(order, rows):
-                out[cid][y] = row
-    except IndexError:
-        raise ValueError("JPEG entropy stream ended mid-scan") from None
+    luts = [(tabs[cid].lut_len, tabs[cid].lut_sym) for cid in order]
+    wchunk = _BitReader._WINDOW_BYTES
+    seg = np.frombuffer(bytes(buf), np.uint8)
+    nbits = int(seg.size) * 8
+    win = _bit_windows(seg, 0, wchunk)
+    wlen = len(win)
+    base = p = 0
+    _end_err = "JPEG entropy stream ended mid-scan"
+    for y in range(h):
+        rows: list[list[int]] = [[] for _ in order]
+        appends = [r.append for r in rows]
+        for _x in range(w):
+            for (tlen, tsym), app in zip(luts, appends):
+                if p >= wlen:  # chunk exhausted: refill at the cursor
+                    abs_bit = base + p
+                    if abs_bit >= nbits:
+                        raise ValueError(_end_err)
+                    byte0 = abs_bit >> 3
+                    base = byte0 << 3
+                    win = _bit_windows(seg, byte0, wchunk)
+                    wlen = len(win)
+                    p = abs_bit - base
+                w16 = win[p]
+                ln = tlen[w16]
+                if ln == 0 or base + p + ln > nbits:
+                    if base + p + 16 > nbits:
+                        raise ValueError(_end_err)
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                p += ln
+                sym = tsym[w16]
+                if sym == 16:  # the one category without extra bits
+                    app(32768)
+                    continue
+                if sym == 0:
+                    app(0)
+                    continue
+                if p >= wlen:
+                    abs_bit = base + p
+                    if abs_bit >= nbits:
+                        raise ValueError(_end_err)
+                    byte0 = abs_bit >> 3
+                    base = byte0 << 3
+                    win = _bit_windows(seg, byte0, wchunk)
+                    wlen = len(win)
+                    p = abs_bit - base
+                if base + p + sym > nbits:
+                    raise ValueError(_end_err)
+                v = win[p] >> (16 - sym)
+                p += sym
+                app(v if v >= (1 << (sym - 1)) else v - (1 << sym) + 1)
+        for cid, row in zip(order, rows):
+            out[cid][y] = row
     return out
 
 
