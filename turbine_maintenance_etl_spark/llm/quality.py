@@ -89,9 +89,12 @@ def repetition_signals(
 
     t = sqlref(text_col)
     n1 = "greatest(size(toks) - 1, 0)"
-    bgs = f"zip_with(slice(toks, 1, {n1}), slice(toks, 2, {n1}), (a, b) -> concat_ws(' ', a, b))"
+    bgs_build = (
+        f"zip_with(slice(toks, 1, {n1}), slice(toks, 2, {n1}), "
+        "(a, b) -> concat_ws(' ', a, b))"
+    )
     n_words = "size(toks)"
-    n_bigrams = f"size({bgs})"
+    n_bigrams = "size(bgs)"
     sum_len = "aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))"
     n_alpha = "size(filter(toks, x -> x rlike '[A-Za-z]'))"
     n_symbols = (
@@ -100,7 +103,7 @@ def repetition_signals(
     )
     run = "CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE cast(1 as bigint) END"
     top_run = (
-        f"aggregate(array_sort({bgs}), "
+        "aggregate(array_sort(bgs), "
         "named_struct('prev', cast(null as string), 'run', cast(0 as bigint), "
         "'best', cast(0 as bigint)), "
         f"(acc, x) -> named_struct('prev', x, 'run', {run}, "
@@ -111,13 +114,22 @@ def repetition_signals(
         f"'n_words', cast({n_words} as bigint), "
         f"'n_bigrams', cast({n_bigrams} as bigint), "
         f"'dup_word_frac', {frac(f'{n_words} - size(array_distinct(toks))', n_words)}, "
-        f"'dup_bigram_frac', {frac(f'{n_bigrams} - size(array_distinct({bgs}))', n_bigrams)}, "
+        f"'dup_bigram_frac', {frac(f'{n_bigrams} - size(array_distinct(bgs))', n_bigrams)}, "
         f"'top_bigram_frac', {frac(top_run, n_bigrams)}, "
         f"'mean_word_len', {frac(sum_len, n_words)}, "
         f"'alpha_word_frac', {frac(n_alpha, n_words)}, "
         f"'symbol_word_ratio', {frac(n_symbols, n_words)})"
     )
-    s = F.expr(f"transform(array({tokens_sql(t)}), toks -> {struct})[0]")
+    # BIND the bigram array once per row via a second nested transform
+    # (r11, guide §4.1 expression choice): higher-order-function
+    # subexpressions are not CSE'd by codegen, and the un-bound form
+    # re-evaluated the zip_with bigram build 8x per row (counted in
+    # the optimized plan); same trick the outer transform plays for
+    # `toks`, value-identical expression tree per reference
+    s = F.expr(
+        f"transform(array({tokens_sql(t)}), toks -> "
+        f"transform(array({bgs_build}), bgs -> {struct})[0])[0]"
+    )
     return df.select(F.col(id_col), s.alias("_s")).select(id_col, "_s.*")
 
 
