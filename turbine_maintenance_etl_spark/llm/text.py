@@ -125,23 +125,34 @@ def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate the signal exists to flag. NULL text reads as an empty
     document: n_tokens 0, ratios NULL."""
     t = sqlref(text_col)
-    toks = tokens_sql(t)
-    n_tok = "size(" + toks + ")"
     sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    n_stop = "size(filter(" + toks + ", x -> lower(x) IN (" + sw + ")))"
+    n_stop = "size(filter(toks, x -> lower(x) IN (" + sw + ")))"
     n_nonspace = "length(regexp_replace(" + t + r", '\\s', ''))"
     n_punct = "length(regexp_replace(" + t + ", '[^.,;:!?]', ''))"
     n_upper = "length(regexp_replace(" + t + ", '[^A-Z]', ''))"
-    safe_tok = "nullif(cast(" + n_tok + " as double), 0.0D)"
+    safe_tok = "nullif(cast(size(toks) as double), 0.0D)"
     safe_char = "nullif(cast(length(" + t + ") as double), 0.0D)"
-    # one F.expr per output column (single-parse construction — see
-    # tokens_sql); the same Project node the old withColumn chain built
-    return df.select(
-        "*",
-        F.expr(n_tok + " AS n_tokens"),
-        F.expr(f"round({n_nonspace} / {safe_tok}, 4) AS mean_token_len"),
+    # BIND the token array once per row (r11): higher-order functions
+    # are CodegenFallback, so codegen subexpression elimination never
+    # sees them and the un-bound form re-ran the tokenize split 4x per
+    # row (n_tokens, two ratio denominators, the stopword filter).
+    # transform(array(x), toks -> ...)[0] names the value; expression
+    # per reference is identical, so every output value is unchanged.
+    q = (
+        "transform(array(" + tokens_sql(t) + "), toks -> named_struct("
+        "'n_tokens', size(toks), "
+        f"'mean_token_len', round({n_nonspace} / {safe_tok}, 4), "
+        f"'stopword_ratio', round({n_stop} / {safe_tok}, 4)))[0]"
+    )
+    tmp = df.select("*", F.expr(q + " AS _q"))
+    # same output columns, same order, same values as the per-column
+    # construction (the struct only carries the token-dependent ones)
+    return tmp.select(
+        *df.columns,
+        F.col("_q.n_tokens").alias("n_tokens"),
+        F.col("_q.mean_token_len").alias("mean_token_len"),
         F.expr(f"round({n_punct} / {safe_char}, 4) AS punct_ratio"),
-        F.expr(f"round({n_stop} / {safe_tok}, 4) AS stopword_ratio"),
+        F.col("_q.stopword_ratio").alias("stopword_ratio"),
         F.expr(f"round({n_upper} / {safe_char}, 4) AS upper_ratio"),
     )
 
@@ -150,15 +161,26 @@ def add_language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID. Emits ``score_{lang}`` per language
     and an argmax ``lang_pred`` ('und' when every score is 0).
     Deterministic tie-break: language order en > de > es > fr."""
-    toks = "array_distinct(" + tokens_sql("lower(" + sqlref(text_col) + ")") + ")"
-    n = "nullif(cast(size(" + toks + ") as double), 0.0D)"
+    toks_build = "array_distinct(" + tokens_sql("lower(" + sqlref(text_col) + ")") + ")"
+    n = "nullif(cast(size(toks) as double), 0.0D)"
     langs = list(STOPWORDS)
-    score_exprs = []
+    fields = []
     for lang, words in STOPWORDS.items():
         wl = ", ".join(f"'{w}'" for w in words)
-        hits = "size(filter(" + toks + ", x -> x IN (" + wl + ")))"
-        score_exprs.append(F.expr(f"round({hits} / {n}, 4) AS score_{lang}"))
-    out = df.select("*", *score_exprs)
+        hits = "size(filter(toks, x -> x IN (" + wl + ")))"
+        fields.append(f"'score_{lang}', round({hits} / {n}, 4)")
+    # bind the distinct-token array once per row (r11 — see
+    # add_quality_signals): un-bound, the tokenize+distinct ran 2x per
+    # language (hit filter + denominator); values per reference identical
+    s = (
+        "transform(array(" + toks_build + "), toks -> named_struct("
+        + ", ".join(fields) + "))[0]"
+    )
+    tmp = df.select("*", F.expr(s + " AS _ls"))
+    out = tmp.select(
+        *df.columns,
+        *[F.col(f"_ls.score_{lang}").alias(f"score_{lang}") for lang in langs],
+    )
     best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
     cases = " ".join(
         f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
