@@ -799,18 +799,24 @@ def a12_a14_quantile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 (median/quantile) + A14 (column correlation) in ONE single-row
     aggregate pass over lineitem — one graded row covering both §2 IDs,
     and one fewer scan than two separate entries."""
+    from turbine_maintenance_etl_spark.ops.selection import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    # ONE exact-percentile buffer for both price quantiles: Spark's
-    # Percentile aggregate keeps a value->count map per call, and
-    # l_extendedprice is distinct-heavy (~1 entry/row), so two separate
-    # calls paid the 600k-entry map build + merge twice (measured r7:
-    # 4.4-5.2s -> ~3.1s at sf0.1 with the array form; l_quantity's map
-    # is 50 entries — not worth fusing across columns)
-    price_pp = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
+    # r11 (guide §5 — the one §2 primitive with an executor-memory
+    # cliff): Spark's exact Percentile merges a value->count map of the
+    # ~583k distinct prices into ONE buffer and sorts it single-threaded
+    # (measured 1.55s of this entry's 2.09s at sf0.1). The distributed
+    # selection (`ops/selection.py`: histogram-refinement order
+    # statistics, bounded collects, Spark's own interpolation formula)
+    # computes the identical doubles in ~log_1024(n) map-side-aggregated
+    # passes. l_quantity's median keeps the native aggregate — its map
+    # is 50 entries, and fusing it into the same pass as the corrs is
+    # cheaper than a separate selection.
+    p25, p75 = exact_percentiles(li, "l_extendedprice", [0.25, 0.75])
     return li.agg(
         F.round(F.median("l_quantity"), 4).alias("qty_median"),
-        F.round(price_pp[0], 4).alias("price_p25"),
-        F.round(price_pp[1], 4).alias("price_p75"),
+        F.round(F.lit(p25).cast("double"), 4).alias("price_p25"),
+        F.round(F.lit(p75).cast("double"), 4).alias("price_p75"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
         F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
     )
