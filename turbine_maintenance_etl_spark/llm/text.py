@@ -313,13 +313,22 @@ def bm25_topk(
     # for queried terms only.
     from turbine_maintenance_etl_spark.ops.materialize import barrier
 
+    exploded = toks.select(
+        F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+    )
+    # r11: the queried-term filter is driver-side KNOWLEDGE — a literal
+    # IN predicate pushed below the aggregate, not a broadcast semi
+    # join (two fewer AQE broadcast-build jobs: the distinct and the
+    # join build; same surviving rows). Degenerate many-term query
+    # lists keep the join form (an IN list scales to hundreds, not
+    # hundreds of thousands).
+    uniq_terms = sorted({t for _qid, t in qterms})
+    if len(uniq_terms) <= 1000:
+        postings = exploded.filter(F.col("term").isin(uniq_terms))
+    else:
+        postings = exploded.join(qdf.select("term").distinct(), "term")
     tf = barrier(
-        toks.select(
-            F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-        )
-        .join(qdf.select("term").distinct(), "term")
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count("*").alias("tf")),
+        postings.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")),
         tag="bm25-tf",
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
