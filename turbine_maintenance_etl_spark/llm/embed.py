@@ -56,16 +56,29 @@ def _encode(texts: pd.Series, dim: int, normalize: bool = True) -> np.ndarray:
     then a small INTEGER (exactly representable in float32), which makes
     dot products bit-exact across engines and lets the whole encode →
     retrieve chain be value-checked against a SQL replay of the md5
-    bucket/sign math (queries_llm.pipeline_chunk_embed_retrieval)."""
-    from collections import Counter
+    bucket/sign math (queries_llm.pipeline_chunk_embed_retrieval).
+
+    r11: the accumulation runs FLAT over the whole batch — one token
+    stream, one ``np.unique`` for the per-unique feature lookups, one
+    ``np.add.at`` scatter — instead of a Python Counter + loop per row
+    (interleaved microbench: 1.9x, bit-identical). Reordering the adds
+    is exact BY the integer-components property above: every partial
+    sum is a small integer, so float32 accumulation cannot depend on
+    order."""
+    import itertools
 
     out = np.zeros((len(texts), dim), dtype=np.float32)
-    for row, text in enumerate(texts.fillna("")):
-        # count first: one feature lookup per unique token per row, and
-        # += count keeps the accumulation exact (ties are integers)
-        for tok, n in Counter(text.split()).items():
-            bucket, sign = _tok_feature(tok, dim)
-            out[row, bucket] += sign * n
+    toks = texts.fillna("").str.split()
+    flat = list(itertools.chain.from_iterable(toks))
+    if flat:
+        rows = np.repeat(np.arange(len(texts)), toks.map(len).to_numpy())
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        feats = np.array([_tok_feature(t, dim) for t in uniq], dtype=np.float64)
+        np.add.at(
+            out,
+            (rows, feats[inv, 0].astype(np.int64)),
+            feats[inv, 1].astype(np.float32),
+        )
     if normalize:
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.divide(out, norms, out=out, where=norms > 0)
