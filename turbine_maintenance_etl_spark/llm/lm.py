@@ -186,20 +186,35 @@ def _score_bigram(
         .join(_count_hint(histories), ["w1"], "left")
         .withColumn("_lp", _logprob("c12", "c1", v_col, k))
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("_lp").alias("_sum_lp"),
+    # r11 (guide §2.4): token-less docs are preserved by UNIONING one
+    # NULL-marker sentinel row per doc into the SAME per-doc aggregate
+    # (count(_real) skips sentinels -> n=0, NULL avg), replacing the
+    # left join back to the doc-id set — which cost an extra exchange
+    # of the id scan plus a doc-count-sized broadcast build per scorer
+    # query. NULL-sum/zero-count arithmetic reproduces the old
+    # left-join NULLs exactly; the explicit marker keeps the count
+    # identical to the old count(*) even if a score expression ever
+    # yields NULL (e.g. k=0 log(0)).
+    seeds = docs.select(
+        F.col(id_col),
+        F.lit(None).cast("double").alias("_lp"),
+        F.lit(None).cast("int").alias("_real"),
+    )
+    per_doc = (
+        scored.select(F.col(id_col), F.col("_lp"), F.lit(1).alias("_real"))
+        .unionByName(seeds)
+        .groupBy(id_col)
+        .agg(
+            F.count("_real").alias("n_bigrams"),
+            F.sum("_lp").alias("_sum_lp"),
+        )
     )
     avg_lp = F.col("_sum_lp") / F.col("n_bigrams")
-    return (
-        docs.select(F.col(id_col))
-        .join(per_doc, [id_col], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.round(avg_lp, 4).alias("avg_logprob"),
-            F.round(F.exp(-avg_lp), 4).alias("perplexity"),
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.round(avg_lp, 4).alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 4).alias("perplexity"),
     )
 
 
@@ -450,19 +465,26 @@ def _score_sb3(
         f"WHEN _cu IS NOT NULL THEN {a!r}D * {a!r}D * _cu / {n_col} "
         f"ELSE {a!r}D * {a!r}D / {v1_col} END"
     )
-    per_doc = scored.withColumn("_ls", F.expr(f"log({s})")).groupBy(id_col).agg(
-        F.count("*").alias("n_trigrams"), F.sum("_ls").alias("_sum_ls")
+    # sentinel-union zero-token preservation (r11 — see _score_bigram):
+    # one NULL-marker row per doc into the same aggregate, no join-back
+    seeds = docs.select(
+        F.col(id_col),
+        F.lit(None).cast("double").alias("_ls"),
+        F.lit(None).cast("int").alias("_real"),
+    )
+    per_doc = (
+        scored.withColumn("_ls", F.expr(f"log({s})"))
+        .select(F.col(id_col), F.col("_ls"), F.lit(1).alias("_real"))
+        .unionByName(seeds)
+        .groupBy(id_col)
+        .agg(F.count("_real").alias("n_trigrams"), F.sum("_ls").alias("_sum_ls"))
     )
     avg_ls = F.col("_sum_ls") / F.col("n_trigrams")
-    return (
-        docs.select(F.col(id_col))
-        .join(per_doc, [id_col], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
-            F.round(avg_ls, 4).alias("avg_logscore"),
-            F.round(F.exp(-avg_ls), 4).alias("perplexity"),
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        F.round(avg_ls, 4).alias("avg_logscore"),
+        F.round(F.exp(-avg_ls), 4).alias("perplexity"),
     )
 
 
